@@ -1,0 +1,246 @@
+"""CLIP dual-encoder in pure JAX.
+
+The reference serves and fine-tunes OpenAI CLIP ViT-B/32 through the pip
+``clip`` package (`Backend/services/embedding_service.py:70-120`,
+`Backend/clip_finetune_correct.py:340-345`). This module is a TPU-first
+re-implementation of that architecture:
+
+- Vision tower: patch-embed conv (bias-free), class token, learned positional
+  embeddings, pre-LN transformer with quickGELU, ln_post + linear projection
+  of the class token.
+- Text tower: token + positional embeddings (77 ctx), causal transformer,
+  ln_final, projection of the embedding at the EOT position (argmax token id).
+- Shared learned ``logit_scale`` (init log(1/0.07), the temperature the
+  reference trains with at `clip_finetune_correct.py:347-349`).
+
+Everything is a function of a params pytree, so jit/pjit/grad/remat compose
+directly; compute dtype is a call-site argument (bf16 default on TPU, fp32
+parity mode for golden-vector tests against HuggingFace CLIP).
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+from .layers import (
+    Params,
+    block_apply,
+    init_block,
+    init_layer_norm,
+    layer_norm,
+)
+
+
+@dataclass(frozen=True)
+class VisionConfig:
+    image_size: int = 224
+    patch_size: int = 32
+    width: int = 768
+    layers: int = 12
+    heads: int = 12
+
+    @property
+    def grid(self) -> int:
+        return self.image_size // self.patch_size
+
+    @property
+    def seq_len(self) -> int:
+        return self.grid * self.grid + 1
+
+
+@dataclass(frozen=True)
+class TextConfig:
+    context_length: int = 77
+    vocab_size: int = 49408
+    width: int = 512
+    layers: int = 12
+    heads: int = 8
+
+
+@dataclass(frozen=True)
+class CLIPConfig:
+    embed_dim: int = 512
+    vision: VisionConfig = VisionConfig()
+    text: TextConfig = TextConfig()
+    # "xla" | "flash" — which attention implementation the towers use.
+    attn_impl: str = "xla"
+    # rematerialise each transformer block (memory ↔ FLOPs trade for training)
+    remat: bool = False
+
+
+# -- init -----------------------------------------------------------------
+
+
+def init_clip_params(rng: jax.Array, cfg: CLIPConfig) -> Params:
+    kv, kt = jax.random.split(rng)
+    return {
+        "visual": _init_vision(kv, cfg.vision, cfg.embed_dim),
+        "text": _init_text(kt, cfg.text, cfg.embed_dim),
+        "logit_scale": jnp.asarray(math.log(1.0 / 0.07), jnp.float32),
+    }
+
+
+def _init_vision(rng: jax.Array, v: VisionConfig, embed_dim: int) -> Params:
+    keys = jax.random.split(rng, v.layers + 4)
+    scale = v.width**-0.5
+    return {
+        "patch_embed": {
+            # HWIO conv kernel; stride = patch size, no bias (CLIP).
+            "kernel": jax.random.normal(
+                keys[0], (v.patch_size, v.patch_size, 3, v.width), jnp.float32
+            )
+            * scale
+        },
+        "class_embedding": jax.random.normal(keys[1], (v.width,), jnp.float32) * scale,
+        "pos_embedding": jax.random.normal(keys[2], (v.seq_len, v.width), jnp.float32)
+        * scale,
+        "ln_pre": init_layer_norm(v.width),
+        "blocks": [init_block(keys[4 + i], v.width, v.layers) for i in range(v.layers)],
+        "ln_post": init_layer_norm(v.width),
+        "proj": jax.random.normal(keys[3], (v.width, embed_dim), jnp.float32) * scale,
+    }
+
+
+def _init_text(rng: jax.Array, t: TextConfig, embed_dim: int) -> Params:
+    keys = jax.random.split(rng, t.layers + 3)
+    return {
+        "token_embedding": jax.random.normal(
+            keys[0], (t.vocab_size, t.width), jnp.float32
+        )
+        * 0.02,
+        "pos_embedding": jax.random.normal(
+            keys[1], (t.context_length, t.width), jnp.float32
+        )
+        * 0.01,
+        "blocks": [init_block(keys[3 + i], t.width, t.layers) for i in range(t.layers)],
+        "ln_final": init_layer_norm(t.width),
+        "text_projection": jax.random.normal(
+            keys[2], (t.width, embed_dim), jnp.float32
+        )
+        * t.width**-0.5,
+    }
+
+
+# -- positional-embedding interpolation (ViT-L/14@336 and friends) --------
+
+
+def interpolate_pos_embedding(pos: jax.Array, new_grid: int) -> jax.Array:
+    """Bicubically resample the patch-position grid to a new resolution.
+
+    Enables loading 224px checkpoints into higher-resolution towers
+    (the @336 variant the reference benchmarks against OpenCLIP ViT-H-14,
+    `compare_models.py` model zoo).
+    """
+    cls_tok, grid_tok = pos[:1], pos[1:]
+    old_grid = int(math.sqrt(grid_tok.shape[0]))
+    grid_tok = grid_tok.reshape(old_grid, old_grid, -1)
+    resized = jax.image.resize(
+        grid_tok, (new_grid, new_grid, grid_tok.shape[-1]), method="cubic"
+    )
+    return jnp.concatenate([cls_tok, resized.reshape(new_grid * new_grid, -1)], axis=0)
+
+
+# -- forward --------------------------------------------------------------
+
+
+def _run_blocks(x, blocks, heads, causal, cfg: CLIPConfig):
+    apply = block_apply
+    if cfg.remat:
+        apply = jax.checkpoint(
+            block_apply, static_argnums=(2, 3, 4), policy=None
+        )
+    for bp in blocks:
+        x = apply(x, bp, heads, causal, cfg.attn_impl)
+    return x
+
+
+def encode_image(
+    params: Params,
+    cfg: CLIPConfig,
+    pixels: jax.Array,
+    dtype: jnp.dtype = jnp.float32,
+) -> jax.Array:
+    """pixels [B, H, W, 3] (already preprocessed, NHWC) → [B, embed_dim].
+
+    Output is the *unnormalised* embedding, matching ``model.encode_image``
+    in the reference stack; retrieval normalises separately (as
+    `embedding_service.py:176-179` does).
+    """
+    v = cfg.vision
+    p = params["visual"]
+    x = pixels.astype(dtype)
+
+    # Patch embedding: stride-P conv == unfold-into-patches matmul; XLA maps
+    # this onto the MXU directly.
+    x = jax.lax.conv_general_dilated(
+        x,
+        p["patch_embed"]["kernel"].astype(dtype),
+        window_strides=(v.patch_size, v.patch_size),
+        padding="VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    B = x.shape[0]
+    x = x.reshape(B, v.grid * v.grid, v.width)
+
+    cls = jnp.broadcast_to(p["class_embedding"].astype(dtype), (B, 1, v.width))
+    x = jnp.concatenate([cls, x], axis=1)
+    x = x + p["pos_embedding"].astype(dtype)
+
+    x = layer_norm(x, p["ln_pre"])
+    x = _run_blocks(x, p["blocks"], v.heads, False, cfg)
+    x = layer_norm(x[:, 0], p["ln_post"])
+    return (x @ p["proj"].astype(dtype)).astype(jnp.float32)
+
+
+def encode_text(
+    params: Params,
+    cfg: CLIPConfig,
+    tokens: jax.Array,
+    dtype: jnp.dtype = jnp.float32,
+) -> jax.Array:
+    """tokens [B, 77] int32 → [B, embed_dim] (unnormalised).
+
+    Pools the transformer output at the EOT position = argmax token id
+    (EOT has the largest id in the CLIP vocab — see evr_tpu.tokenizer.bpe).
+    """
+    t = cfg.text
+    p = params["text"]
+    x = p["token_embedding"].astype(dtype)[tokens]
+    x = x + p["pos_embedding"].astype(dtype)
+    x = _run_blocks(x, p["blocks"], t.heads, True, cfg)
+    x = layer_norm(x, p["ln_final"])
+    eot_pos = jnp.argmax(tokens, axis=-1)
+    pooled = jnp.take_along_axis(x, eot_pos[:, None, None], axis=1)[:, 0]
+    return (pooled @ p["text_projection"].astype(dtype)).astype(jnp.float32)
+
+
+def clip_forward(
+    params: Params,
+    cfg: CLIPConfig,
+    pixels: jax.Array,
+    tokens: jax.Array,
+    dtype: jnp.dtype = jnp.float32,
+) -> dict[str, jax.Array]:
+    """Joint forward: normalised features + scaled similarity logits.
+
+    Mirrors ``CLIPWithClassifier.forward``'s contrastive half
+    (`clip_finetune_correct.py:155-185`): L2-normalise both towers, scale by
+    exp(logit_scale), return both logit directions.
+    """
+    img = encode_image(params, cfg, pixels, dtype)
+    txt = encode_text(params, cfg, tokens, dtype)
+    img_n = img / jnp.linalg.norm(img, axis=-1, keepdims=True)
+    txt_n = txt / jnp.linalg.norm(txt, axis=-1, keepdims=True)
+    scale = jnp.exp(params["logit_scale"])
+    logits_per_image = scale * img_n @ txt_n.T
+    return {
+        "image_features": img_n,
+        "text_features": txt_n,
+        "logits_per_image": logits_per_image,
+        "logits_per_text": logits_per_image.T,
+    }

@@ -1,0 +1,152 @@
+"""Transformer building blocks for the CLIP towers.
+
+Functional (params-pytree in, array out) so every transform — jit, grad,
+pjit sharding, remat — composes without framework machinery. Numerics follow
+OpenAI CLIP (the model the reference serves and fine-tunes through the pip
+``clip`` package — see `Backend/services/embedding_service.py:70-120`):
+pre-LN residual blocks, quickGELU activations, LayerNorm eps 1e-5.
+
+LayerNorm statistics are always computed in fp32 regardless of the compute
+dtype (bf16 on TPU), matching how fp16 CLIP keeps LN in fp32.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+Params = dict[str, Any]
+
+LN_EPS = 1e-5
+
+
+def quick_gelu(x: jax.Array) -> jax.Array:
+    """x * sigmoid(1.702 x) — OpenAI CLIP's activation."""
+    return x * jax.nn.sigmoid(1.702 * x)
+
+
+def layer_norm(x: jax.Array, p: Params, eps: float = LN_EPS) -> jax.Array:
+    orig_dtype = x.dtype
+    x32 = x.astype(jnp.float32)
+    mean = jnp.mean(x32, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x32 - mean), axis=-1, keepdims=True)
+    y = (x32 - mean) * jax.lax.rsqrt(var + eps)
+    y = y * p["scale"].astype(jnp.float32) + p["bias"].astype(jnp.float32)
+    return y.astype(orig_dtype)
+
+
+def linear(x: jax.Array, p: Params) -> jax.Array:
+    y = x @ p["kernel"].astype(x.dtype)
+    if "bias" in p:
+        y = y + p["bias"].astype(x.dtype)
+    return y
+
+
+def init_linear(rng, d_in: int, d_out: int, std: float | None = None) -> Params:
+    std = std if std is not None else d_in**-0.5
+    k_key, _ = jax.random.split(rng)
+    return {
+        "kernel": jax.random.normal(k_key, (d_in, d_out), jnp.float32) * std,
+        "bias": jnp.zeros((d_out,), jnp.float32),
+    }
+
+
+def init_layer_norm(dim: int) -> Params:
+    return {"scale": jnp.ones((dim,), jnp.float32), "bias": jnp.zeros((dim,), jnp.float32)}
+
+
+# -- attention ------------------------------------------------------------
+
+
+def init_attention(rng, width: int) -> Params:
+    k1, k2 = jax.random.split(rng)
+    attn_std = width**-0.5
+    return {
+        # Fused QKV projection: (width, 3*width), matching torch's in_proj.
+        "qkv": init_linear(k1, width, 3 * width, std=attn_std),
+        "out": init_linear(k2, width, width, std=attn_std),
+    }
+
+
+def attention(
+    x: jax.Array,
+    p: Params,
+    n_heads: int,
+    causal: bool = False,
+    impl: str = "xla",
+) -> jax.Array:
+    """Multi-head self-attention over [B, T, W].
+
+    ``impl``: "xla" (einsum softmax path, XLA-fused) or "flash"
+    (Pallas flash-attention kernel, TPU only — see evr_tpu.ops.attention).
+    """
+    B, T, W = x.shape
+    head_dim = W // n_heads
+
+    qkv = linear(x, p["qkv"])  # [B, T, 3W]
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+
+    def to_heads(t):
+        return t.reshape(B, T, n_heads, head_dim).transpose(0, 2, 1, 3)
+
+    q, k, v = to_heads(q), to_heads(k), to_heads(v)
+
+    if impl == "flash":
+        from evr_tpu.ops.attention import flash_attention
+
+        o = flash_attention(q, k, v, causal=causal)
+    else:
+        scale = 1.0 / math.sqrt(head_dim)
+        logits = jnp.einsum("bhqd,bhkd->bhqk", q, k).astype(jnp.float32) * scale
+        if causal:
+            mask = jnp.tril(jnp.ones((T, T), jnp.bool_))
+            logits = jnp.where(mask, logits, jnp.float32(-1e9))
+        weights = jax.nn.softmax(logits, axis=-1).astype(x.dtype)
+        o = jnp.einsum("bhqk,bhkd->bhqd", weights, v)
+
+    o = o.transpose(0, 2, 1, 3).reshape(B, T, W)
+    return linear(o, p["out"])
+
+
+# -- residual block -------------------------------------------------------
+
+
+def init_block(rng, width: int, n_layers: int) -> Params:
+    """One pre-LN residual attention block.
+
+    Init scales follow CLIP: proj layers scaled by (2*n_layers)^-0.5 to keep
+    the residual stream variance flat at depth.
+    """
+    k_attn, k_fc, k_proj = jax.random.split(rng, 3)
+    proj_std = (width**-0.5) * ((2 * n_layers) ** -0.5)
+    fc_std = (2 * width) ** -0.5
+    attn_p = init_attention(k_attn, width)
+    attn_p["out"]["kernel"] = (
+        jax.random.normal(k_proj, (width, width), jnp.float32) * proj_std
+    )
+    return {
+        "ln_1": init_layer_norm(width),
+        "attn": attn_p,
+        "ln_2": init_layer_norm(width),
+        "mlp": {
+            "fc": init_linear(k_fc, width, 4 * width, std=fc_std),
+            "proj": init_linear(k_proj, 4 * width, width, std=proj_std),
+        },
+    }
+
+
+def block_apply(
+    x: jax.Array,
+    p: Params,
+    n_heads: int,
+    causal: bool = False,
+    attn_impl: str = "xla",
+) -> jax.Array:
+    x = x + attention(layer_norm(x, p["ln_1"]), p["attn"], n_heads, causal, attn_impl)
+    h = linear(layer_norm(x, p["ln_2"]), p["mlp"]["fc"])
+    h = quick_gelu(h)
+    x = x + linear(h, p["mlp"]["proj"])
+    return x

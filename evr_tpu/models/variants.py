@@ -1,0 +1,42 @@
+"""Model registry: the CLIP variants the reference stack uses.
+
+The serving path uses ViT-B/32 (`Backend/services/embedding_service.py:74`);
+the evaluation harness additionally loads ViT-B/16-class and large towers
+(`Backend/content/Test_compare_model/compare_models.py` model zoo). The @336
+variant reuses the L/14 weights via positional-embedding interpolation
+(``evr_tpu.models.clip.interpolate_pos_embedding``).
+"""
+
+from __future__ import annotations
+
+from .clip import CLIPConfig, TextConfig, VisionConfig
+
+MODEL_REGISTRY: dict[str, CLIPConfig] = {
+    "ViT-B/32": CLIPConfig(
+        embed_dim=512,
+        vision=VisionConfig(image_size=224, patch_size=32, width=768, layers=12, heads=12),
+        text=TextConfig(width=512, layers=12, heads=8),
+    ),
+    "ViT-B/16": CLIPConfig(
+        embed_dim=512,
+        vision=VisionConfig(image_size=224, patch_size=16, width=768, layers=12, heads=12),
+        text=TextConfig(width=512, layers=12, heads=8),
+    ),
+    "ViT-L/14": CLIPConfig(
+        embed_dim=768,
+        vision=VisionConfig(image_size=224, patch_size=14, width=1024, layers=24, heads=16),
+        text=TextConfig(width=768, layers=12, heads=12),
+    ),
+    "ViT-L/14@336px": CLIPConfig(
+        embed_dim=768,
+        vision=VisionConfig(image_size=336, patch_size=14, width=1024, layers=24, heads=16),
+        text=TextConfig(width=768, layers=12, heads=12),
+    ),
+}
+
+
+def get_model_config(name: str, **overrides) -> CLIPConfig:
+    import dataclasses
+
+    cfg = MODEL_REGISTRY[name]
+    return dataclasses.replace(cfg, **overrides) if overrides else cfg
