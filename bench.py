@@ -1,0 +1,128 @@
+"""Benchmark: the BASELINE.json headline metrics on real hardware.
+
+Prints exactly ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...extras}
+
+Headline: frames embedded/sec/chip on CLIP ViT-B/32, end-to-end (host batch →
+device → encode → embeddings back), the reference's ingestion hot loop
+(`Backend/services/embedding_service.py:461-505`, GPU batch-32 with
+per-image host preprocessing).
+
+Extras decompose the number so transport-constrained environments are
+legible: ``compute_fps`` (frames already device-resident — the chip's real
+encode throughput), ``h2d_MBps`` (host→device bandwidth seen), and the
+retrieval-side p50 latencies over a 100k-frame HBM index.
+
+``vs_baseline`` divides by a provisional reference-GPU throughput constant
+(the reference publishes no numbers — BASELINE.md). 450 img/s is a typical
+ViT-B/32 fp32 batch-32 figure on the Kaggle T4 class of GPU its configs
+target; replace with a measured baseline when GPU hardware is available.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+REFERENCE_GPU_FPS = 450.0  # provisional T4-class fp32 batch-32 baseline
+EMBED_BATCH = 256
+N_INDEX = 100_000
+EMBED_DIM = 512
+
+
+def _sync(x) -> float:
+    """Force a real device round-trip (block_until_ready may be a no-op on
+    relayed platforms): fetch a scalar reduction."""
+    import jax.numpy as jnp
+
+    return float(jnp.sum(x))
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from evr_tpu.index import EmbeddingEngine, FrameIndex
+
+    backend = jax.default_backend()
+    engine = EmbeddingEngine("ViT-B/32", batch_size=EMBED_BATCH, rng_seed=0)
+
+    rng = np.random.default_rng(0)
+    staged = (rng.random((EMBED_BATCH, 224, 224, 3)) * 255).astype(np.uint8)
+
+    # -- end-to-end frames/sec (H2D + encode + D2H) -----------------------
+    engine.encode_staged_images(staged)  # compile + warmup
+    n_iters = 4
+    t0 = time.perf_counter()
+    for _ in range(n_iters):
+        engine.encode_staged_images(staged)
+    e2e_fps = n_iters * EMBED_BATCH / (time.perf_counter() - t0)
+
+    # -- compute-only frames/sec (device-resident input) ------------------
+    dev_batch = jnp.asarray(staged)
+    _sync(engine._encode_staged(engine.params, dev_batch))
+    t0 = time.perf_counter()
+    for _ in range(n_iters):
+        _sync(engine._encode_staged(engine.params, dev_batch))
+    compute_fps = n_iters * EMBED_BATCH / (time.perf_counter() - t0)
+
+    # -- H2D bandwidth -----------------------------------------------------
+    t0 = time.perf_counter()
+    for _ in range(2):
+        _sync(jnp.asarray(staged))
+    h2d_mbps = 2 * staged.nbytes / 1e6 / (time.perf_counter() - t0)
+
+    # -- p50 query latency over a 100k-frame index ------------------------
+    idx = FrameIndex(embed_dim=EMBED_DIM, pad_multiple=1024)
+    idx.add_video("bench", rng.normal(size=(N_INDEX, EMBED_DIM)).astype(np.float32))
+    idx.build()
+    q1 = rng.normal(size=(1, EMBED_DIM)).astype(np.float32)
+    idx.search_raw(q1, 10)  # compile
+    lat = []
+    for _ in range(30):
+        t0 = time.perf_counter()
+        idx.search_raw(q1, 10)
+        lat.append((time.perf_counter() - t0) * 1e3)
+    p50_search = float(np.percentile(lat, 50))
+
+    # batched queries amortise per-call transport: per-query latency at Q=32
+    q32 = rng.normal(size=(32, EMBED_DIM)).astype(np.float32)
+    idx.search_raw(q32, 10)
+    t0 = time.perf_counter()
+    for _ in range(10):
+        idx.search_raw(q32, 10)
+    batched_per_query = (time.perf_counter() - t0) / 10 / 32 * 1e3
+
+    # end-to-end text query: tokenize + encode_text + search
+    engine.encode_texts(["warmup query"])
+    e2e = []
+    for i in range(15):
+        t0 = time.perf_counter()
+        vec = engine.encode_texts([f"a person fighting in scene {i % 3}"])
+        idx.search_raw(vec, 10)
+        e2e.append((time.perf_counter() - t0) * 1e3)
+    p50_e2e = float(np.percentile(e2e, 50))
+
+    print(
+        json.dumps(
+            {
+                "metric": "frames_embedded_per_sec_per_chip_vitb32",
+                "value": round(e2e_fps, 2),
+                "unit": "frames/s",
+                "vs_baseline": round(e2e_fps / REFERENCE_GPU_FPS, 3),
+                "backend": backend,
+                "compute_fps": round(compute_fps, 2),
+                "h2d_MBps": round(h2d_mbps, 1),
+                "p50_query_latency_ms_100k": round(p50_search, 3),
+                "p50_query_latency_ms_100k_batched32": round(batched_per_query, 3),
+                "p50_e2e_text_query_ms_100k": round(p50_e2e, 3),
+                "embed_batch": EMBED_BATCH,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

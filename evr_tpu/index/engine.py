@@ -1,0 +1,280 @@
+"""EmbeddingEngine — model registry + batched device encoding.
+
+Reference counterpart: ``EmbeddingService`` (`Backend/services/
+embedding_service.py`): loads CLIP ViT-B/32 plus an optional fine-tuned
+``CLIPWithClassifier`` checkpoint, switches the active model at runtime
+(`:122-145`), caches text features (`:151-184`), and embeds frame folders in
+batches of 32 (`:425-536`).
+
+TPU-native differences:
+
+- encode functions are jitted once per (model-config, batch-shape); batches
+  are padded to a fixed size so there is exactly one compiled program;
+- images are staged host-side to uint8 224² (resize-shortest + center-crop),
+  then normalised on device, one transfer per batch (not per image);
+- embeddings return with scores/classifier logits available from the same
+  forward — no re-encoding candidates from disk (`:394-423` is deleted).
+"""
+
+from __future__ import annotations
+
+import functools
+import pathlib
+from typing import Callable
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from evr_tpu.models import (
+    ClassifierConfig,
+    classifier_forward,
+    get_model_config,
+    init_clip_params,
+)
+from evr_tpu.models.clip import CLIPConfig, encode_image, encode_text
+from evr_tpu.ops.preprocess import CLIP_MEAN, CLIP_STD, load_image_host
+from evr_tpu.tokenizer import get_default_tokenizer
+
+IMAGE_EXTENSIONS = (".jpg", ".jpeg", ".png", ".bmp", ".webp")
+
+
+def stage_image_fast(path, image_size: int = 224) -> np.ndarray:
+    """cv2 decode + shortest-side resize + center crop → uint8 [S, S, 3] RGB.
+
+    INTER_AREA downscale approximates the reference's antialiased bicubic
+    closely enough for retrieval (the exact-PIL path is
+    ``evr_tpu.ops.preprocess.load_image_host``).
+    """
+    import cv2
+
+    img = cv2.imread(str(path), cv2.IMREAD_COLOR)
+    if img is None:
+        raise IOError(f"cannot decode image: {path}")
+    h, w = img.shape[:2]
+    scale = image_size / min(h, w)
+    interp = cv2.INTER_AREA if scale < 1.0 else cv2.INTER_CUBIC
+    img = cv2.resize(
+        img, (int(round(w * scale)), int(round(h * scale))), interpolation=interp
+    )
+    h, w = img.shape[:2]
+    top, left = (h - image_size) // 2, (w - image_size) // 2
+    img = img[top : top + image_size, left : left + image_size]
+    return np.ascontiguousarray(img[:, :, ::-1])  # BGR → RGB
+
+
+class EmbeddingEngine:
+    """Batched CLIP encoder with runtime model switching."""
+
+    def __init__(
+        self,
+        model_name: str = "ViT-B/32",
+        params=None,
+        cfg: CLIPConfig | None = None,
+        compute_dtype=None,
+        batch_size: int = 256,
+        tokenizer=None,
+        rng_seed: int = 0,
+        preprocess_mode: str = "fast",
+    ):
+        self.model_name = model_name
+        self.cfg = cfg or get_model_config(model_name)
+        if compute_dtype is None:
+            compute_dtype = (
+                jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32
+            )
+        self.compute_dtype = compute_dtype
+        self.batch_size = batch_size
+        self.tokenizer = tokenizer or get_default_tokenizer()
+        self.preprocess_mode = preprocess_mode
+
+        if params is None:
+            params = init_clip_params(jax.random.PRNGKey(rng_seed), self.cfg)
+        self.models: dict[str, dict] = {"original": {"clip": params, "classifier": None}}
+        self.active_model = "original"
+        self._text_cache: dict[tuple[str, str], np.ndarray] = {}
+
+        mean = np.asarray(CLIP_MEAN, np.float32)
+        std = np.asarray(CLIP_STD, np.float32)
+        cfg_ = self.cfg
+        dtype = self.compute_dtype
+
+        @jax.jit
+        def _encode_staged(params_, staged_u8):
+            x = staged_u8.astype(jnp.float32) / 255.0
+            x = (x - mean) / std
+            return encode_image(params_, cfg_, x, dtype=dtype)
+
+        @jax.jit
+        def _encode_pixels(params_, pixels):
+            return encode_image(params_, cfg_, pixels, dtype=dtype)
+
+        @jax.jit
+        def _encode_tokens(params_, tokens):
+            return encode_text(params_, cfg_, tokens, dtype=dtype)
+
+        self._encode_staged = _encode_staged
+        self._encode_pixels = _encode_pixels
+        self._encode_tokens = _encode_tokens
+
+    # -- model registry (set_active_model parity) -------------------------
+    def register_model(self, name: str, clip_params, classifier=None,
+                       classifier_cfg: ClassifierConfig | None = None) -> None:
+        self.models[name] = {
+            "clip": clip_params,
+            "classifier": classifier,
+            "classifier_cfg": classifier_cfg or ClassifierConfig(embed_dim=self.cfg.embed_dim),
+        }
+
+    def load_finetuned(self, checkpoint_path, name: str = "finetuned") -> None:
+        """Load a reference-format .pt fine-tune checkpoint
+        (`embedding_service.py:103-120` equivalent)."""
+        from evr_tpu.models.torch_import import load_checkpoint
+
+        blob = load_checkpoint(str(checkpoint_path))
+        self.register_model(name, blob["clip"], blob["classifier"])
+
+    def set_active_model(self, name: str) -> bool:
+        if name not in self.models:
+            return False
+        self.active_model = name
+        return True
+
+    def available_models(self) -> list[str]:
+        return list(self.models)
+
+    @property
+    def params(self):
+        return self.models[self.active_model]["clip"]
+
+    # -- text ------------------------------------------------------------
+    def encode_texts(self, texts, normalise: bool = True) -> np.ndarray:
+        if isinstance(texts, str):
+            texts = [texts]
+        tokens = self.tokenizer(texts)
+        out = np.asarray(self._encode_tokens(self.params, jnp.asarray(tokens)))
+        if normalise:
+            out = out / np.maximum(np.linalg.norm(out, axis=-1, keepdims=True), 1e-12)
+        return out
+
+    def get_text_features(self, query: str) -> np.ndarray:
+        """Cached single-query text features (`embedding_service.py:151-184`)."""
+        key = (self.active_model, query)
+        if key not in self._text_cache:
+            self._text_cache[key] = self.encode_texts([query])[0]
+        return self._text_cache[key]
+
+    def clear_text_cache(self) -> None:
+        self._text_cache.clear()
+
+    # -- images ----------------------------------------------------------
+    def _pad_batch(self, arr: np.ndarray) -> tuple[np.ndarray, int]:
+        n = len(arr)
+        if n == self.batch_size:
+            return arr, n
+        pad = np.zeros((self.batch_size - n,) + arr.shape[1:], dtype=arr.dtype)
+        return np.concatenate([arr, pad], axis=0), n
+
+    def encode_staged_images(self, staged_u8: np.ndarray, normalise: bool = False) -> np.ndarray:
+        """uint8 [N, S, S, 3] (already resized/cropped) → [N, D] embeddings."""
+        outs = []
+        for i in range(0, len(staged_u8), self.batch_size):
+            batch, n = self._pad_batch(staged_u8[i : i + self.batch_size])
+            emb = np.asarray(self._encode_staged(self.params, jnp.asarray(batch)))[:n]
+            outs.append(emb)
+        out = np.concatenate(outs, axis=0) if outs else np.zeros((0, self.cfg.embed_dim), np.float32)
+        if normalise:
+            out = out / np.maximum(np.linalg.norm(out, axis=-1, keepdims=True), 1e-12)
+        return out
+
+    def _encode_array(self, arr: np.ndarray) -> np.ndarray:
+        """Encode a stacked batch that is either staged uint8 or
+        preprocessed float pixels."""
+        if arr.dtype == np.uint8:
+            return self.encode_staged_images(arr)
+        outs = []
+        for i in range(0, len(arr), self.batch_size):
+            batch, n = self._pad_batch(arr[i : i + self.batch_size])
+            outs.append(
+                np.asarray(self._encode_pixels(self.params, jnp.asarray(batch)))[:n]
+            )
+        return np.concatenate(outs, axis=0)
+
+    def encode_image_files(self, paths, normalise: bool = False) -> np.ndarray:
+        size = self.cfg.vision.image_size
+        if self.preprocess_mode == "pil":
+            pixels = np.stack([load_image_host(p, size) for p in paths])
+            outs = []
+            for i in range(0, len(pixels), self.batch_size):
+                batch, n = self._pad_batch(pixels[i : i + self.batch_size])
+                outs.append(
+                    np.asarray(self._encode_pixels(self.params, jnp.asarray(batch)))[:n]
+                )
+            out = np.concatenate(outs, axis=0)
+        else:
+            staged = np.stack([stage_image_fast(p, size) for p in paths])
+            out = self.encode_staged_images(staged)
+        if normalise:
+            out = out / np.maximum(np.linalg.norm(out, axis=-1, keepdims=True), 1e-12)
+        return out
+
+    def embed_folder(
+        self,
+        folder,
+        normalise: bool = True,
+        progress: Callable[[int, int], None] | None = None,
+    ) -> tuple[np.ndarray, list[str]]:
+        """Embed every image in a folder, sorted by filename — the contract
+        that aligns index rows with metadata frame order
+        (`embedding_service.py:452-505`). Returns (embeddings, frame_names).
+        """
+        folder = pathlib.Path(folder)
+        candidates = sorted(
+            p.name for p in folder.iterdir() if p.suffix.lower() in IMAGE_EXTENSIONS
+        )
+        size = self.cfg.vision.image_size
+        names: list[str] = []
+        embs = []
+        staged_buf: list[np.ndarray] = []
+        for pos, name in enumerate(candidates):
+            try:
+                if self.preprocess_mode == "pil":
+                    staged_buf.append(load_image_host(folder / name, size))
+                else:
+                    staged_buf.append(stage_image_fast(folder / name, size))
+            except (IOError, OSError):
+                # Unreadable frame: skip it entirely (the row is simply absent
+                # and frame_names stays aligned) rather than aborting the
+                # whole folder or inserting a zero row.
+                continue
+            names.append(name)
+            if len(staged_buf) == self.batch_size:
+                embs.append(self._encode_array(np.stack(staged_buf)))
+                staged_buf.clear()
+            if progress:
+                progress(pos + 1, len(candidates))
+        if staged_buf:
+            embs.append(self._encode_array(np.stack(staged_buf)))
+        emb = (
+            np.concatenate(embs, axis=0)
+            if embs
+            else np.zeros((0, self.cfg.embed_dim), np.float32)
+        )
+        if normalise:
+            emb = emb / np.maximum(np.linalg.norm(emb, axis=-1, keepdims=True), 1e-12)
+        return emb.astype(np.float32), names
+
+    # -- classifier (violence/NSFW head) ----------------------------------
+    def classify(self, features: np.ndarray) -> np.ndarray | None:
+        """3-class probabilities from the active model's classifier head,
+        or None if the active model has no head."""
+        entry = self.models[self.active_model]
+        if entry.get("classifier") is None:
+            return None
+        logits = classifier_forward(
+            entry["classifier"],
+            entry.get("classifier_cfg") or ClassifierConfig(embed_dim=self.cfg.embed_dim),
+            jnp.asarray(np.atleast_2d(features)),
+        )
+        return np.asarray(jax.nn.softmax(logits, axis=-1))

@@ -1,0 +1,315 @@
+"""HBM-resident L2-normalised frame index + durable per-video registry.
+
+Reference counterparts:
+
+- per-video ``{name}_embeddings.npy`` files, loaded and row-normalised on
+  demand with a TTL cache (`Backend/services/embedding_service.py:186-217`);
+- ``metadata/video_mapping.json`` registry of per-video artefact paths
+  (`Backend/services/path_service.py:23-112`);
+- brute-force ``np.dot`` search per video (`embedding_service.py:284-344`).
+
+TPU-native design: all videos live in ONE device-resident (N_padded, D)
+matrix, each video owning a contiguous row interval. A search over any video
+(or all of them) is a row-range-masked GEMM + top-k (`evr_tpu.ops.topk`),
+optionally sharded across a mesh (`evr_tpu.parallel.sharded_search`). Row →
+(video, frame_name) resolution is O(1) host-side bookkeeping, which kills the
+reference's O(k·N) metadata scans (`query_strategies.py:157`).
+"""
+
+from __future__ import annotations
+
+import json
+import pathlib
+from dataclasses import dataclass, field
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from evr_tpu.ops.topk import cosine_topk
+
+
+@dataclass
+class VideoEntry:
+    name: str
+    n_frames: int
+    row_start: int = 0
+    frame_names: list[str] = field(default_factory=list)
+
+
+@dataclass
+class SearchHit:
+    video: str
+    frame_name: str
+    score: float
+    row: int
+    frame_index: int  # position within the video (== reference frames[i] order)
+
+
+class FrameIndex:
+    """In-memory + on-device cosine retrieval index over video frames."""
+
+    def __init__(
+        self,
+        embed_dim: int = 512,
+        pad_multiple: int = 1024,
+        mesh=None,
+        mesh_axis: str = "data",
+    ):
+        self.embed_dim = embed_dim
+        self.pad_multiple = pad_multiple
+        self.mesh = mesh
+        self.mesh_axis = mesh_axis
+        self._videos: dict[str, VideoEntry] = {}
+        self._embeddings: dict[str, np.ndarray] = {}
+        self._order: list[str] = []
+        self._device_index: jax.Array | None = None
+        self._dirty = True
+
+    # -- mutation ---------------------------------------------------------
+    def add_video(
+        self, name: str, embeddings: np.ndarray, frame_names: list[str] | None = None
+    ) -> None:
+        emb = np.asarray(embeddings, dtype=np.float32)
+        if emb.ndim != 2 or emb.shape[1] != self.embed_dim:
+            raise ValueError(
+                f"embeddings for {name!r} must be (N, {self.embed_dim}), got {emb.shape}"
+            )
+        if frame_names is None:
+            frame_names = [f"{i}.jpg" for i in range(len(emb))]
+        if len(frame_names) != len(emb):
+            raise ValueError(
+                f"{name!r}: {len(frame_names)} frame names for {len(emb)} embeddings"
+            )
+        if name not in self._videos:
+            self._order.append(name)
+        self._videos[name] = VideoEntry(name, len(emb), 0, list(frame_names))
+        self._embeddings[name] = emb
+        self._dirty = True
+
+    def remove_video(self, name: str) -> None:
+        self._videos.pop(name, None)
+        self._embeddings.pop(name, None)
+        if name in self._order:
+            self._order.remove(name)
+        self._dirty = True
+
+    # -- properties -------------------------------------------------------
+    @property
+    def videos(self) -> list[str]:
+        return list(self._order)
+
+    @property
+    def total_frames(self) -> int:
+        return sum(v.n_frames for v in self._videos.values())
+
+    def video_entry(self, name: str) -> VideoEntry:
+        return self._videos[name]
+
+    def frame_names(self, name: str) -> list[str]:
+        return list(self._videos[name].frame_names)
+
+    def get_embeddings(self, name: str, normalised: bool = True) -> np.ndarray:
+        """Per-video embedding matrix (row-normalised by default, matching
+        `embedding_service.py:205-213`)."""
+        emb = self._embeddings[name]
+        if not normalised:
+            return emb
+        norms = np.linalg.norm(emb, axis=1, keepdims=True)
+        return emb / np.maximum(norms, 1e-12)
+
+    def embedding_for_frame(self, video: str, frame_name: str) -> np.ndarray:
+        """Single normalised row — free lookup replacing the reference's
+        re-encode path (`embedding_service.py:394-423`)."""
+        entry = self._videos[video]
+        i = entry.frame_names.index(frame_name)
+        return self.get_embeddings(video)[i]
+
+    # -- device build -----------------------------------------------------
+    def _padded_rows(self, n: int) -> int:
+        m = self.pad_multiple
+        if self.mesh is not None:
+            m = max(m, self.mesh.shape[self.mesh_axis] * 128)
+            shards = self.mesh.shape[self.mesh_axis]
+            # padded total must be divisible by shard count
+            per = -(-max(n, 1) // shards)
+            per = ((per + 127) // 128) * 128
+            return per * shards
+        return max(m, ((n + m - 1) // m) * m)
+
+    def build(self) -> None:
+        """(Re)concatenate, normalise, pad and transfer the index to device."""
+        row = 0
+        mats = []
+        for name in self._order:
+            entry = self._videos[name]
+            entry.row_start = row
+            row += entry.n_frames
+            mats.append(self.get_embeddings(name))
+        total = row
+        padded = self._padded_rows(total)
+        full = np.zeros((padded, self.embed_dim), dtype=np.float32)
+        if mats:
+            full[:total] = np.concatenate(mats, axis=0)
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            sharding = NamedSharding(self.mesh, P(self.mesh_axis, None))
+            self._device_index = jax.device_put(full, sharding)
+        else:
+            self._device_index = jnp.asarray(full)
+        self._total = total
+        self._dirty = False
+
+    def _ensure_built(self):
+        if self._dirty or self._device_index is None:
+            self.build()
+
+    # -- search -----------------------------------------------------------
+    def _range_for(self, video_name: str | None) -> tuple[int, int]:
+        if video_name is None:
+            return 0, self._total
+        entry = self._videos[video_name]
+        return entry.row_start, entry.row_start + entry.n_frames
+
+    def search_raw(
+        self, queries: np.ndarray, top_k: int, video_name: str | None = None
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """(scores [Q, k], global row indices [Q, k]); k clamped to range."""
+        self._ensure_built()
+        start, end = self._range_for(video_name)
+        k = max(1, min(top_k, end - start))
+        q = jnp.asarray(np.atleast_2d(np.asarray(queries, np.float32)))
+
+        use_sharded = (
+            self.mesh is not None
+            and self.mesh.shape[self.mesh_axis] > 1
+            and k <= self._device_index.shape[0] // self.mesh.shape[self.mesh_axis]
+        )
+        if use_sharded:
+            from evr_tpu.parallel.sharded_search import sharded_cosine_topk
+
+            scores, rows = sharded_cosine_topk(
+                self.mesh,
+                self._device_index,
+                q,
+                jnp.int32(start),
+                jnp.int32(end),
+                k,
+                self.mesh_axis,
+            )
+        else:
+            scores, rows = cosine_topk(
+                self._device_index, q, jnp.int32(start), jnp.int32(end), k
+            )
+        return np.asarray(scores), np.asarray(rows)
+
+    def resolve_row(self, row: int) -> tuple[str, str, int]:
+        """global row → (video, frame_name, frame_index)."""
+        for name in self._order:
+            entry = self._videos[name]
+            if entry.row_start <= row < entry.row_start + entry.n_frames:
+                i = row - entry.row_start
+                return name, entry.frame_names[i], i
+        raise IndexError(f"row {row} out of range")
+
+    def search(
+        self, queries: np.ndarray, top_k: int, video_name: str | None = None
+    ) -> list[list[SearchHit]]:
+        scores, rows = self.search_raw(queries, top_k, video_name)
+        out: list[list[SearchHit]] = []
+        for qi in range(scores.shape[0]):
+            hits = []
+            for score, row in zip(scores[qi], rows[qi]):
+                if not np.isfinite(score):
+                    continue
+                video, frame, fidx = self.resolve_row(int(row))
+                hits.append(SearchHit(video, frame, float(score), int(row), fidx))
+            out.append(hits)
+        return out
+
+    # -- persistence ------------------------------------------------------
+    def save(self, data_root) -> None:
+        """Persist per-video .npy + frame-name JSON, same durable layout the
+        reference serving tier uses (npy matrix + metadata alignment)."""
+        from evr_tpu.config import DataRootConfig
+
+        cfg = data_root if isinstance(data_root, DataRootConfig) else DataRootConfig(pathlib.Path(data_root))
+        cfg.ensure()
+        for name in self._order:
+            np.save(cfg.embedding_dir / f"{name}_embeddings.npy", self._embeddings[name])
+            (cfg.metadata_dir / f"{name}_frames.json").write_text(
+                json.dumps(self._videos[name].frame_names)
+            )
+
+    @classmethod
+    def load(cls, data_root, embed_dim: int = 512, mesh=None) -> "FrameIndex":
+        from evr_tpu.config import DataRootConfig
+
+        cfg = data_root if isinstance(data_root, DataRootConfig) else DataRootConfig(pathlib.Path(data_root))
+        idx = cls(embed_dim=embed_dim, mesh=mesh)
+        for npy in sorted(cfg.embedding_dir.glob("*_embeddings.npy")):
+            name = npy.name[: -len("_embeddings.npy")]
+            emb = np.load(npy)
+            frames_file = cfg.metadata_dir / f"{name}_frames.json"
+            frame_names = (
+                json.loads(frames_file.read_text()) if frames_file.exists() else None
+            )
+            idx.add_video(name, emb, frame_names)
+        return idx
+
+
+class VideoRegistry:
+    """Durable per-video artefact registry (video_mapping.json parity).
+
+    Schema per entry matches `path_service.py:95-112`:
+    ``{metadata_file, embeddings_file, video_path, frames_dir}`` — but paths
+    are stored relative to the data root so the registry is relocatable
+    (the reference's absolute Windows paths are why its own fixtures can't
+    load — SURVEY.md §4).
+    """
+
+    FIELDS = ("metadata_file", "embeddings_file", "video_path", "frames_dir")
+
+    def __init__(self, mapping_path):
+        self.path = pathlib.Path(mapping_path)
+        self._mapping: dict[str, dict] = {}
+        if self.path.exists():
+            self._mapping = json.loads(self.path.read_text())
+
+    def add(self, name: str, **paths) -> None:
+        unknown = set(paths) - set(self.FIELDS)
+        if unknown:
+            raise KeyError(f"unknown registry fields: {sorted(unknown)}")
+        self._mapping[name] = {k: str(v) for k, v in paths.items()}
+        self.save()
+
+    def remove(self, name: str) -> None:
+        if self._mapping.pop(name, None) is not None:
+            self.save()
+
+    def get(self, name: str) -> dict | None:
+        return self._mapping.get(name)
+
+    def names(self) -> list[str]:
+        return list(self._mapping)
+
+    def save(self) -> None:
+        self.path.parent.mkdir(parents=True, exist_ok=True)
+        self.path.write_text(json.dumps(self._mapping, indent=2, ensure_ascii=False))
+
+    def prune_missing(self, root: pathlib.Path | None = None) -> list[str]:
+        """Drop entries whose video file disappeared — the self-heal the
+        reference performs at boot (`app.py:230-268`)."""
+        dropped = []
+        for name, entry in list(self._mapping.items()):
+            vp = pathlib.Path(entry.get("video_path", ""))
+            if root is not None and not vp.is_absolute():
+                vp = root / vp
+            if not vp.exists():
+                dropped.append(name)
+                del self._mapping[name]
+        if dropped:
+            self.save()
+        return dropped

@@ -1,0 +1,59 @@
+"""Distributed cosine top-k over a row-sharded frame index.
+
+The idiomatic TPU answer to the reference's "long axis" (the frame count N,
+SURVEY.md §5.7): shard the (N, D) index across the ``data`` mesh axis, run
+the GEMM + local top-k on every device's shard in parallel, then all-gather
+only the tiny (k) candidate lists and merge. Communication is O(Q·k·devices),
+independent of N.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.experimental.shard_map import shard_map
+
+from evr_tpu.ops.topk import merge_topk
+
+
+def sharded_cosine_topk(
+    mesh: Mesh,
+    index: jax.Array,  # [N_padded, D] — N_padded divisible by mesh 'data' size
+    queries: jax.Array,  # [Q, D]
+    start: jax.Array,  # scalar int32 — first valid global row
+    end: jax.Array,  # scalar int32 — one past last valid global row
+    k: int,
+    axis: str = "data",
+) -> tuple[jax.Array, jax.Array]:
+    """Exact global top-k over rows [start, end) of the sharded index."""
+    n_shards = mesh.shape[axis]
+    n_padded = index.shape[0]
+    rows_per_shard = n_padded // n_shards
+
+    def local_search(idx_shard, q, start_, end_):
+        # idx_shard: [rows_per_shard, D] — this device's rows.
+        shard_id = jax.lax.axis_index(axis)
+        row0 = shard_id * rows_per_shard
+        qn = q / jnp.linalg.norm(q, axis=-1, keepdims=True)
+        sims = jnp.dot(qn, idx_shard.T, preferred_element_type=jnp.float32)
+        local_rows = row0 + jnp.arange(rows_per_shard)
+        valid = (local_rows[None, :] >= start_) & (local_rows[None, :] < end_)
+        sims = jnp.where(valid, sims, -jnp.inf)
+        scores, local_idx = jax.lax.top_k(sims, k)  # [Q, k]
+        global_idx = local_idx + row0
+        # Gather every shard's candidates: [S, Q, k] on all devices.
+        all_scores = jax.lax.all_gather(scores, axis)
+        all_idx = jax.lax.all_gather(global_idx, axis)
+        return merge_topk(all_scores, all_idx, k)
+
+    fn = shard_map(
+        local_search,
+        mesh=mesh,
+        in_specs=(P(axis, None), P(), P(), P()),
+        out_specs=(P(), P()),
+        check_rep=False,
+    )
+    return fn(index, queries, start, end)

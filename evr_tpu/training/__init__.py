@@ -1,0 +1,16 @@
+from .finetune import TrainConfig, Trainer, TrainState, make_optimizer, make_train_step
+from .losses import combined_clip_loss
+from .partition import freeze_paths, param_group_labels
+from .data import CaptionDataset
+
+__all__ = [
+    "TrainConfig",
+    "Trainer",
+    "TrainState",
+    "make_optimizer",
+    "make_train_step",
+    "combined_clip_loss",
+    "freeze_paths",
+    "param_group_labels",
+    "CaptionDataset",
+]

@@ -1,0 +1,317 @@
+"""Data-parallel contrastive fine-tuning (pjit).
+
+Parity target: the production trainer `Backend/clip_finetune_correct.py`
+(T1 in SURVEY.md §2.3) — CLIP ViT-B/32 + 3-class head, freeze-prefix 8,
+symmetric InfoNCE (weight 1.0) + classification CE (weight 0.2), temperature
+0.07 via logit_scale, AdamW betas (0.9, 0.98) eps 1e-6 wd 0.01 with per-group
+LRs (text ×0.5, classifier ×5), CosineAnnealingLR to lr/10, global-norm grad
+clip 1.0, early stopping patience 5, best + final checkpoints.
+
+TPU-native design:
+
+- one jitted train step; the batch is sharded over the mesh 'data' axis and
+  params are replicated — XLA inserts the gradient reduction and the
+  feature gathers for the global-batch contrastive loss (the in-batch
+  InfoNCE is computed over the GLOBAL batch, which at equal global batch
+  size is bit-identical to single-device math — tests/test_training.py);
+- bf16 compute with fp32 params/optimizer state; no GradScaler needed
+  (the reference fights fp16 NaNs constantly, e.g. `training_CLIP_multimodal
+  .py:414-479` — bf16 makes that machinery unnecessary);
+- checkpoints via orbax with best/final distinction and full resume
+  (`clip_finetune_correct.py:216-224,518-545` equivalents).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+import pathlib
+import time
+from dataclasses import dataclass
+from typing import Any, Callable
+
+import numpy as np
+
+import chex
+import jax
+import jax.numpy as jnp
+import optax
+
+from evr_tpu.models import ClassifierConfig, classifier_forward
+from evr_tpu.models.clip import CLIPConfig, encode_image, encode_text
+from evr_tpu.ops.preprocess import CLIP_MEAN, CLIP_STD
+from .losses import combined_clip_loss
+from .partition import param_group_labels
+
+
+@dataclass
+class TrainConfig:
+    seed: int = 42
+    batch_size: int = 32
+    epochs: int = 10
+    lr: float = 1e-5
+    weight_decay: float = 0.01
+    betas: tuple[float, float] = (0.9, 0.98)
+    eps: float = 1e-6
+    grad_clip: float = 1.0
+    early_stopping: int = 5
+    freeze_layers: int = 8
+    contrastive_weight: float = 1.0
+    classification_weight: float = 0.2
+    label_smoothing: float = 0.0
+    text_lr_scale: float = 0.5
+    classifier_lr_scale: float = 5.0
+    eta_min_ratio: float = 0.1  # CosineAnnealingLR eta_min = lr * ratio
+    compute_dtype: str = "bfloat16"
+    save_dir: str = "checkpoints"
+
+
+@chex.dataclass
+class TrainState:
+    params: Any
+    opt_state: Any
+    step: jax.Array
+
+
+def _cosine_epoch_schedule(base_lr: float, cfg: TrainConfig, steps_per_epoch: int):
+    """torch CosineAnnealingLR(T_max=epochs, eta_min=lr*ratio) stepped per
+    epoch, expressed as a step-count schedule."""
+    eta_min = base_lr * cfg.eta_min_ratio
+
+    def schedule(step):
+        epoch = jnp.minimum(step // max(1, steps_per_epoch), cfg.epochs)
+        return eta_min + 0.5 * (base_lr - eta_min) * (
+            1.0 + jnp.cos(jnp.pi * epoch / cfg.epochs)
+        )
+
+    return schedule
+
+
+def make_optimizer(
+    cfg: TrainConfig, params: Any, steps_per_epoch: int = 1
+) -> optax.GradientTransformation:
+    labels = param_group_labels(params, cfg.freeze_layers)
+
+    def adamw(lr_scale: float):
+        return optax.adamw(
+            learning_rate=_cosine_epoch_schedule(cfg.lr * lr_scale, cfg, steps_per_epoch),
+            b1=cfg.betas[0],
+            b2=cfg.betas[1],
+            eps=cfg.eps,
+            weight_decay=cfg.weight_decay,
+        )
+
+    transforms = {
+        "visual": adamw(1.0),
+        "text": adamw(cfg.text_lr_scale),
+        "classifier": adamw(cfg.classifier_lr_scale),
+        "other": adamw(1.0),
+        "frozen": optax.set_to_zero(),
+    }
+    opt = optax.multi_transform(transforms, labels)
+    if cfg.grad_clip > 0:
+        opt = optax.chain(optax.clip_by_global_norm(cfg.grad_clip), opt)
+    return opt
+
+
+def make_train_step(
+    model_cfg: CLIPConfig,
+    cls_cfg: ClassifierConfig | None,
+    cfg: TrainConfig,
+    optimizer: optax.GradientTransformation,
+    mesh=None,
+    axis: str = "data",
+) -> Callable:
+    """Build the jitted train step.
+
+    Signature: ``step(state, batch, rng) -> (state, metrics)`` with
+    ``batch = {'images': uint8 [B,S,S,3], 'tokens': int32 [B,77],
+    'labels': int32 [B]}``. With ``mesh``, batch arrays are sharded over
+    ``axis`` and state is replicated (pure data parallelism; the global-batch
+    contrastive matmul is partitioned by XLA).
+    """
+    dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
+    mean = jnp.asarray(CLIP_MEAN, jnp.float32)
+    std = jnp.asarray(CLIP_STD, jnp.float32)
+
+    def loss_fn(params, batch, rng):
+        x = batch["images"].astype(jnp.float32) / 255.0
+        x = (x - mean) / std
+        img = encode_image(params["clip"], model_cfg, x, dtype=dtype)
+        txt = encode_text(params["clip"], model_cfg, batch["tokens"], dtype=dtype)
+        img_n = img / jnp.linalg.norm(img, axis=-1, keepdims=True)
+        txt_n = txt / jnp.linalg.norm(txt, axis=-1, keepdims=True)
+        cls_logits = None
+        if cls_cfg is not None and params.get("classifier") is not None:
+            cls_logits = classifier_forward(
+                params["classifier"], cls_cfg, img_n, deterministic=False, rng=rng
+            )
+        loss, metrics = combined_clip_loss(
+            img_n,
+            txt_n,
+            params["clip"]["logit_scale"],
+            class_logits=cls_logits,
+            class_labels=batch.get("labels"),
+            contrastive_weight=cfg.contrastive_weight,
+            classification_weight=cfg.classification_weight,
+            label_smoothing=cfg.label_smoothing,
+        )
+        return loss, metrics
+
+    def step(state: TrainState, batch, rng):
+        (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, batch, rng
+        )
+        updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        metrics["grad_norm"] = optax.global_norm(grads)
+        return (
+            TrainState(params=params, opt_state=opt_state, step=state.step + 1),
+            metrics,
+        )
+
+    def eval_step(state: TrainState, batch):
+        _, metrics = loss_fn(state.params, batch, jax.random.PRNGKey(0))
+        return metrics
+
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        repl = NamedSharding(mesh, P())
+        data = NamedSharding(mesh, P(axis))
+        batch_sh = {"images": data, "tokens": data, "labels": data}
+        step = jax.jit(
+            step,
+            in_shardings=(repl, batch_sh, repl),
+            out_shardings=(repl, repl),
+            donate_argnums=(0,),
+        )
+        eval_step = jax.jit(eval_step, in_shardings=(repl, batch_sh), out_shardings=repl)
+    else:
+        step = jax.jit(step, donate_argnums=(0,))
+        eval_step = jax.jit(eval_step)
+    return step, eval_step
+
+
+class Trainer:
+    """End-to-end fine-tune driver: epochs, validation, early stopping,
+    best/final checkpointing, resume."""
+
+    def __init__(
+        self,
+        model_cfg: CLIPConfig,
+        clip_params,
+        cfg: TrainConfig | None = None,
+        classifier_params=None,
+        cls_cfg: ClassifierConfig | None = None,
+        mesh=None,
+        steps_per_epoch: int = 1,
+        log_fn: Callable[[str], None] = print,
+    ):
+        self.model_cfg = model_cfg
+        self.cfg = cfg or TrainConfig()
+        self.cls_cfg = cls_cfg or (
+            ClassifierConfig(embed_dim=model_cfg.embed_dim)
+            if classifier_params is not None
+            else None
+        )
+        self.mesh = mesh
+        self.log = log_fn
+
+        params = {"clip": clip_params}
+        if classifier_params is not None:
+            params["classifier"] = classifier_params
+        params = jax.tree.map(jnp.asarray, params)
+        self.optimizer = make_optimizer(self.cfg, params, steps_per_epoch)
+        self.state = TrainState(
+            params=params,
+            opt_state=self.optimizer.init(params),
+            step=jnp.zeros((), jnp.int32),
+        )
+        self.train_step, self.eval_step = make_train_step(
+            model_cfg, self.cls_cfg, self.cfg, self.optimizer, mesh
+        )
+        self.history: list[dict] = []
+
+    # -- checkpointing ----------------------------------------------------
+    def _ckpt_dir(self, name: str) -> pathlib.Path:
+        return pathlib.Path(self.cfg.save_dir).absolute() / name
+
+    def save_checkpoint(self, name: str, epoch: int, metrics: dict) -> None:
+        import orbax.checkpoint as ocp
+
+        path = self._ckpt_dir(name)
+        ckptr = ocp.StandardCheckpointer()
+        path.parent.mkdir(parents=True, exist_ok=True)
+        payload = {
+            "params": jax.tree.map(np.asarray, self.state.params),
+            "step": int(self.state.step),
+            "epoch": epoch,
+            "metrics": {k: float(v) for k, v in metrics.items()},
+        }
+        if path.exists():
+            import shutil
+
+            shutil.rmtree(path)
+        ckptr.save(path, payload)
+        ckptr.wait_until_finished()
+
+    def restore_checkpoint(self, name: str) -> dict:
+        import orbax.checkpoint as ocp
+
+        ckptr = ocp.StandardCheckpointer()
+        payload = ckptr.restore(self._ckpt_dir(name))
+        params = jax.tree.map(jnp.asarray, payload["params"])
+        self.state = TrainState(
+            params=params,
+            opt_state=self.optimizer.init(params),
+            step=jnp.asarray(payload["step"], jnp.int32),
+        )
+        return payload
+
+    # -- loops ------------------------------------------------------------
+    def _run_epoch(self, batches, rng, train: bool = True) -> dict:
+        agg: dict[str, list[float]] = {}
+        n = 0
+        for batch in batches:
+            batch = {k: jnp.asarray(v) for k, v in batch.items()}
+            if train:
+                rng, sub = jax.random.split(rng)
+                self.state, metrics = self.train_step(self.state, batch, sub)
+            else:
+                metrics = self.eval_step(self.state, batch)
+            for k, v in metrics.items():
+                agg.setdefault(k, []).append(float(v))
+            n += 1
+        return {k: float(np.mean(v)) for k, v in agg.items()} | {"batches": n}
+
+    def fit(self, train_batches_fn, val_batches_fn=None) -> dict:
+        """``train_batches_fn(epoch) -> iterator of batches`` (and likewise
+        for validation). Returns the best metrics dict."""
+        rng = jax.random.PRNGKey(self.cfg.seed)
+        best_val = math.inf
+        best_epoch = -1
+        patience = 0
+        for epoch in range(self.cfg.epochs):
+            t0 = time.time()
+            rng, sub = jax.random.split(rng)
+            train_metrics = self._run_epoch(train_batches_fn(epoch), sub, train=True)
+            row = {"epoch": epoch, **{f"train_{k}": v for k, v in train_metrics.items()}}
+            if val_batches_fn is not None:
+                val_metrics = self._run_epoch(val_batches_fn(epoch), rng, train=False)
+                row |= {f"val_{k}": v for k, v in val_metrics.items()}
+                val_loss = val_metrics.get("total_loss", math.inf)
+                if val_loss < best_val:
+                    best_val, best_epoch, patience = val_loss, epoch, 0
+                    self.save_checkpoint("best_model", epoch, val_metrics)
+                else:
+                    patience += 1
+            row["seconds"] = time.time() - t0
+            self.history.append(row)
+            self.log(f"[epoch {epoch}] " + " ".join(f"{k}={v:.4g}" for k, v in row.items() if k != "epoch"))
+            if val_batches_fn is not None and patience >= self.cfg.early_stopping:
+                self.log(f"early stopping at epoch {epoch} (best epoch {best_epoch})")
+                break
+        final_metrics = self.history[-1] if self.history else {}
+        self.save_checkpoint("final_checkpoint", len(self.history) - 1, {})
+        return {"best_val_loss": best_val, "best_epoch": best_epoch, "history": self.history}

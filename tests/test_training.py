@@ -1,0 +1,149 @@
+"""Training stack: freeze semantics, loss parity single-vs-mesh, optimisation
+progress, checkpoint roundtrip."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from evr_tpu.models import ClassifierConfig, init_classifier_params
+from evr_tpu.models.clip import CLIPConfig, TextConfig, VisionConfig, init_clip_params
+from evr_tpu.parallel import get_mesh
+from evr_tpu.training import (
+    TrainConfig,
+    Trainer,
+    make_optimizer,
+    make_train_step,
+)
+from evr_tpu.training.partition import count_labels, param_group_labels
+
+
+def tiny_cfg():
+    return CLIPConfig(
+        embed_dim=32,
+        vision=VisionConfig(image_size=32, patch_size=8, width=64, layers=2, heads=4),
+        text=TextConfig(context_length=16, vocab_size=600, width=64, layers=2, heads=4),
+    )
+
+
+def tiny_batch(rng, n):
+    tokens = np.zeros((n, 16), np.int32)
+    for i in range(n):
+        ln = int(rng.integers(3, 10))
+        tokens[i, :ln] = rng.integers(1, 500, size=ln)
+        tokens[i, ln] = 599  # EOT = max id
+    return {
+        "images": (rng.random((n, 32, 32, 3)) * 255).astype(np.uint8),
+        "tokens": tokens,
+        "labels": rng.integers(0, 3, size=n).astype(np.int32),
+    }
+
+
+def _make_params(with_classifier=True):
+    cfg = tiny_cfg()
+    clip_params = init_clip_params(jax.random.PRNGKey(0), cfg)
+    cls = init_classifier_params(
+        jax.random.PRNGKey(1), ClassifierConfig(embed_dim=32, num_classes=3)
+    ) if with_classifier else None
+    return cfg, clip_params, cls
+
+
+def test_freeze_group_counts():
+    cfg, clip_params, cls = _make_params()
+    params = {"clip": clip_params, "classifier": cls}
+    labels = param_group_labels(params, freeze_layers=8)
+    counts = count_labels(labels)
+    # 8 frozen tensors per tower (reference freezes first 8 of each)
+    assert counts["frozen"] == 16
+    assert counts["classifier"] == 4  # fc1/fc2 kernel+bias
+    assert counts["visual"] > 0 and counts["text"] > 0 and counts["other"] > 0
+
+
+def test_frozen_params_do_not_move(rng):
+    cfg, clip_params, cls = _make_params()
+    params = {"clip": clip_params, "classifier": cls}
+    tc = TrainConfig(freeze_layers=8, batch_size=8, epochs=2)
+    opt = make_optimizer(tc, params)
+    step, _ = make_train_step(cfg, ClassifierConfig(embed_dim=32), tc, opt)
+
+    from evr_tpu.training.finetune import TrainState
+
+    state = TrainState(params=jax.tree.map(jnp.asarray, params), opt_state=opt.init(params), step=jnp.zeros((), jnp.int32))
+    before_frozen = np.asarray(state.params["clip"]["visual"]["class_embedding"])
+    before_live = np.asarray(state.params["clip"]["text"]["token_embedding"])
+    batch = {k: jnp.asarray(v) for k, v in tiny_batch(rng, 8).items()}
+    state, metrics = step(state, batch, jax.random.PRNGKey(0))
+    after_frozen = np.asarray(state.params["clip"]["visual"]["class_embedding"])
+    after_live = np.asarray(state.params["clip"]["text"]["token_embedding"])
+    np.testing.assert_array_equal(before_frozen, after_frozen)
+    assert np.abs(after_live - before_live).max() > 0
+    assert np.isfinite(metrics["total_loss"])
+
+
+def test_loss_decreases(rng):
+    cfg, clip_params, cls = _make_params()
+    params = {"clip": clip_params, "classifier": cls}
+    tc = TrainConfig(freeze_layers=0, lr=1e-3, batch_size=8, epochs=10, compute_dtype="float32")
+    opt = make_optimizer(tc, params)
+    step, _ = make_train_step(cfg, ClassifierConfig(embed_dim=32), tc, opt)
+    from evr_tpu.training.finetune import TrainState
+
+    state = TrainState(params=jax.tree.map(jnp.asarray, params), opt_state=opt.init(params), step=jnp.zeros((), jnp.int32))
+    batch = {k: jnp.asarray(v) for k, v in tiny_batch(rng, 8).items()}
+    losses = []
+    for i in range(8):
+        state, metrics = step(state, batch, jax.random.PRNGKey(i))
+        losses.append(float(metrics["total_loss"]))
+    assert losses[-1] < losses[0], losses
+
+
+def test_mesh_step_matches_single_device(rng):
+    """One dp step on the 8-device mesh must produce the same params as the
+    same global batch on one device (the global-batch InfoNCE guarantee)."""
+    cfg, clip_params, cls = _make_params()
+    params = {"clip": clip_params, "classifier": cls}
+    tc = TrainConfig(freeze_layers=0, lr=1e-4, batch_size=16, compute_dtype="float32")
+    batch_np = tiny_batch(rng, 16)
+
+    from evr_tpu.training.finetune import TrainState
+
+    results = []
+    for mesh in (None, get_mesh(len(jax.devices()))):
+        opt = make_optimizer(tc, params)
+        step, _ = make_train_step(cfg, ClassifierConfig(embed_dim=32), tc, opt, mesh=mesh)
+        # fresh device copies per run: the train step donates its input state
+        fresh = jax.tree.map(lambda a: jnp.asarray(np.array(a)), params)
+        state = TrainState(
+            params=fresh,
+            opt_state=opt.init(fresh),
+            step=jnp.zeros((), jnp.int32),
+        )
+        batch = {k: jnp.asarray(v) for k, v in batch_np.items()}
+        state, metrics = step(state, batch, jax.random.PRNGKey(0))
+        results.append((float(metrics["contrastive_loss"]),
+                        np.asarray(state.params["clip"]["text"]["token_embedding"])))
+
+    (l1, p1), (l2, p2) = results
+    np.testing.assert_allclose(l1, l2, rtol=1e-5)
+    np.testing.assert_allclose(p1, p2, rtol=1e-4, atol=1e-6)
+
+
+def test_trainer_fit_and_checkpoint(rng, tmp_path):
+    cfg, clip_params, cls = _make_params()
+    tc = TrainConfig(
+        freeze_layers=0, lr=1e-4, batch_size=8, epochs=2,
+        compute_dtype="float32", save_dir=str(tmp_path / "ckpt"),
+    )
+    trainer = Trainer(cfg, clip_params, tc, classifier_params=cls, log_fn=lambda s: None)
+    batches = [tiny_batch(rng, 8) for _ in range(2)]
+    result = trainer.fit(lambda e: iter(batches), lambda e: iter(batches[:1]))
+    assert len(result["history"]) == 2
+    assert (tmp_path / "ckpt" / "final_checkpoint").exists()
+
+    # roundtrip restore
+    before = np.asarray(trainer.state.params["clip"]["logit_scale"])
+    payload = trainer.restore_checkpoint("final_checkpoint")
+    after = np.asarray(trainer.state.params["clip"]["logit_scale"])
+    np.testing.assert_allclose(before, after)
+    assert "epoch" in payload
