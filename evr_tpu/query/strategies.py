@@ -1,0 +1,324 @@
+"""The 7 retrieval strategies.
+
+Behavioral parity with `Backend/query_strategies.py` (the versions the API
+routes actually dispatch — SURVEY.md §1 coupling notes):
+
+| method              | reference                                   |
+|---------------------|---------------------------------------------|
+| text_clip           | `query_by_text_clip` (:36-119)              |
+| text_adaptive       | `query_by_text_with_adaptive_threshold` (:121-186) |
+| keyword_only        | `query_by_keyword` (:188-251)               |
+| text_keyword        | `query_by_text_and_keyword` (:253-361)      |
+| object_only         | `query_by_object` (:363-464)                |
+| text_object         | `query_by_text_and_object` (:466-599)       |
+| text_object_keyword | `query_by_text_object_and_keyword` (:601-775) |
+
+Shared semantics preserved: query preprocessing hook, top_k×3 candidate
+over-fetch, per-strategy threshold rules (object_only caps its threshold at
+0.65), confidence fusion (max of the participating signals), detection_type
+tags, and descending-confidence sort.
+
+TPU-native difference: candidates come from ONE batched GEMM + top-k with
+scores attached (`FrameIndex.search`), and metadata probes are O(1) hash
+lookups (`MetadataStore`) — the reference's per-frame re-scoring and O(k·N)
+JSON scans are gone.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from evr_tpu.index.store import FrameIndex, SearchHit
+from .events import format_event_for_frontend
+from .metadata import MetadataStore
+from .text import QueryPreprocessor, identity_preprocessor
+
+OBJECT_ONLY_THRESHOLD_CAP = 0.65  # `query_strategies.py:443`
+CANDIDATE_OVERFETCH = 3  # `query_strategies.py:141` top_k*3
+
+
+class QueryEngine:
+    def __init__(
+        self,
+        embedding_engine,
+        index: FrameIndex,
+        metadata: MetadataStore,
+        preprocessor: QueryPreprocessor | None = None,
+    ):
+        self.engine = embedding_engine
+        self.index = index
+        self.metadata = metadata
+        self.preprocess = preprocessor or identity_preprocessor
+
+    # -- shared plumbing --------------------------------------------------
+    def _candidates(
+        self, processed_text: str, top_k: int, video_name: str | None
+    ) -> list[SearchHit]:
+        vec = self.engine.get_text_features(processed_text)
+        return self.index.search(vec, top_k * CANDIDATE_OVERFETCH, video_name)[0]
+
+    def _frame_for_hit(self, hit: SearchHit):
+        try:
+            frameidx = int(hit.frame_name.rsplit(".", 1)[0])
+        except ValueError:
+            return None
+        return self.metadata.frame_by_idx(hit.video, frameidx)
+
+    def _format_event(self, video: str, frame, extra: dict) -> dict:
+        data = dict(frame.raw)
+        data.update(extra)
+        return format_event_for_frontend(data, fps=self.metadata.fps(video))
+
+    # -- 1. text_clip -----------------------------------------------------
+    def query_text_clip(self, query: str, top_k: int, video_name: str | None = None):
+        processed = self.preprocess(query)
+        results = []
+        for hit in self._candidates(processed, top_k, video_name):
+            frame = self._frame_for_hit(hit)
+            if frame is None:
+                continue
+            event = self._format_event(hit.video, frame, {"clip_similarity": hit.score})
+            event["clip_similarity"] = hit.score
+            results.append(event)
+        results.sort(key=lambda e: e.get("clip_similarity", 0), reverse=True)
+        return results[:top_k]
+
+    # -- 2. text_adaptive -------------------------------------------------
+    def query_text_adaptive(
+        self,
+        query: str,
+        adaptive_threshold: float,
+        top_k: int,
+        video_name: str | None = None,
+    ):
+        processed = self.preprocess(query)
+        results = []
+        for hit in self._candidates(processed, top_k, video_name):
+            if hit.score < adaptive_threshold:
+                continue
+            frame = self._frame_for_hit(hit)
+            if frame is None:
+                continue
+            event = self._format_event(hit.video, frame, {"clip_similarity": hit.score})
+            event["clip_similarity"] = hit.score
+            results.append(event)
+        results.sort(key=lambda e: e.get("clip_similarity", 0), reverse=True)
+        return results[:top_k]
+
+    # -- 3. keyword_only --------------------------------------------------
+    def query_keyword(
+        self,
+        keyword: str,
+        adaptive_threshold: float,
+        top_k: int,
+        video_name: str | None = None,
+    ):
+        videos = [video_name] if video_name else self.metadata.videos()
+        results = []
+        for video in videos:
+            for frame in self.metadata.frames(video):
+                conf = self.metadata.keyword_best_match(frame, keyword)
+                if conf > 0.0 and conf >= adaptive_threshold:
+                    event = self._format_event(
+                        video, frame, {"text_confidence": conf, "clip_similarity": 0.0}
+                    )
+                    results.append(event)
+        results.sort(key=lambda e: e.get("confidence", 0), reverse=True)
+        return results[:top_k]
+
+    # -- 4. text_keyword --------------------------------------------------
+    def query_text_keyword(
+        self,
+        query: str,
+        adaptive_threshold: float,
+        top_k: int,
+        keyword: str | None = None,
+        text_confidence: float | None = None,
+        video_name: str | None = None,
+    ):
+        keyword_to_use = keyword if keyword else query
+        keyword_threshold = (
+            text_confidence if text_confidence is not None else adaptive_threshold
+        )
+        processed = self.preprocess(query)
+        results = []
+        for hit in self._candidates(processed, top_k, video_name):
+            if hit.score < adaptive_threshold:
+                continue
+            frame = self._frame_for_hit(hit)
+            if frame is None:
+                continue
+            text_conf = self.metadata.keyword_best_match(frame, keyword_to_use)
+            if text_conf <= 0.0 or text_conf < keyword_threshold:
+                continue
+            event = self._format_event(
+                hit.video,
+                frame,
+                {
+                    "clip_similarity": hit.score,
+                    "text_confidence": text_conf,
+                    "object_confidence": 0.0,
+                },
+            )
+            event["confidence"] = max(hit.score, text_conf)
+            event["clip_similarity"] = hit.score
+            event["text_confidence"] = text_conf
+            event["detection_type"] = "text+clip"
+            results.append(event)
+        results.sort(key=lambda e: e["confidence"], reverse=True)
+        return results[:top_k]
+
+    # -- 5. object_only ---------------------------------------------------
+    def query_object(
+        self,
+        query: str,
+        adaptive_threshold: float,
+        top_k: int,
+        video_name: str | None = None,
+    ):
+        actual_threshold = min(adaptive_threshold, OBJECT_ONLY_THRESHOLD_CAP)
+        videos = [video_name] if video_name else self.metadata.videos()
+        results = []
+        for video in videos:
+            for frame in self.metadata.frames(video):
+                found, conf, label = self.metadata.object_best_match(
+                    frame, query, include_ocr=True
+                )
+                if found and conf >= actual_threshold:
+                    event = self._format_event(
+                        video,
+                        frame,
+                        {
+                            "object_confidence": conf,
+                            "detection_type": "object",
+                            "object_label": label,
+                        },
+                    )
+                    results.append(event)
+        results.sort(key=lambda e: e["confidence"], reverse=True)
+        return results[:top_k]
+
+    # -- 6. text_object ---------------------------------------------------
+    def query_text_object(
+        self,
+        query: str,
+        adaptive_threshold: float,
+        top_k: int,
+        object_keyword: str | None = None,
+        object_confidence: float | None = None,
+        video_name: str | None = None,
+    ):
+        object_to_use = object_keyword if object_keyword else query
+        obj_threshold = (
+            object_confidence if object_confidence is not None else adaptive_threshold
+        )
+        processed = self.preprocess(query)
+        results = []
+        for hit in self._candidates(processed, top_k, video_name):
+            if hit.score < adaptive_threshold:
+                continue
+            frame = self._frame_for_hit(hit)
+            if frame is None:
+                continue
+            # reference `query_by_text_and_object` checks sources 1-3 only
+            found, obj_conf, label = self.metadata.object_best_match(
+                frame, object_to_use, include_ocr=False
+            )
+            if not found or obj_conf < obj_threshold:
+                continue
+            event = self._format_event(
+                hit.video,
+                frame,
+                {
+                    "clip_similarity": hit.score,
+                    "object_confidence": obj_conf,
+                    "text_confidence": 0.0,
+                    "object_label": label,
+                },
+            )
+            event["confidence"] = max(hit.score, obj_conf)
+            event["clip_similarity"] = hit.score
+            event["object_confidence"] = obj_conf
+            event["detection_type"] = "object+clip"
+            results.append(event)
+        results.sort(key=lambda e: e["confidence"], reverse=True)
+        return results[:top_k]
+
+    # -- 7. text_object_keyword -------------------------------------------
+    def query_text_object_keyword(
+        self,
+        query: str,
+        adaptive_threshold: float,
+        top_k: int,
+        keyword: str | None = None,
+        text_confidence: float | None = None,
+        object_keyword: str | None = None,
+        object_confidence: float | None = None,
+        video_name: str | None = None,
+    ):
+        keyword_to_use = keyword if keyword else query
+        object_to_use = object_keyword if object_keyword else query
+        keyword_threshold = (
+            text_confidence if text_confidence is not None else adaptive_threshold
+        )
+        obj_threshold = (
+            object_confidence if object_confidence is not None else adaptive_threshold
+        )
+        processed = self.preprocess(query)
+        results = []
+        for hit in self._candidates(processed, top_k, video_name):
+            if hit.score < adaptive_threshold:
+                continue
+            frame = self._frame_for_hit(hit)
+            if frame is None:
+                continue
+            text_conf = self.metadata.keyword_best_match(frame, keyword_to_use)
+            if text_conf <= 0.0 or text_conf < keyword_threshold:
+                continue
+            # triple strategy checks all 4 object sources incl. OCR×0.7
+            found, obj_conf, label = self.metadata.object_best_match(
+                frame, object_to_use, include_ocr=True
+            )
+            if not found or obj_conf < obj_threshold:
+                continue
+            event = self._format_event(
+                hit.video,
+                frame,
+                {
+                    "clip_similarity": hit.score,
+                    "text_confidence": text_conf,
+                    "object_confidence": obj_conf,
+                    "object_label": label,
+                },
+            )
+            event["confidence"] = max(hit.score, text_conf, obj_conf)
+            event["clip_similarity"] = hit.score
+            event["text_confidence"] = text_conf
+            event["object_confidence"] = obj_conf
+            event["detection_type"] = "text+object+clip"
+            results.append(event)
+        results.sort(key=lambda e: e["confidence"], reverse=True)
+        return results[:top_k]
+
+    # -- dispatch ---------------------------------------------------------
+    def search(self, method: str, **kwargs):
+        try:
+            fn = SEARCH_METHOD_DISPATCH[method]
+        except KeyError:
+            raise ValueError(
+                f"unknown search_method {method!r}; expected one of {sorted(SEARCH_METHOD_DISPATCH)}"
+            ) from None
+        return fn(self, **kwargs)
+
+
+SEARCH_METHOD_DISPATCH: dict[str, Callable] = {
+    "text_clip": QueryEngine.query_text_clip,
+    "text_adaptive": QueryEngine.query_text_adaptive,
+    "keyword_only": QueryEngine.query_keyword,
+    "text_keyword": QueryEngine.query_text_keyword,
+    "object_only": QueryEngine.query_object,
+    "text_object": QueryEngine.query_text_object,
+    "text_object_keyword": QueryEngine.query_text_object_keyword,
+}
+
+SEARCH_METHODS = tuple(SEARCH_METHOD_DISPATCH)

@@ -1,0 +1,73 @@
+"""Query text utilities: accent folding + pluggable preprocessing.
+
+Reference counterparts: ``unidecode`` accent-stripping used throughout
+keyword/object matching (`Backend/services/search_service.py:25-58`,
+`query_strategies.py` passim) and ``VietnameseTextProcessor``
+(`Backend/word_processing.py`: lowercase → ViTokenizer stopword removal →
+normalization → langdetect → GoogleTranslator vi→en).
+
+TPU-native stance: translation is a NETWORK CALL the reference performs on
+the hot query path (`word_processing.py:22-27`) — here preprocessing is a
+pluggable hook that defaults to a pure-local pipeline, with the translator
+injected only when explicitly configured (and it is then cached).
+"""
+
+from __future__ import annotations
+
+import unicodedata
+from typing import Callable, Protocol
+
+_SPECIAL = str.maketrans({"đ": "d", "Đ": "D", "ø": "o", "Ø": "O", "ł": "l", "Ł": "L"})
+
+
+def fold_accents(text: str) -> str:
+    """ASCII-fold accents (Vietnamese-complete): NFD-strip combining marks
+    plus the non-decomposing letters (đ → d). Replaces ``unidecode`` for the
+    accent-insensitive substring matching the reference does."""
+    text = text.translate(_SPECIAL)
+    decomposed = unicodedata.normalize("NFD", text)
+    return "".join(c for c in decomposed if not unicodedata.combining(c))
+
+
+class QueryPreprocessor(Protocol):
+    def __call__(self, query: str) -> str: ...
+
+
+def identity_preprocessor(query: str) -> str:
+    return query
+
+
+class VietnamesePreprocessor:
+    """Local-first equivalent of `word_processing.py:68-75`.
+
+    Pipeline: lowercase → optional stopword removal → optional translate
+    hook. The translator (if provided) receives the cleaned text and returns
+    English; results are cached so repeated queries never re-trigger it.
+    """
+
+    def __init__(
+        self,
+        stopwords: set[str] | None = None,
+        translator: Callable[[str], str] | None = None,
+    ):
+        self.stopwords = {s.lower() for s in (stopwords or set())}
+        self.translator = translator
+        self._cache: dict[str, str] = {}
+
+    def remove_stopwords(self, text: str) -> str:
+        if not self.stopwords:
+            return text
+        return " ".join(w for w in text.split() if w.lower() not in self.stopwords)
+
+    def __call__(self, query: str) -> str:
+        if query in self._cache:
+            return self._cache[query]
+        text = " ".join(query.lower().split())
+        text = self.remove_stopwords(text)
+        if self.translator is not None:
+            try:
+                text = self.translator(text)
+            except Exception:
+                pass  # degrade to untranslated text, as the reference does
+        self._cache[query] = text
+        return text
