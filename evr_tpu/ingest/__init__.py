@@ -1,0 +1,17 @@
+from .scene import detect_scenes, ContentDetectorConfig
+from .frames import extract_scene_frames, extract_uniform_frames
+from .annotate import build_frame_record, Annotator, NullAnnotator, annotate_folder
+from .pipeline import ingest_video, IngestResult
+
+__all__ = [
+    "detect_scenes",
+    "ContentDetectorConfig",
+    "extract_scene_frames",
+    "extract_uniform_frames",
+    "build_frame_record",
+    "Annotator",
+    "NullAnnotator",
+    "annotate_folder",
+    "ingest_video",
+    "IngestResult",
+]
