@@ -75,6 +75,9 @@ class DataRootConfig:
 
     root: pathlib.Path = field(default_factory=lambda: pathlib.Path("data"))
 
+    def __post_init__(self):
+        self.root = pathlib.Path(self.root)
+
     @property
     def metadata_dir(self) -> pathlib.Path:
         return self.root / "metadata"

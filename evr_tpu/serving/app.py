@@ -1,0 +1,400 @@
+"""HTTP API — the reference's 12 routes on a werkzeug WSGI app.
+
+Route/response parity with `Backend/app.py` (line refs per route below);
+differences are deliberate: no debug-mode threaded Flask dev server, CORS
+headers on every response, structured JSON errors, and no network calls on
+the query path.
+
+Run: ``python -m evr_tpu.serving --data-root data --port 5000``.
+"""
+
+from __future__ import annotations
+
+import json
+import pathlib
+import time
+
+from werkzeug.exceptions import HTTPException, NotFound
+from werkzeug.routing import RequestRedirect
+from werkzeug.routing import Map, Rule
+from werkzeug.utils import secure_filename
+from werkzeug.wrappers import Request, Response
+
+from .context import ServingContext
+
+
+def _json(payload, status: int = 200) -> Response:
+    resp = Response(
+        json.dumps(payload, ensure_ascii=False), status=status, mimetype="application/json"
+    )
+    resp.headers["Access-Control-Allow-Origin"] = "*"
+    resp.headers["Access-Control-Allow-Headers"] = "Content-Type"
+    resp.headers["Access-Control-Allow-Methods"] = "GET, POST, OPTIONS"
+    return resp
+
+
+def _file(path, mimetype: str) -> Response:
+    data = pathlib.Path(path).read_bytes()
+    resp = Response(data, mimetype=mimetype)
+    resp.headers["Access-Control-Allow-Origin"] = "*"
+    return resp
+
+
+def create_app(ctx: ServingContext):
+    url_map = Map(
+        [
+            Rule("/api/videos", endpoint="videos", methods=["GET"]),
+            Rule(
+                "/api/video/<video_id>/events", endpoint="video_events", methods=["GET"]
+            ),
+            Rule("/api/search", endpoint="search", methods=["POST"]),
+            Rule("/api/upload-video", endpoint="upload", methods=["POST"]),
+            Rule("/api/frame/<path:frame_path>", endpoint="frame", methods=["GET"]),
+            Rule("/api/video/<path:video_path>", endpoint="video_file", methods=["GET"]),
+            Rule("/api/transcribe-voice", endpoint="transcribe", methods=["POST"]),
+            Rule("/api/visualization/umap", endpoint="umap", methods=["POST"]),
+            Rule("/api/videos/available", endpoint="available", methods=["GET"]),
+            Rule("/health", endpoint="health", methods=["GET"]),
+            Rule("/api/models", endpoint="models", methods=["GET"]),
+            Rule("/api/models/active", endpoint="active_model", methods=["GET", "POST"]),
+        ]
+    )
+
+    # -- endpoints --------------------------------------------------------
+
+    def ep_health(request):  # app.py:909-912
+        return _json({"status": "ok"})
+
+    def ep_videos(request):  # app.py:221-303
+        dropped = ctx.registry.prune_missing(ctx.data_root.root)
+        for name in dropped:
+            ctx.index.remove_video(name)
+        videos = []
+        for idx, name in enumerate(ctx.video_names(), 1):
+            summary = ctx.video_summary(idx, name)
+            if summary is not None:
+                videos.append(summary)
+        return _json(videos)
+
+    def ep_video_events(request, video_id):  # app.py:305-379
+        name = ctx.video_name_from_id(video_id)
+        if name is None:
+            return _json({"error": f"Video with ID {video_id} not found"}, 404)
+        from evr_tpu.query.events import format_event_for_frontend
+
+        fps = ctx.metadata.fps(name)
+        events = [
+            format_event_for_frontend(fr.raw, fps=fps)
+            for fr in ctx.metadata.frames(name)
+        ]
+        if len(events) > 20:  # reference subsampling to ≤20 markers
+            step = len(events) // 20
+            events = [events[i] for i in range(0, len(events), step)][:20]
+        return _json(events)
+
+    def ep_search(request):  # app.py:381-613
+        start_time = time.time()
+        data = request.get_json(silent=True) or {}
+        search_type = data.get("search_type", "text")
+        query = data.get("query", "")
+        image_url = data.get("image_url")
+        top_k = int(data.get("top_k", 10))
+        adaptive_threshold = float(data.get("adaptive_threshold", 0.5))
+        text_confidence = float(data.get("text_confidence", adaptive_threshold))
+        object_confidence = float(data.get("object_confidence", adaptive_threshold))
+        search_method = data.get("search_method", "text")
+        keyword = data.get("keyword", "")
+        object_keyword = data.get("object", "")
+        enable_clip_similarity = data.get("enableClipSimilarity", False)
+
+        model_name = data.get("model", "original")
+        if model_name != ctx.engine.active_model:
+            ctx.engine.set_active_model(model_name)
+
+        video_name = ctx.video_name_from_id(data.get("videoId") or "")
+
+        qe = ctx.query_engine
+        results: list[dict] = []
+        if search_type == "image" and image_url:
+            try:
+                results = ctx.search_by_image(
+                    image_url, adaptive_threshold, top_k, video_name
+                )
+            except ValueError as e:
+                return _json({"error": str(e)}, 400)
+        elif search_type == "text" and query:
+            if search_method == "text_clip":
+                results = qe.query_text_clip(query, top_k, video_name)
+            elif search_method == "keyword_only":
+                actual = keyword if keyword else query
+                results = qe.query_keyword(actual, text_confidence, top_k, video_name)
+            elif search_method == "text_keyword":
+                results = qe.query_text_keyword(
+                    query,
+                    adaptive_threshold,
+                    top_k,
+                    keyword=keyword if keyword else query,
+                    text_confidence=text_confidence,
+                    video_name=video_name,
+                )
+            elif search_method == "object_only":
+                actual = object_keyword if object_keyword else query
+                results = qe.query_object(actual, object_confidence, top_k, video_name)
+            elif search_method == "text_object":
+                results = qe.query_text_object(
+                    query,
+                    adaptive_threshold,
+                    top_k,
+                    object_keyword=object_keyword if object_keyword else query,
+                    object_confidence=object_confidence,
+                    video_name=video_name,
+                )
+            elif search_method == "text_object_keyword":
+                results = qe.query_text_object_keyword(
+                    query,
+                    adaptive_threshold,
+                    top_k,
+                    keyword=keyword if keyword else query,
+                    text_confidence=text_confidence,
+                    object_keyword=object_keyword if object_keyword else query,
+                    object_confidence=object_confidence,
+                    video_name=video_name,
+                )
+            else:  # "text_adaptive" and the fallback default
+                results = qe.query_text_adaptive(
+                    query, adaptive_threshold, top_k, video_name
+                )
+
+        for r in results:  # field guarantee pass (app.py:556-563)
+            r.setdefault("text_confidence", 0.0)
+            r.setdefault("object_confidence", 0.0)
+            r.setdefault("clip_similarity", 0.0)
+
+        if video_name:  # post-filter (app.py:566-588)
+            results = [
+                r
+                for r in results
+                if video_name in (r.get("videoId") or "")
+                or (r.get("videoId") or "").endswith(video_name)
+            ]
+
+        if (
+            search_type == "image"
+            or search_method in ("text_clip", "text_adaptive")
+            or enable_clip_similarity
+        ):
+            results.sort(key=lambda x: x.get("clip_similarity", 0), reverse=True)
+        else:
+            results.sort(key=lambda x: x.get("confidence", 0), reverse=True)
+
+        _ = time.time() - start_time
+        return _json({"events": results[:top_k]})
+
+    def ep_upload(request):  # app.py:615-691
+        video_file = request.files.get("video")
+        if not video_file:
+            return _json({"error": "No video uploaded"}, 400)
+        filename = secure_filename(video_file.filename or "upload.mp4")
+        video_name = pathlib.Path(filename).stem
+        save_dir = ctx.data_root.video_dir / video_name
+        save_dir.mkdir(parents=True, exist_ok=True)
+        save_path = save_dir / filename
+        video_file.save(str(save_path))
+
+        model_name = request.form.get("model", "original")
+        if model_name != ctx.engine.active_model:
+            ctx.engine.set_active_model(model_name)
+        result = ctx.ingest(save_path, video_name)
+        info = ctx.video_file_info(str(save_path))
+        return _json(
+            {
+                "status": "success",
+                "message": "Video processed successfully",
+                "video": {
+                    "id": f"video-{int(time.time())}",
+                    "title": video_name,
+                    "path": str(save_path),
+                    "uploadDate": time.strftime("%Y-%m-%d"),
+                    "size": f"{save_path.stat().st_size // (1024 * 1024)} MB",
+                    "resolution": info["resolution"],
+                    "duration": info["duration"],
+                    "embedding_model": model_name,
+                    "frames": result.n_frames,
+                },
+            }
+        )
+
+    def _safe_under_data_root(candidate: pathlib.Path) -> bool:
+        """Only serve files that live under the data root — the reference
+        serves ANY existing path (`app.py:698-700`), a path-traversal hole
+        this rebuild deliberately closes."""
+        try:
+            resolved = candidate.resolve()
+        except OSError:
+            return False
+        root = ctx.data_root.root.resolve()
+        return resolved.is_file() and resolved.is_relative_to(root)
+
+    def ep_frame(request, frame_path):  # app.py:693-734
+        candidate = pathlib.Path(frame_path)
+        if _safe_under_data_root(candidate):
+            return _file(candidate.resolve(), "image/jpeg")
+        frame_name = pathlib.PurePosixPath(frame_path).name
+        for name in ctx.video_names():
+            entry = ctx.registry.get(name) or {}
+            frames_dir = entry.get("frames_dir")
+            if frames_dir:
+                p = (pathlib.Path(frames_dir) / frame_name).resolve()
+                if p.is_file() and p.parent == pathlib.Path(frames_dir).resolve():
+                    return _file(p, "image/jpeg")
+        return _json({"error": f"Frame {frame_path} not found"}, 404)
+
+    def ep_video_file(request, video_path):  # app.py:736-764
+        candidate = pathlib.Path(video_path)
+        if _safe_under_data_root(candidate):
+            return _file(candidate.resolve(), "video/mp4")
+        base = pathlib.PurePosixPath(video_path).name
+        for name in ctx.video_names():
+            entry = ctx.registry.get(name) or {}
+            vp = entry.get("video_path", "")
+            if name == base or pathlib.Path(vp).name == base:
+                if vp and pathlib.Path(vp).exists():
+                    return _file(vp, "video/mp4")
+        return _json({"error": f"Video {video_path} not found"}, 404)
+
+    def ep_transcribe(request):  # app.py:766-850
+        if "audio" not in request.files:
+            return _json({"error": "No audio file provided"}, 400)
+        audio = request.files["audio"]
+        if not audio.filename:
+            return _json({"error": "No audio file selected"}, 400)
+        if ctx.transcriber is None:
+            return _json(
+                {"error": "no transcription backend configured on this deployment"},
+                501,
+            )
+        language = request.form.get("language", "en_us")
+        tmp_name = secure_filename(f"voice_{int(time.time())}.audio")
+        tmp_path = ctx.data_root.root / "voice" / tmp_name
+        tmp_path.parent.mkdir(parents=True, exist_ok=True)
+        audio.save(str(tmp_path))
+        try:
+            text = ctx.transcriber(str(tmp_path), language)
+        except Exception as e:
+            return _json({"error": f"Transcription failed: {e}"}, 500)
+        return _json({"text": text, "audio_file": tmp_name})
+
+    def ep_umap(request):  # app.py:852-883
+        from evr_tpu.viz import generate_visualization
+
+        data = request.get_json(silent=True) or {}
+        video_names = data.get("video_names")
+        n_neighbors = int(data.get("n_neighbors", 15))
+        min_dist = float(data.get("min_dist", 0.1))
+        metric = data.get("metric", "cosine")
+        method = data.get("method", "auto")
+        key = (
+            "-".join(sorted(video_names)) if video_names else "all",
+            n_neighbors,
+            min_dist,
+            metric,
+            method,
+        )
+        cached = ctx.viz_cache.get(key)
+        if cached is not None:
+            return _json(cached)
+        result = generate_visualization(
+            ctx.index,
+            ctx.metadata,
+            video_names,
+            method=method,
+            n_neighbors=n_neighbors,
+            min_dist=min_dist,
+            metric=metric,
+        )
+        if result is None:
+            return _json({"error": "No embeddings found for visualization"}, 404)
+        ctx.viz_cache.set(key, result)
+        return _json(result)
+
+    def ep_available(request):  # app.py:885-907
+        available = []
+        for name in ctx.video_names():
+            entry = ctx.registry.get(name) or {}
+            emb = entry.get("embeddings_file")
+            if not name.startswith("default") and emb and pathlib.Path(emb).exists():
+                available.append(
+                    {
+                        "name": name,
+                        "embeddings_file": emb,
+                        "video_path": entry.get("video_path", ""),
+                    }
+                )
+        return _json({"available_videos": available, "count": len(available)})
+
+    def ep_models(request):  # app.py:914-937
+        models = [
+            {
+                "id": "original",
+                "name": f"CLIP Original ({ctx.engine.model_name})",
+                "description": "Base CLIP model",
+            }
+        ]
+        for name in ctx.engine.available_models():
+            if name != "original":
+                models.append(
+                    {
+                        "id": name,
+                        "name": f"CLIP Fine-tuned ({name})",
+                        "description": "Fine-tuned CLIP checkpoint",
+                    }
+                )
+        return _json(models)
+
+    def ep_active_model(request):  # app.py:939-966
+        if request.method == "GET":
+            return _json({"active_model": ctx.engine.active_model})
+        data = request.get_json(silent=True) or {}
+        model_name = data.get("model")
+        if not model_name:
+            return _json({"error": "Model name is required"}, 400)
+        if ctx.engine.set_active_model(model_name):
+            return _json({"success": True, "active_model": ctx.engine.active_model})
+        return _json(
+            {"success": False, "error": f"Failed to set model to {model_name}"}, 400
+        )
+
+    endpoints = {
+        "health": ep_health,
+        "videos": ep_videos,
+        "video_events": ep_video_events,
+        "search": ep_search,
+        "upload": ep_upload,
+        "frame": ep_frame,
+        "video_file": ep_video_file,
+        "transcribe": ep_transcribe,
+        "umap": ep_umap,
+        "available": ep_available,
+        "models": ep_models,
+        "active_model": ep_active_model,
+    }
+
+    @Request.application
+    def app(request):
+        if request.method == "OPTIONS":
+            return _json({})
+        adapter = url_map.bind_to_environ(request.environ)
+        try:
+            endpoint, values = adapter.match()
+            return endpoints[endpoint](request, **values)
+        except RequestRedirect as e:  # e.g. slash-merge normalisation
+            return e.get_response(request.environ)
+        except NotFound:
+            return _json({"error": "not found"}, 404)
+        except HTTPException as e:
+            return _json({"error": e.description}, e.code or 500)
+        except Exception as e:  # blanket 500 with structured body
+            return _json({"error": str(e)}, 500)
+
+    app.ctx = ctx
+    return app

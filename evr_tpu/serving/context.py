@@ -1,0 +1,220 @@
+"""ServingContext — the wired service graph behind the HTTP API.
+
+Reference counterpart: ``initialize_services`` (`Backend/services/__init__.
+py:11-64`) plus the module-level globals in `app.py`. One object owns the
+data root, the embedding engine, the device index, the metadata store, the
+registry and the caches; ``boot()`` restores all durable state from disk
+(the .npy/JSON index layout + video_mapping.json is the serving tier's
+checkpoint format, SURVEY.md §5.4).
+"""
+
+from __future__ import annotations
+
+import base64
+import io
+import pathlib
+import time
+
+import numpy as np
+
+from evr_tpu.config import DataRootConfig
+from evr_tpu.index import EmbeddingEngine, FrameIndex, VideoRegistry
+from evr_tpu.ingest.pipeline import ingest_video, video_fps
+from evr_tpu.query import MetadataStore, QueryEngine
+from .cache import TTLCache
+
+
+class ServingContext:
+    def __init__(
+        self,
+        data_root: DataRootConfig | str = "data",
+        engine: EmbeddingEngine | None = None,
+        mesh=None,
+        transcriber=None,
+        scene_threshold: float = 30.0,
+    ):
+        self.data_root = (
+            data_root
+            if isinstance(data_root, DataRootConfig)
+            else DataRootConfig(pathlib.Path(data_root))
+        )
+        self.engine = engine or EmbeddingEngine()
+        self.index = FrameIndex(embed_dim=self.engine.cfg.embed_dim, mesh=mesh)
+        self.metadata = MetadataStore()
+        self.registry = VideoRegistry(self.data_root.mapping_path)
+        self.query_engine = QueryEngine(self.engine, self.index, self.metadata)
+        self.search_cache = TTLCache(default_ttl=3600.0)
+        self.viz_cache = TTLCache(default_ttl=24 * 3600.0)
+        self.transcriber = transcriber
+        self.scene_threshold = scene_threshold
+
+    # -- boot / durable state ---------------------------------------------
+    def boot(self) -> list[str]:
+        """Load every registered video's embeddings + metadata from disk;
+        prune registry entries whose video file disappeared (`app.py:230-268`
+        self-heal). Returns the video names loaded."""
+        import json
+
+        self.registry.prune_missing(self.data_root.root)
+        loaded = []
+        for name in self.registry.names():
+            entry = self.registry.get(name)
+            emb_path = pathlib.Path(entry.get("embeddings_file", ""))
+            meta_path = pathlib.Path(entry.get("metadata_file", ""))
+            if not emb_path.exists():
+                continue
+            emb = np.load(emb_path)
+            records = (
+                json.loads(meta_path.read_text(encoding="utf-8"))
+                if meta_path.exists()
+                else []
+            )
+            frame_names = [r.get("frameid", f"{i}.jpg") for i, r in enumerate(records)]
+            if len(frame_names) != len(emb):
+                frame_names = None
+            self.index.add_video(name, emb, frame_names)
+            fps = 25.0
+            video_path = entry.get("video_path", "")
+            if video_path and pathlib.Path(video_path).exists():
+                fps = video_fps(video_path)
+            self.metadata.add_video(name, records, fps=fps)
+            loaded.append(name)
+        return loaded
+
+    # -- video identity ---------------------------------------------------
+    def video_names(self) -> list[str]:
+        return self.registry.names()
+
+    def video_name_from_id(self, video_id: str) -> str | None:
+        """'video-N' (1-based registry order) → video name (`app.py:415-420`)."""
+        if not video_id or not video_id.startswith("video-"):
+            return None
+        try:
+            num = int(video_id.split("-")[1])
+        except (IndexError, ValueError):
+            return None
+        names = self.video_names()
+        if 1 <= num <= len(names):
+            return names[num - 1]
+        return None
+
+    # -- video file info --------------------------------------------------
+    @staticmethod
+    def video_file_info(video_path: str) -> dict:
+        import cv2
+
+        info = {"duration": 0.0, "resolution": "unknown"}
+        cap = cv2.VideoCapture(video_path)
+        try:
+            if cap.isOpened():
+                fps = cap.get(cv2.CAP_PROP_FPS) or 0
+                frames = cap.get(cv2.CAP_PROP_FRAME_COUNT) or 0
+                if fps > 0:
+                    info["duration"] = frames / fps
+                w = int(cap.get(cv2.CAP_PROP_FRAME_WIDTH))
+                h = int(cap.get(cv2.CAP_PROP_FRAME_HEIGHT))
+                if w and h:
+                    info["resolution"] = f"{w}x{h}"
+        finally:
+            cap.release()
+        return info
+
+    def video_summary(self, idx: int, name: str) -> dict | None:
+        entry = self.registry.get(name) or {}
+        video_path = entry.get("video_path", "")
+        if not video_path or not pathlib.Path(video_path).exists():
+            return None
+        p = pathlib.Path(video_path)
+        frames_dir = entry.get("frames_dir")
+        thumbnail = None
+        if frames_dir and pathlib.Path(frames_dir).exists():
+            frames = sorted(pathlib.Path(frames_dir).iterdir())
+            if frames:
+                thumbnail = str(frames[0])
+        info = self.video_file_info(video_path)
+        return {
+            "id": f"video-{idx}",
+            "title": name,
+            "thumbnail": thumbnail,
+            "duration": info["duration"],
+            "uploadDate": time.strftime("%Y-%m-%d", time.gmtime(p.stat().st_ctime)),
+            "size": f"{p.stat().st_size // (1024 * 1024)} MB",
+            "resolution": info["resolution"],
+            "path": str(video_path),
+        }
+
+    # -- ingestion --------------------------------------------------------
+    def ingest(self, video_path, video_name=None, annotator=None):
+        result = ingest_video(
+            video_path,
+            self.data_root,
+            self.engine,
+            index=self.index,
+            registry=self.registry,
+            metadata_store=self.metadata,
+            annotator=annotator,
+            scene_threshold=self.scene_threshold,
+            video_name=video_name,
+        )
+        self.search_cache.invalidate()
+        self.viz_cache.invalidate()
+        return result
+
+    # -- image search (`search_service.py:611-706`) -----------------------
+    def load_image_source(self, source: str):
+        """Resolve an image search source: data-URL / base64 / local path.
+        (The reference also fetches http URLs — a deliberate scope cut in
+        zero-egress deployments; callers get a clear error.)"""
+        from PIL import Image
+
+        if source.startswith("data:"):
+            payload = source.split(",", 1)[1]
+            return Image.open(io.BytesIO(base64.b64decode(payload))).convert("RGB")
+        if source.startswith(("http://", "https://")):
+            raise ValueError(
+                "remote image URLs are not fetched in this deployment; "
+                "send base64 or a local path"
+            )
+        path = pathlib.Path(source)
+        if path.exists():
+            return Image.open(path).convert("RGB")
+        try:
+            return Image.open(io.BytesIO(base64.b64decode(source))).convert("RGB")
+        except Exception:
+            raise ValueError(f"cannot resolve image source: {source[:64]}")
+
+    def search_by_image(
+        self, source: str, threshold: float, top_k: int, video_name: str | None = None
+    ) -> list[dict]:
+        from evr_tpu.index.engine import stage_image_fast
+        from evr_tpu.query.events import format_event_for_frontend
+        import cv2
+
+        img = self.load_image_source(source)
+        arr = np.asarray(img)[:, :, ::-1]  # RGB→BGR for cv2 resize below
+        size = self.engine.cfg.vision.image_size
+        h, w = arr.shape[:2]
+        scale = size / min(h, w)
+        interp = cv2.INTER_AREA if scale < 1.0 else cv2.INTER_CUBIC
+        arr = cv2.resize(arr, (int(round(w * scale)), int(round(h * scale))), interpolation=interp)
+        h, w = arr.shape[:2]
+        top, left = (h - size) // 2, (w - size) // 2
+        staged = np.ascontiguousarray(arr[top : top + size, left : left + size, ::-1])
+        feat = self.engine.encode_staged_images(staged[None], normalise=True)[0]
+
+        hits = self.index.search(feat, top_k * 3, video_name)[0]
+        results = []
+        for hit in hits:
+            if hit.score < threshold:
+                continue
+            frame = self.query_engine._frame_for_hit(hit)
+            if frame is None:
+                continue
+            event = format_event_for_frontend(
+                {**frame.raw, "clip_similarity": hit.score},
+                fps=self.metadata.fps(hit.video),
+            )
+            event["clip_similarity"] = hit.score
+            results.append(event)
+        results.sort(key=lambda e: e.get("clip_similarity", 0), reverse=True)
+        return results[:top_k]

@@ -1,0 +1,153 @@
+"""Embedding-space 2-D visualization.
+
+Reference counterpart: ``VisualizationService`` (`Backend/services/
+visualization_service.py`): concatenates per-video embedding matrices, runs
+``umap.UMAP(n_neighbors, min_dist, metric='cosine', random_state=42)``, and
+returns coordinates + simplified per-point metadata with a 24 h cache.
+
+This environment has no umap-learn; the projector is pluggable:
+``method='umap'`` is used when importable, otherwise PCA (exact, fast,
+host-side sklearn) or t-SNE. The response dict shape is identical to the
+reference's (`visualization_service.py:208-221`), so the React
+VisualizationPanel renders it unchanged; ``dimensionality_reduction.method``
+reports what actually ran.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+
+def project_embeddings(
+    embeddings: np.ndarray,
+    method: str = "auto",
+    n_neighbors: int = 15,
+    min_dist: float = 0.1,
+    n_components: int = 2,
+    metric: str = "cosine",
+    random_state: int = 42,
+) -> tuple[np.ndarray, str]:
+    """Reduce (N, D) → (N, n_components). Returns (coords, method_used)."""
+    emb = np.asarray(embeddings, np.float32)
+    if metric == "cosine":
+        norms = np.linalg.norm(emb, axis=1, keepdims=True)
+        emb = emb / np.maximum(norms, 1e-12)
+
+    if method in ("auto", "umap"):
+        try:  # pragma: no cover - optional dependency
+            import umap
+
+            reducer = umap.UMAP(
+                n_neighbors=n_neighbors,
+                min_dist=min_dist,
+                n_components=n_components,
+                metric=metric,
+                random_state=random_state,
+            )
+            return np.asarray(reducer.fit_transform(emb)), "umap"
+        except ImportError:
+            if method == "umap":
+                raise
+    if method == "tsne":
+        from sklearn.manifold import TSNE
+
+        perplexity = min(30.0, max(5.0, (len(emb) - 1) / 3))
+        coords = TSNE(
+            n_components=n_components,
+            perplexity=perplexity,
+            random_state=random_state,
+            init="pca",
+        ).fit_transform(emb)
+        return np.asarray(coords), "tsne"
+
+    from sklearn.decomposition import PCA
+
+    n_comp = min(n_components, emb.shape[0], emb.shape[1])
+    coords = PCA(n_components=n_comp, random_state=random_state).fit_transform(emb)
+    if coords.shape[1] < n_components:
+        coords = np.pad(coords, ((0, 0), (0, n_components - coords.shape[1])))
+    return coords, "pca"
+
+
+def generate_visualization(
+    index,
+    metadata_store,
+    video_names: list[str] | None = None,
+    method: str = "auto",
+    n_neighbors: int = 15,
+    min_dist: float = 0.1,
+    n_components: int = 2,
+    metric: str = "cosine",
+) -> dict | None:
+    """Build the full visualization payload (reference response-shape
+    parity: coordinates, video_labels, frame_indices, metadata, videos,
+    dimensionality_reduction)."""
+    videos = video_names or index.videos
+    mats, video_labels, frame_indices, metas = [], [], [], []
+    for name in videos:
+        if name not in index.videos:
+            continue
+        emb = index.get_embeddings(name, normalised=False)
+        frames = metadata_store.frames(name)
+        n = min(len(emb), len(frames)) if frames else len(emb)
+        mats.append(emb[:n])
+        for i in range(n):
+            video_labels.append(name)
+            if frames:
+                fr = frames[i]
+                frame_indices.append(fr.frameidx)
+                raw = fr.raw
+            else:
+                frame_indices.append(i)
+                raw = {}
+            filepath = raw.get("filepath", "")
+            info = {
+                "video_name": name,
+                "frameidx": frame_indices[-1],
+                "filepath": (
+                    f"/api/frame/{os.path.basename(filepath)}" if filepath else ""
+                ),
+                "original_filepath": filepath,
+                "frame_id": len(metas),
+            }
+            text_dets = (raw.get("text_detections") or {}).get("detections") or []
+            if text_dets:
+                best = max(text_dets, key=lambda d: d.get("confidence", 0))
+                info["text"] = best.get("label", "")
+                info["text_confidence"] = best.get("confidence", 0)
+            obj_dets = (raw.get("object_detections") or {}).get("detections") or []
+            if obj_dets:
+                best = max(obj_dets, key=lambda d: d.get("confidence", 0))
+                info["object"] = best.get("label", "")
+                info["object_confidence"] = best.get("confidence", 0)
+            metas.append(info)
+
+    if not mats:
+        return None
+    embeddings = np.concatenate(mats, axis=0)
+    coords, used = project_embeddings(
+        embeddings,
+        method=method,
+        n_neighbors=n_neighbors,
+        min_dist=min_dist,
+        n_components=n_components,
+        metric=metric,
+    )
+    return {
+        "coordinates": coords.tolist(),
+        "video_labels": video_labels,
+        "frame_indices": frame_indices,
+        "metadata": metas,
+        "videos": sorted(set(video_labels)),
+        "dimensionality_reduction": {
+            "method": used,
+            "parameters": {
+                "n_neighbors": n_neighbors,
+                "min_dist": min_dist,
+                "n_components": n_components,
+                "metric": metric,
+            },
+        },
+    }

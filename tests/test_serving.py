@@ -1,0 +1,233 @@
+"""Serving API: the 12-route contract exercised through a WSGI test client,
+backed by a real ingested synthetic video."""
+
+import base64
+import io
+import json
+
+import numpy as np
+import pytest
+
+cv2 = pytest.importorskip("cv2")
+werkzeug = pytest.importorskip("werkzeug")
+
+from werkzeug.test import Client
+
+from evr_tpu.config import DataRootConfig
+from evr_tpu.index import EmbeddingEngine
+from evr_tpu.models.clip import CLIPConfig, TextConfig, VisionConfig
+from evr_tpu.serving import ServingContext, create_app
+
+
+def _make_video(path, n=60):
+    writer = cv2.VideoWriter(str(path), cv2.VideoWriter_fourcc(*"mp4v"), 25.0, (64, 64))
+    for i in range(n):
+        frame = np.zeros((64, 64, 3), np.uint8)
+        if i < n // 2:
+            frame[:, :, 0] = 180
+        else:
+            frame[:, :, 2] = 220
+        writer.write(frame)
+    writer.release()
+
+
+@pytest.fixture(scope="module")
+def client(tmp_path_factory):
+    root = tmp_path_factory.mktemp("serving")
+    video_path = root / "clip1.mp4"
+    _make_video(video_path)
+
+    small = CLIPConfig(
+        embed_dim=32,
+        vision=VisionConfig(image_size=64, patch_size=16, width=64, layers=2, heads=4),
+        text=TextConfig(width=64, layers=2, heads=4),
+    )
+    engine = EmbeddingEngine(cfg=small, batch_size=4)
+    ctx = ServingContext(DataRootConfig(root / "data"), engine=engine)
+    ctx.ingest(video_path)
+    app = create_app(ctx)
+    return Client(app)
+
+
+def get_json(resp):
+    return json.loads(resp.get_data(as_text=True))
+
+
+def test_health(client):
+    resp = client.get("/health")
+    assert resp.status_code == 200
+    assert get_json(resp) == {"status": "ok"}
+
+
+def test_videos_listing(client):
+    resp = client.get("/api/videos")
+    assert resp.status_code == 200
+    videos = get_json(resp)
+    assert len(videos) == 1
+    v = videos[0]
+    assert v["id"] == "video-1"
+    assert v["title"] == "clip1"
+    assert v["resolution"] == "64x64"
+    assert v["duration"] == pytest.approx(2.4, abs=0.1)
+
+
+def test_video_events(client):
+    resp = client.get("/api/video/video-1/events")
+    events = get_json(resp)
+    assert resp.status_code == 200
+    assert len(events) == 2
+    assert {e["id"] for e in events} == {"event-15", "event-45"}
+    assert all("timestamp" in e and "confidence" in e for e in events)
+    assert client.get("/api/video/video-99/events").status_code == 404
+
+
+def test_search_text(client):
+    resp = client.post(
+        "/api/search",
+        json={"search_type": "text", "query": "red frame", "search_method": "text_clip", "top_k": 2},
+    )
+    assert resp.status_code == 200
+    events = get_json(resp)["events"]
+    assert len(events) == 2
+    assert all("clip_similarity" in e for e in events)
+    # sorted descending
+    sims = [e["clip_similarity"] for e in events]
+    assert sims == sorted(sims, reverse=True)
+
+
+def test_search_video_scope(client):
+    resp = client.post(
+        "/api/search",
+        json={
+            "search_type": "text",
+            "query": "anything",
+            "search_method": "text_clip",
+            "videoId": "video-1",
+            "top_k": 5,
+        },
+    )
+    events = get_json(resp)["events"]
+    assert all(e["videoId"] == "video-clip1" for e in events)
+
+
+def test_search_image_base64(client):
+    # grab an ingested frame and search by it — should retrieve itself first
+    ctx = client.application.ctx
+    frames_dir = ctx.registry.get("clip1")["frames_dir"]
+    import pathlib
+
+    frame_file = sorted(pathlib.Path(frames_dir).iterdir())[0]
+    b64 = base64.b64encode(frame_file.read_bytes()).decode()
+    resp = client.post(
+        "/api/search",
+        json={"search_type": "image", "image_url": f"data:image/jpeg;base64,{b64}", "top_k": 1, "adaptive_threshold": 0.1},
+    )
+    assert resp.status_code == 200
+    events = get_json(resp)["events"]
+    assert len(events) == 1
+    assert events[0]["clip_similarity"] > 0.95
+
+
+def test_search_image_remote_url_rejected(client):
+    resp = client.post(
+        "/api/search",
+        json={"search_type": "image", "image_url": "http://example.com/x.jpg"},
+    )
+    assert resp.status_code == 400
+    assert "remote" in get_json(resp)["error"]
+
+
+def test_frame_and_video_serving(client):
+    resp = client.get("/api/frame/15.jpg")
+    assert resp.status_code == 200
+    assert resp.headers["Content-Type"] == "image/jpeg"
+    assert client.get("/api/frame/nope.jpg").status_code == 404
+    resp = client.get("/api/video/clip1.mp4")
+    assert resp.status_code == 200
+    assert resp.headers["Content-Type"] == "video/mp4"
+
+
+def test_frame_path_traversal_blocked(client):
+    # the reference serves any existing absolute path; we must not
+    for path in (
+        "/api/frame/../../../../etc/passwd",
+        "/api/frame/%2e%2e%2f%2e%2e%2fetc%2fpasswd",
+        "/api/frame//etc/passwd",
+        "/api/video//etc/passwd",
+    ):
+        resp = client.get(path)
+        if resp.status_code == 308:  # werkzeug slash-merge redirect
+            location = resp.headers["Location"]
+            resp = client.get(location.split("localhost", 1)[-1])
+        assert resp.status_code in (404, 400), (path, resp.status_code)
+        assert b"root:" not in resp.get_data()
+
+
+def test_models_routes(client):
+    models = get_json(client.get("/api/models"))
+    assert models[0]["id"] == "original"
+    resp = client.get("/api/models/active")
+    assert get_json(resp)["active_model"] == "original"
+    resp = client.post("/api/models/active", json={"model": "nope"})
+    assert resp.status_code == 400
+    resp = client.post("/api/models/active", json={})
+    assert resp.status_code == 400
+
+
+def test_umap_visualization(client):
+    resp = client.post("/api/visualization/umap", json={"method": "pca"})
+    assert resp.status_code == 200
+    viz = get_json(resp)
+    assert len(viz["coordinates"]) == 2
+    assert viz["videos"] == ["clip1"]
+    assert viz["dimensionality_reduction"]["method"] == "pca"
+    # cache path returns the same payload
+    again = get_json(client.post("/api/visualization/umap", json={"method": "pca"}))
+    assert again == viz
+
+
+def test_available_videos(client):
+    data = get_json(client.get("/api/videos/available"))
+    assert data["count"] == 1
+    assert data["available_videos"][0]["name"] == "clip1"
+
+
+def test_transcribe_unconfigured(client):
+    resp = client.post(
+        "/api/transcribe-voice",
+        data={"audio": (io.BytesIO(b"RIFFxxxx"), "voice.wav")},
+    )
+    assert resp.status_code == 501
+
+
+def test_upload_video(client, tmp_path):
+    video2 = tmp_path / "clip2.mp4"
+    _make_video(video2, n=40)
+    resp = client.post(
+        "/api/upload-video",
+        data={"video": (io.BytesIO(video2.read_bytes()), "clip2.mp4")},
+    )
+    assert resp.status_code == 200, resp.get_data(as_text=True)
+    body = get_json(resp)
+    assert body["status"] == "success"
+    assert body["video"]["title"] == "clip2"
+    # now listed and searchable
+    videos = get_json(client.get("/api/videos"))
+    assert {v["title"] for v in videos} == {"clip1", "clip2"}
+    assert client.application.ctx.index.total_frames >= 3
+
+    resp = client.post("/api/upload-video", data={})
+    assert resp.status_code == 400
+
+
+def test_boot_restores_state(client):
+    """A fresh context over the same data root restores the index from disk."""
+    old_ctx = client.application.ctx
+    engine = old_ctx.engine
+    ctx2 = ServingContext(old_ctx.data_root, engine=engine)
+    loaded = ctx2.boot()
+    assert set(loaded) == {"clip1", "clip2"}
+    assert ctx2.index.total_frames == old_ctx.index.total_frames
+    app2 = create_app(ctx2)
+    events = get_json(Client(app2).get("/api/video/video-1/events"))
+    assert events
