@@ -1,0 +1,153 @@
+"""Trainer variants: fusion loss semantics, projection trainer, progressive
+phase machinery, hard-negative mining."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from evr_tpu.models.clip import CLIPConfig, TextConfig, VisionConfig, init_clip_params
+from evr_tpu.models.heads import FusionConfig, fusion_forward, init_fusion_params
+from evr_tpu.training.variants import (
+    ProgressiveTrainer,
+    ProgressiveTrainConfig,
+    ProjectionTrainer,
+    ProjectionTrainConfig,
+    hard_negative_infonce,
+    mine_hard_negatives,
+    multimodal_loss,
+)
+
+
+def tiny_cfg():
+    return CLIPConfig(
+        embed_dim=32,
+        vision=VisionConfig(image_size=32, patch_size=8, width=64, layers=4, heads=4),
+        text=TextConfig(context_length=16, vocab_size=600, width=64, layers=4, heads=4),
+    )
+
+
+def tiny_batch(rng, n=8):
+    tokens = np.zeros((n, 16), np.int32)
+    for i in range(n):
+        tokens[i, :4] = rng.integers(1, 500, size=4)
+        tokens[i, 4] = 599
+    return {
+        "images": (rng.random((n, 32, 32, 3)) * 255).astype(np.uint8),
+        "tokens": tokens,
+        "labels": rng.integers(0, 3, size=n).astype(np.int32),
+    }
+
+
+def test_multimodal_loss_components(rng):
+    n, d, c = 6, 32, 3
+    heads = init_fusion_params(jax.random.PRNGKey(0), FusionConfig(d, num_classes=c))
+    img = rng.normal(size=(n, d)).astype(np.float32)
+    img /= np.linalg.norm(img, axis=1, keepdims=True)
+    txt = rng.normal(size=(n, d)).astype(np.float32)
+    txt /= np.linalg.norm(txt, axis=1, keepdims=True)
+    out = fusion_forward(heads, FusionConfig(d, num_classes=c), jnp.asarray(img), jnp.asarray(txt))
+    labels = jnp.asarray(rng.integers(0, c, size=n))
+    total, metrics = multimodal_loss(out, labels)
+    expected = (
+        0.7 * metrics["fusion_loss"]
+        + 0.15 * metrics["image_loss"]
+        + 0.15 * metrics["text_loss"]
+        + metrics["contrastive_loss"]
+    )
+    np.testing.assert_allclose(float(total), float(expected), rtol=1e-6)
+
+    # V2 extensions change the loss
+    total2, m2 = multimodal_loss(
+        out, labels, label_smoothing=0.1, entropy_weight=0.01, weight_decay=1e-4,
+        trainable_params=heads,
+    )
+    assert "fusion_entropy" in m2 and "l2" in m2
+    assert float(total2) != float(total)
+
+
+def test_mine_hard_negatives():
+    sims = jnp.asarray(
+        np.array(
+            [[0.9, 0.8, 0.1, 0.2], [0.1, 0.9, 0.85, 0.3], [0.5, 0.4, 0.9, 0.45], [0.2, 0.3, 0.1, 0.9]],
+            np.float32,
+        )
+    )
+    idx = np.asarray(mine_hard_negatives(sims, k=1))
+    assert idx.tolist() == [[1], [2], [0], [1]]  # hardest off-diagonal per row
+
+
+def test_hard_negative_loss_upweights(rng):
+    d, n = 16, 8
+    img = rng.normal(size=(n, d)).astype(np.float32)
+    img /= np.linalg.norm(img, axis=1, keepdims=True)
+    txt = rng.normal(size=(n, d)).astype(np.float32)
+    txt /= np.linalg.norm(txt, axis=1, keepdims=True)
+    scale = jnp.asarray(np.log(1 / 0.07), jnp.float32)
+    base = float(hard_negative_infonce(jnp.asarray(img), jnp.asarray(txt), scale))
+    hard = float(
+        hard_negative_infonce(jnp.asarray(img), jnp.asarray(txt), scale, hard_weight=2.0)
+    )
+    assert hard > base  # up-weighted negatives make the task harder
+
+
+def test_projection_trainer_trains_heads_only(rng):
+    cfg = tiny_cfg()
+    clip_params = init_clip_params(jax.random.PRNGKey(0), cfg)
+    trainer = ProjectionTrainer(
+        cfg,
+        clip_params,
+        ProjectionTrainConfig(proj_dim=16, lr=1e-3, compute_dtype="float32", num_classes=3),
+    )
+    before_clip = np.asarray(trainer.params["clip"]["text"]["token_embedding"])
+    before_proj = np.asarray(trainer.params["heads"]["image_projection"]["kernel"])
+    losses = [trainer.train_step(tiny_batch(rng))["total_loss"] for _ in range(3)]
+    assert all(np.isfinite(losses))
+    after_clip = np.asarray(trainer.params["clip"]["text"]["token_embedding"])
+    after_proj = np.asarray(trainer.params["heads"]["image_projection"]["kernel"])
+    np.testing.assert_array_equal(before_clip, after_clip)  # CLIP frozen
+    assert np.abs(after_proj - before_proj).max() > 0  # heads train
+
+    img_p, txt_p = trainer.encode_projected(
+        tiny_batch(rng)["images"], tiny_batch(rng)["tokens"]
+    )
+    assert img_p.shape[1] == 16
+    np.testing.assert_allclose(np.linalg.norm(img_p, axis=1), 1.0, rtol=1e-4)
+
+
+def test_progressive_phases(rng):
+    cfg = tiny_cfg()
+    clip_params = init_clip_params(jax.random.PRNGKey(1), cfg)
+    trainer = ProgressiveTrainer(
+        cfg, clip_params, ProgressiveTrainConfig(steps_per_phase=4)
+    )
+    # phase 1: clip frozen
+    b = tiny_batch(rng)
+    before = np.asarray(trainer.params["clip"]["visual"]["blocks"][3]["mlp"]["fc"]["kernel"])
+    m1 = trainer.train_step(b)
+    assert m1["phase"] == 1 and np.isfinite(m1["total_loss"])
+    after = np.asarray(trainer.params["clip"]["visual"]["blocks"][3]["mlp"]["fc"]["kernel"])
+    np.testing.assert_array_equal(before, after)
+
+    # phase 2: last-3 blocks unfreeze, early blocks stay frozen
+    trainer.next_phase()
+    labels = trainer.labels_for_phase(2)
+    assert labels["clip"]["visual"]["blocks"][0]["ln_1"]["scale"] == "frozen"
+    assert labels["clip"]["visual"]["blocks"][3]["ln_1"]["scale"] == "late"
+    assert labels["clip"]["visual"]["ln_post"]["scale"] == "late"
+    early_before = np.asarray(trainer.params["clip"]["visual"]["blocks"][0]["mlp"]["fc"]["kernel"])
+    late_before = np.asarray(trainer.params["clip"]["visual"]["blocks"][3]["mlp"]["fc"]["kernel"])
+    trainer.train_step(b)
+    trainer.train_step(b)  # warmup step 1 has lr 0; step 2 moves
+    early_after = np.asarray(trainer.params["clip"]["visual"]["blocks"][0]["mlp"]["fc"]["kernel"])
+    late_after = np.asarray(trainer.params["clip"]["visual"]["blocks"][3]["mlp"]["fc"]["kernel"])
+    np.testing.assert_array_equal(early_before, early_after)
+    assert np.abs(late_after - late_before).max() > 0
+
+    # phase 3: everything trains; cross-phase resume refused
+    trainer.next_phase()
+    labels3 = trainer.labels_for_phase(3)
+    assert labels3["clip"]["visual"]["blocks"][0]["ln_1"]["scale"] == "early"
+    with pytest.raises(ValueError):
+        trainer._enter_phase(2)
