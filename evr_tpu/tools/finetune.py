@@ -1,0 +1,88 @@
+"""Production fine-tune CLI (T1 parity, data-parallel).
+
+``python -m evr_tpu.tools.finetune --train-json a.json b.json --data-dir
+images/ --epochs 10`` reproduces `Backend/clip_finetune_correct.py`'s run
+shape: combined caption datasets, CLIP + 3-class head, InfoNCE + CE, early
+stopping, best/final checkpoints — sharded over every visible device.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import pathlib
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description="contrastive CLIP fine-tune")
+    parser.add_argument("--train-json", nargs="+", required=True)
+    parser.add_argument("--val-json", nargs="*", default=[])
+    parser.add_argument("--data-dir", required=True)
+    parser.add_argument("--model", default="ViT-B/32")
+    parser.add_argument("--init-checkpoint", default=None, help=".pt to start from")
+    parser.add_argument("--batch-size", type=int, default=32)
+    parser.add_argument("--epochs", type=int, default=10)
+    parser.add_argument("--lr", type=float, default=1e-5)
+    parser.add_argument("--freeze-layers", type=int, default=8)
+    parser.add_argument("--save-dir", default="checkpoints")
+    parser.add_argument("--num-classes", type=int, default=3)
+    parser.add_argument("--no-mesh", action="store_true", help="single-device run")
+    parser.add_argument("--seed", type=int, default=42)
+    args = parser.parse_args(argv)
+
+    import jax
+
+    from evr_tpu.models import (
+        ClassifierConfig,
+        get_model_config,
+        init_classifier_params,
+        init_clip_params,
+    )
+    from evr_tpu.parallel import get_mesh
+    from evr_tpu.training import CaptionDataset, TrainConfig, Trainer
+
+    cfg = get_model_config(args.model)
+    if args.init_checkpoint:
+        from evr_tpu.models.torch_import import load_checkpoint
+
+        clip_params = load_checkpoint(args.init_checkpoint)["clip"]
+    else:
+        clip_params = init_clip_params(jax.random.PRNGKey(args.seed), cfg)
+    cls_params = init_classifier_params(
+        jax.random.PRNGKey(args.seed + 1),
+        ClassifierConfig(embed_dim=cfg.embed_dim, num_classes=args.num_classes),
+    )
+
+    train_ds = CaptionDataset(args.train_json, args.data_dir)
+    val_ds = CaptionDataset(args.val_json, args.data_dir) if args.val_json else None
+    if val_ds is None:
+        train_ds, val_ds = train_ds.split(0.2, args.seed)
+    print(f"train={len(train_ds)} val={len(val_ds)} categories={train_ds.category_counts()}")
+
+    mesh = None if args.no_mesh else get_mesh()
+    steps_per_epoch = max(1, len(train_ds) // args.batch_size)
+    tc = TrainConfig(
+        seed=args.seed,
+        batch_size=args.batch_size,
+        epochs=args.epochs,
+        lr=args.lr,
+        freeze_layers=args.freeze_layers,
+        save_dir=args.save_dir,
+    )
+    trainer = Trainer(
+        cfg, clip_params, tc, classifier_params=cls_params, mesh=mesh,
+        steps_per_epoch=steps_per_epoch,
+    )
+    size = cfg.vision.image_size
+    result = trainer.fit(
+        lambda e: train_ds.batches(args.batch_size, size, epoch=e, seed=args.seed),
+        lambda e: val_ds.batches(args.batch_size, size, shuffle=False),
+    )
+    out = pathlib.Path(args.save_dir) / "history.json"
+    out.parent.mkdir(parents=True, exist_ok=True)
+    out.write_text(json.dumps(result, indent=2))
+    print(f"best val loss {result['best_val_loss']:.4f} @ epoch {result['best_epoch']}")
+
+
+if __name__ == "__main__":
+    main()

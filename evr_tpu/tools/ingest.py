@@ -1,0 +1,57 @@
+"""Offline ingestion CLI: videos → durable index artefacts.
+
+``python -m evr_tpu.tools.ingest --data-root data video1.mp4 video2.mp4``
+produces the same {name}_embeddings.npy / {name}_metadata.json /
+video_mapping.json layout the serving tier boots from.
+"""
+
+from __future__ import annotations
+
+import argparse
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description="ingest videos into a data root")
+    parser.add_argument("videos", nargs="+")
+    parser.add_argument("--data-root", default="data")
+    parser.add_argument("--model", default="ViT-B/32")
+    parser.add_argument("--checkpoint", default=None)
+    parser.add_argument("--scene-threshold", type=float, default=30.0)
+    parser.add_argument("--uniform", type=int, default=None,
+                        help="use uniform sampling of N frames instead of scene detection")
+    args = parser.parse_args(argv)
+
+    from evr_tpu.config import DataRootConfig
+    from evr_tpu.index import EmbeddingEngine, FrameIndex, VideoRegistry
+    from evr_tpu.ingest import extract_uniform_frames, ingest_video
+    from evr_tpu.query import MetadataStore
+
+    engine = EmbeddingEngine(args.model)
+    if args.checkpoint:
+        engine.load_finetuned(args.checkpoint)
+        engine.set_active_model("finetuned")
+    data_root = DataRootConfig(args.data_root).ensure()
+    registry = VideoRegistry(data_root.mapping_path)
+    index = FrameIndex(embed_dim=engine.cfg.embed_dim)
+    store = MetadataStore()
+
+    for video in args.videos:
+        if args.uniform:
+            import pathlib
+
+            name = pathlib.Path(video).stem
+            frames_dir = data_root.frames_dir / name
+            extract_uniform_frames(video, frames_dir, args.uniform)
+        result = ingest_video(
+            video, data_root, engine, index, registry, store,
+            scene_threshold=args.scene_threshold,
+        )
+        print(
+            f"{result.video_name}: {result.n_frames} frames, fps={result.fps:.2f} → "
+            f"{result.embeddings_file}"
+        )
+    print(f"index now holds {index.total_frames} frames across {len(index.videos)} videos")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,112 @@
+"""Retrieval twin: load a model, embed a frame directory, run text queries,
+dump ranked results.
+
+Reference counterparts: `content/CLIP_finetune_HEAD/clip_contrastive_
+retrieval.py` (`search_frames` at `:238-317`), `clip_multimodal_retrieval.
+py`, `clip_image_retrieval.py` — checkpoint → frame dir → top-k grid +
+JSON dump, with `violence_filter` probability filtering and
+`retrieval_mode` switching.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import pathlib
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description="CLIP frame retrieval")
+    parser.add_argument("--frames-dir", required=True)
+    parser.add_argument("--queries", nargs="+", required=True)
+    parser.add_argument("--model", default="ViT-B/32")
+    parser.add_argument("--checkpoint", default=None, help="fine-tuned .pt checkpoint")
+    parser.add_argument("--top-k", type=int, default=10)
+    parser.add_argument(
+        "--retrieval-mode", choices=["contrastive", "classification"], default="contrastive"
+    )
+    parser.add_argument(
+        "--violence-filter",
+        type=float,
+        default=None,
+        help="drop frames whose max(violence,sensitive) classifier prob is below this",
+    )
+    parser.add_argument("--output", default="retrieval_results.json")
+    parser.add_argument("--grid", default=None, help="optional path for a result-grid PNG")
+    args = parser.parse_args(argv)
+
+    import numpy as np
+
+    from evr_tpu.index import EmbeddingEngine, FrameIndex
+
+    engine = EmbeddingEngine(args.model)
+    if args.checkpoint:
+        engine.load_finetuned(args.checkpoint)
+        engine.set_active_model("finetuned")
+
+    emb, names = engine.embed_folder(args.frames_dir)
+    index = FrameIndex(embed_dim=engine.cfg.embed_dim)
+    index.add_video("query_set", emb, names)
+
+    probs = engine.classify(emb)  # None if no trained head
+
+    all_results = {}
+    for query in args.queries:
+        vec = engine.encode_texts([query])
+        hits = index.search(vec, args.top_k * 3)[0]
+        rows = []
+        for hit in hits:
+            row = {"frame": hit.frame_name, "similarity": hit.score}
+            if probs is not None:
+                p = probs[hit.frame_index]
+                row["class_probs"] = [float(x) for x in p]
+                if args.violence_filter is not None:
+                    # classes: 0=Sensitive, 1=Violence, 2=NonViolence
+                    if max(p[0], p[1]) < args.violence_filter:
+                        continue
+                if args.retrieval_mode == "classification":
+                    row["score"] = float(max(p[0], p[1]))
+            rows.append(row)
+            if len(rows) >= args.top_k:
+                break
+        if args.retrieval_mode == "classification" and probs is not None:
+            rows.sort(key=lambda r: r.get("score", 0), reverse=True)
+        all_results[query] = rows
+        print(f"'{query}': top {len(rows)} of {len(names)} frames, "
+              f"best sim {rows[0]['similarity']:.4f}" if rows else f"'{query}': no results")
+
+    pathlib.Path(args.output).write_text(json.dumps(all_results, indent=2))
+    print(f"wrote {args.output}")
+
+    if args.grid:
+        _save_grid(args.frames_dir, all_results, args.grid)
+
+
+def _save_grid(frames_dir, all_results, out_path):
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    from PIL import Image
+
+    queries = list(all_results)
+    k = max((len(v) for v in all_results.values()), default=1)
+    fig, axes = plt.subplots(len(queries), k, figsize=(2.2 * k, 2.6 * len(queries)), squeeze=False)
+    for r, query in enumerate(queries):
+        for c in range(k):
+            ax = axes[r][c]
+            ax.axis("off")
+            if c < len(all_results[query]):
+                row = all_results[query][c]
+                img = Image.open(pathlib.Path(frames_dir) / row["frame"])
+                ax.imshow(img)
+                ax.set_title(f"{row['similarity']:.3f}", fontsize=7)
+            if c == 0:
+                ax.set_ylabel(query[:28], fontsize=7)
+    fig.tight_layout()
+    fig.savefig(out_path, dpi=110)
+    print(f"wrote {out_path}")
+
+
+if __name__ == "__main__":
+    main()
