@@ -188,6 +188,20 @@ class EmbeddingEngine:
             out = out / np.maximum(np.linalg.norm(out, axis=-1, keepdims=True), 1e-12)
         return out
 
+    def _stage_native(self, paths) -> tuple[np.ndarray, list[int]] | None:
+        """Stage a JPEG batch through the C++ thread-pool pipeline
+        (evr_tpu.native); None when the native library is unavailable."""
+        try:
+            from evr_tpu.native import NativeStager, native_available
+
+            if not native_available():
+                return None
+            if getattr(self, "_native_stager", None) is None:
+                self._native_stager = NativeStager(self.cfg.vision.image_size)
+            return self._native_stager.stage_batch(paths)
+        except Exception:
+            return None
+
     def _encode_array(self, arr: np.ndarray) -> np.ndarray:
         """Encode a stacked batch that is either staged uint8 or
         preprocessed float pixels."""
@@ -234,6 +248,25 @@ class EmbeddingEngine:
             p.name for p in folder.iterdir() if p.suffix.lower() in IMAGE_EXTENSIONS
         )
         size = self.cfg.vision.image_size
+
+        if self.preprocess_mode == "fast" and all(
+            n.lower().endswith((".jpg", ".jpeg")) for n in candidates
+        ):
+            staged = self._stage_native([folder / n for n in candidates])
+            if staged is not None:
+                batch, ok = staged
+                names = [candidates[i] for i in ok]
+                emb = self.encode_staged_images(batch[ok]) if ok else np.zeros(
+                    (0, self.cfg.embed_dim), np.float32
+                )
+                if normalise and len(emb):
+                    emb = emb / np.maximum(
+                        np.linalg.norm(emb, axis=-1, keepdims=True), 1e-12
+                    )
+                if progress:
+                    progress(len(candidates), len(candidates))
+                return emb.astype(np.float32), names
+
         names: list[str] = []
         embs = []
         staged_buf: list[np.ndarray] = []
