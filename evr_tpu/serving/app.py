@@ -43,6 +43,7 @@ def _file(path, mimetype: str) -> Response:
 def create_app(ctx: ServingContext):
     url_map = Map(
         [
+            Rule("/", endpoint="index", methods=["GET"]),
             Rule("/api/videos", endpoint="videos", methods=["GET"]),
             Rule(
                 "/api/video/<video_id>/events", endpoint="video_events", methods=["GET"]
@@ -64,6 +65,13 @@ def create_app(ctx: ServingContext):
 
     def ep_health(request):  # app.py:909-912
         return _json({"status": "ok"})
+
+    def ep_index(request):
+        from .ui import INDEX_HTML
+
+        resp = Response(INDEX_HTML, mimetype="text/html")
+        resp.headers["Access-Control-Allow-Origin"] = "*"
+        return resp
 
     def ep_videos(request):  # app.py:221-303
         dropped = ctx.registry.prune_missing(ctx.data_root.root)
@@ -366,6 +374,7 @@ def create_app(ctx: ServingContext):
 
     endpoints = {
         "health": ep_health,
+        "index": ep_index,
         "videos": ep_videos,
         "video_events": ep_video_events,
         "search": ep_search,
