@@ -69,6 +69,8 @@ class CLIPConfig:
     text: TextConfig = TextConfig()
     # "xla" | "flash" — which attention implementation the towers use.
     attn_impl: str = "xla"
+    # "quick_gelu" (OpenAI CLIP) | "gelu" (OpenCLIP laion towers)
+    activation: str = "quick_gelu"
     # rematerialise each transformer block (memory ↔ FLOPs trade for training)
     remat: bool = False
 
@@ -152,10 +154,10 @@ def _run_blocks(x, blocks, heads, causal, cfg: CLIPConfig):
     apply = block_apply
     if cfg.remat:
         apply = jax.checkpoint(
-            block_apply, static_argnums=(2, 3, 4), policy=None
+            block_apply, static_argnums=(2, 3, 4, 5), policy=None
         )
     for bp in blocks:
-        x = apply(x, bp, heads, causal, cfg.attn_impl)
+        x = apply(x, bp, heads, causal, cfg.attn_impl, cfg.activation)
     return x
 
 

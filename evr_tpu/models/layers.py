@@ -138,15 +138,23 @@ def init_block(rng, width: int, n_layers: int) -> Params:
     }
 
 
+ACTIVATIONS = {
+    "quick_gelu": quick_gelu,
+    # exact (erf) GELU — OpenCLIP's laion-trained towers (e.g. ViT-H-14)
+    "gelu": lambda x: jax.nn.gelu(x, approximate=False),
+}
+
+
 def block_apply(
     x: jax.Array,
     p: Params,
     n_heads: int,
     causal: bool = False,
     attn_impl: str = "xla",
+    activation: str = "quick_gelu",
 ) -> jax.Array:
     x = x + attention(layer_norm(x, p["ln_1"]), p["attn"], n_heads, causal, attn_impl)
     h = linear(layer_norm(x, p["ln_2"]), p["mlp"]["fc"])
-    h = quick_gelu(h)
+    h = ACTIVATIONS[activation](h)
     x = x + linear(h, p["mlp"]["proj"])
     return x

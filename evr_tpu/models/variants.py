@@ -32,6 +32,14 @@ MODEL_REGISTRY: dict[str, CLIPConfig] = {
         vision=VisionConfig(image_size=336, patch_size=14, width=1024, layers=24, heads=16),
         text=TextConfig(width=768, layers=12, heads=12),
     ),
+    # OpenCLIP laion2B tower in the reference's eval zoo (`compare_models.py`
+    # model list); plain GELU rather than quickGELU.
+    "ViT-H-14": CLIPConfig(
+        embed_dim=1024,
+        vision=VisionConfig(image_size=224, patch_size=14, width=1280, layers=32, heads=16),
+        text=TextConfig(width=1024, layers=24, heads=16),
+        activation="gelu",
+    ),
 }
 
 
