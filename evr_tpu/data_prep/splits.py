@@ -51,6 +51,28 @@ def merge_caption_jsons(json_paths, out_path, category_override: str | None = No
     return len(merged)
 
 
+def canonicalize_caption_json(json_path, out_path=None) -> int:
+    """Sort a caption JSON by (category, numeric frame index) — the
+    reference's `sapxep_script_data_video.py` canonical ordering. Returns
+    the entry count; writes in place when out_path is None."""
+    import re
+
+    path = pathlib.Path(json_path)
+    data = json.loads(path.read_text(encoding="utf-8"))
+
+    def key(item):
+        rel, meta = item
+        category = meta.get("category", "") if isinstance(meta, dict) else ""
+        nums = re.findall(r"(\d+)", pathlib.PurePosixPath(rel).stem)
+        return (category, int(nums[-1]) if nums else 0, rel)
+
+    ordered = dict(sorted(data.items(), key=key))
+    (pathlib.Path(out_path) if out_path else path).write_text(
+        json.dumps(ordered, indent=2, ensure_ascii=False)
+    )
+    return len(ordered)
+
+
 def build_mixed_testset(
     class_dirs: dict[str, str],
     out_dir,

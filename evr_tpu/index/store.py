@@ -56,11 +56,18 @@ class FrameIndex:
         pad_multiple: int = 1024,
         mesh=None,
         mesh_axis: str = "data",
+        device_dtype: str = "float32",
     ):
+        """``device_dtype='bfloat16'`` halves the index's HBM footprint and
+        the GEMM's bandwidth (the query-latency bottleneck at 100k+ rows);
+        scores still accumulate in fp32. Rank flips only occur between rows
+        whose fp32 scores differ by <1e-2 — acceptable for serving, not for
+        rank-parity evaluation (keep fp32 there)."""
         self.embed_dim = embed_dim
         self.pad_multiple = pad_multiple
         self.mesh = mesh
         self.mesh_axis = mesh_axis
+        self.device_dtype = device_dtype
         self._videos: dict[str, VideoEntry] = {}
         self._embeddings: dict[str, np.ndarray] = {}
         self._order: list[str] = []
@@ -152,6 +159,8 @@ class FrameIndex:
         full = np.zeros((padded, self.embed_dim), dtype=np.float32)
         if mats:
             full[:total] = np.concatenate(mats, axis=0)
+        if self.device_dtype == "bfloat16":
+            full = jnp.asarray(full).astype(jnp.bfloat16)
         if self.mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
 

@@ -30,7 +30,8 @@ def cosine_topk(
 ) -> tuple[jax.Array, jax.Array]:
     """Return (scores [Q, k], indices [Q, k]) of top-k rows in [start, end)."""
     q = queries / jnp.linalg.norm(queries, axis=-1, keepdims=True)
-    sims = jnp.dot(q, index.T, preferred_element_type=jnp.float32)
+    # match the index dtype (bf16 index → bf16 operands, fp32 accumulation)
+    sims = jnp.dot(q.astype(index.dtype), index.T, preferred_element_type=jnp.float32)
     rows = jnp.arange(index.shape[0])[None, :]
     sims = jnp.where((rows >= start) & (rows < end), sims, -jnp.inf)
     return jax.lax.top_k(sims, k)

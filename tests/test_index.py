@@ -81,6 +81,19 @@ def test_sharded_search_matches_single_device(rng):
     np.testing.assert_array_equal(r1, r2)
 
 
+def test_bf16_index_rank_agreement(rng):
+    videos = (("a", 300),)
+    f32, truth = _random_index(rng, videos=videos)
+    bf16 = FrameIndex(embed_dim=64, pad_multiple=128, device_dtype="bfloat16")
+    bf16.add_video("a", truth["a"])
+    q = rng.normal(size=(4, 64)).astype(np.float32)
+    s1, r1 = f32.search_raw(q, 5)
+    s2, r2 = bf16.search_raw(q, 5)
+    # top-1 must agree; scores within bf16 tolerance
+    np.testing.assert_array_equal(r1[:, 0], r2[:, 0])
+    np.testing.assert_allclose(s1, s2, atol=5e-3)
+
+
 def test_incremental_add_remove(rng):
     idx, truth = _random_index(rng)
     q = rng.normal(size=64).astype(np.float32)
