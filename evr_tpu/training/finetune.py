@@ -64,6 +64,12 @@ class TrainConfig:
     eta_min_ratio: float = 0.1  # CosineAnnealingLR eta_min = lr * ratio
     compute_dtype: str = "bfloat16"
     save_dir: str = "checkpoints"
+    # Failure containment: wrap the optimizer in optax.apply_if_finite so a
+    # non-finite gradient skips the update instead of corrupting the params
+    # (the reference instead detects blown fp16 grads mid-run and permanently
+    # disables AMP — `training_CLIP_multimodal.py:440-479`).
+    skip_nonfinite_updates: bool = True
+    max_consecutive_nonfinite: int = 5
 
 
 @chex.dataclass
@@ -111,6 +117,8 @@ def make_optimizer(
     opt = optax.multi_transform(transforms, labels)
     if cfg.grad_clip > 0:
         opt = optax.chain(optax.clip_by_global_norm(cfg.grad_clip), opt)
+    if cfg.skip_nonfinite_updates:
+        opt = optax.apply_if_finite(opt, cfg.max_consecutive_nonfinite)
     return opt
 
 
