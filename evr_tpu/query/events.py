@@ -14,13 +14,21 @@ frontend consumes:
 
 from __future__ import annotations
 
-import pathlib
+import re
+
+
+def _video_stem(path: str) -> str:
+    """Filename stem robust to both separators — reference metadata carries
+    Windows-absolute video paths (e.g. `Backend/metadata/video_mapping.json`)
+    that must still resolve on POSIX hosts."""
+    base = re.split(r"[\\/]", path)[-1]
+    return base.rsplit(".", 1)[0] if "." in base else base
 
 
 def format_event_for_frontend(frame_data: dict, fps: float = 25.0) -> dict:
     video_path = frame_data.get("video", "")
     if video_path:
-        video_id = f"video-{pathlib.Path(video_path).stem}"
+        video_id = f"video-{_video_stem(video_path)}"
     else:
         video_id = "unknown"
 
