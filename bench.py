@@ -95,7 +95,7 @@ def main() -> None:
         idx.search_raw(q32, 10)
     batched_per_query = (time.perf_counter() - t0) / 10 / 32 * 1e3
 
-    # end-to-end text query: tokenize + encode_text + search
+    # end-to-end text query, two-step path: tokenize + encode_text + search
     engine.encode_texts(["warmup query"])
     e2e = []
     for i in range(15):
@@ -104,6 +104,18 @@ def main() -> None:
         idx.search_raw(vec, 10)
         e2e.append((time.perf_counter() - t0) * 1e3)
     p50_e2e = float(np.percentile(e2e, 50))
+
+    # fused single-dispatch path (tokenize → encode → GEMM → top-k, one call)
+    from evr_tpu.index.fused_search import TextSearcher
+
+    searcher = TextSearcher(engine, idx)
+    searcher.search("warmup fused", 10)
+    fused = []
+    for i in range(15):
+        t0 = time.perf_counter()
+        searcher.search(f"unique fused query {i}", 10)
+        fused.append((time.perf_counter() - t0) * 1e3)
+    p50_fused = float(np.percentile(fused, 50))
 
     print(
         json.dumps(
@@ -118,6 +130,7 @@ def main() -> None:
                 "p50_query_latency_ms_100k": round(p50_search, 3),
                 "p50_query_latency_ms_100k_batched32": round(batched_per_query, 3),
                 "p50_e2e_text_query_ms_100k": round(p50_e2e, 3),
+                "p50_fused_text_query_ms_100k": round(p50_fused, 3),
                 "embed_batch": EMBED_BATCH,
             }
         )

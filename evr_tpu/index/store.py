@@ -73,6 +73,7 @@ class FrameIndex:
         self._order: list[str] = []
         self._device_index: jax.Array | None = None
         self._dirty = True
+        self.version = 0  # bumped on every rebuild (cache invalidation key)
 
     # -- mutation ---------------------------------------------------------
     def add_video(
@@ -170,6 +171,7 @@ class FrameIndex:
             self._device_index = jnp.asarray(full)
         self._total = total
         self._dirty = False
+        self.version += 1
 
     def _ensure_built(self):
         if self._dirty or self._device_index is None:

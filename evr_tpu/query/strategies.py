@@ -28,7 +28,13 @@ from __future__ import annotations
 
 from typing import Callable
 
+import math
+
 from evr_tpu.index.store import FrameIndex, SearchHit
+
+
+def _np_isfinite(x) -> bool:
+    return math.isfinite(float(x))
 from .events import format_event_for_frontend
 from .metadata import MetadataStore
 from .text import QueryPreprocessor, identity_preprocessor
@@ -49,13 +55,31 @@ class QueryEngine:
         self.index = index
         self.metadata = metadata
         self.preprocess = preprocessor or identity_preprocessor
+        # Fused one-dispatch searcher (tokenize → encode → GEMM → top-k in a
+        # single jitted call); falls back to the two-step path for engines
+        # without the full interface (e.g. test stubs).
+        self._searcher = None
+        if hasattr(embedding_engine, "tokenizer") and hasattr(embedding_engine, "params"):
+            from evr_tpu.index.fused_search import TextSearcher
+
+            self._searcher = TextSearcher(embedding_engine, index)
 
     # -- shared plumbing --------------------------------------------------
     def _candidates(
         self, processed_text: str, top_k: int, video_name: str | None
     ) -> list[SearchHit]:
+        k = top_k * CANDIDATE_OVERFETCH
+        if self._searcher is not None:
+            scores, rows = self._searcher.search(processed_text, k, video_name)
+            hits = []
+            for score, row in zip(scores[0], rows[0]):
+                if not _np_isfinite(score):
+                    continue
+                video, frame, fidx = self.index.resolve_row(int(row))
+                hits.append(SearchHit(video, frame, float(score), int(row), fidx))
+            return hits
         vec = self.engine.get_text_features(processed_text)
-        return self.index.search(vec, top_k * CANDIDATE_OVERFETCH, video_name)[0]
+        return self.index.search(vec, k, video_name)[0]
 
     def _frame_for_hit(self, hit: SearchHit):
         try:
