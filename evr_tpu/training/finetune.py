@@ -293,14 +293,21 @@ class Trainer:
             n += 1
         return {k: float(np.mean(v)) for k, v in agg.items()} | {"batches": n}
 
-    def fit(self, train_batches_fn, val_batches_fn=None) -> dict:
+    def fit(self, train_batches_fn, val_batches_fn=None, resume_from: str | None = None) -> dict:
         """``train_batches_fn(epoch) -> iterator of batches`` (and likewise
-        for validation). Returns the best metrics dict."""
+        for validation). ``resume_from`` restores a saved checkpoint and
+        continues from its epoch+1 (`training_CLIP_multimodal.py:510-523`
+        resume semantics). Returns the best metrics dict."""
         rng = jax.random.PRNGKey(self.cfg.seed)
         best_val = math.inf
         best_epoch = -1
         patience = 0
-        for epoch in range(self.cfg.epochs):
+        start_epoch = 0
+        if resume_from is not None:
+            payload = self.restore_checkpoint(resume_from)
+            start_epoch = int(payload.get("epoch", -1)) + 1
+            self.log(f"resumed from {resume_from} at epoch {start_epoch}")
+        for epoch in range(start_epoch, self.cfg.epochs):
             t0 = time.time()
             rng, sub = jax.random.split(rng)
             train_metrics = self._run_epoch(train_batches_fn(epoch), sub, train=True)
