@@ -29,6 +29,15 @@ def fold_accents(text: str) -> str:
     return "".join(c for c in decomposed if not unicodedata.combining(c))
 
 
+def segment_sentences(text: str) -> list[str]:
+    """Sentence segmentation (reference exposes this via underthesea at
+    `word_processing.py`; serving never calls it on the hot path)."""
+    import re
+
+    parts = re.split(r"(?<=[.!?…])\s+", text.strip())
+    return [p for p in parts if p]
+
+
 class QueryPreprocessor(Protocol):
     def __call__(self, query: str) -> str: ...
 
