@@ -200,21 +200,33 @@ class ServingContext:
         h, w = arr.shape[:2]
         top, left = (h - size) // 2, (w - size) // 2
         staged = np.ascontiguousarray(arr[top : top + size, left : left + size, ::-1])
-        feat = self.engine.encode_staged_images(staged[None], normalise=True)[0]
 
-        hits = self.index.search(feat, top_k * 3, video_name)[0]
+        # fused one-dispatch path: normalize → encode_image → GEMM → top-k
+        if getattr(self, "_image_searcher", None) is None:
+            from evr_tpu.index.fused_image_search import ImageSearcher
+
+            self._image_searcher = ImageSearcher(self.engine, self.index)
+        scores, rows = self._image_searcher.search(staged[None], top_k * 3, video_name)
+
         results = []
-        for hit in hits:
-            if hit.score < threshold:
+        for score, row in zip(scores[0], rows[0]):
+            score = float(score)
+            if not np.isfinite(score) or score < threshold:
                 continue
-            frame = self.query_engine._frame_for_hit(hit)
-            if frame is None:
+            video, frame_name, _ = self.index.resolve_row(int(row))
+            hit_frame = None
+            try:
+                frameidx = int(frame_name.rsplit(".", 1)[0])
+                hit_frame = self.metadata.frame_by_idx(video, frameidx)
+            except ValueError:
+                pass
+            if hit_frame is None:
                 continue
             event = format_event_for_frontend(
-                {**frame.raw, "clip_similarity": hit.score},
-                fps=self.metadata.fps(hit.video),
+                {**hit_frame.raw, "clip_similarity": score},
+                fps=self.metadata.fps(video),
             )
-            event["clip_similarity"] = hit.score
+            event["clip_similarity"] = score
             results.append(event)
         results.sort(key=lambda e: e.get("clip_similarity", 0), reverse=True)
         return results[:top_k]
