@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import json
 import pathlib
+import threading
 from dataclasses import dataclass, field
 
 import numpy as np
@@ -74,6 +75,11 @@ class FrameIndex:
         self._device_index: jax.Array | None = None
         self._dirty = True
         self.version = 0  # bumped on every rebuild (cache invalidation key)
+        # Serving runs threaded (upload ingestion concurrent with search);
+        # mutation + build + row resolution share this lock. The reference's
+        # equivalent state is unguarded dicts under Flask's threaded server
+        # (SURVEY.md §5.2).
+        self._lock = threading.RLock()
 
     # -- mutation ---------------------------------------------------------
     def add_video(
@@ -90,18 +96,20 @@ class FrameIndex:
             raise ValueError(
                 f"{name!r}: {len(frame_names)} frame names for {len(emb)} embeddings"
             )
-        if name not in self._videos:
-            self._order.append(name)
-        self._videos[name] = VideoEntry(name, len(emb), 0, list(frame_names))
-        self._embeddings[name] = emb
-        self._dirty = True
+        with self._lock:
+            if name not in self._videos:
+                self._order.append(name)
+            self._videos[name] = VideoEntry(name, len(emb), 0, list(frame_names))
+            self._embeddings[name] = emb
+            self._dirty = True
 
     def remove_video(self, name: str) -> None:
-        self._videos.pop(name, None)
-        self._embeddings.pop(name, None)
-        if name in self._order:
-            self._order.remove(name)
-        self._dirty = True
+        with self._lock:
+            self._videos.pop(name, None)
+            self._embeddings.pop(name, None)
+            if name in self._order:
+                self._order.remove(name)
+            self._dirty = True
 
     # -- properties -------------------------------------------------------
     @property
@@ -148,6 +156,10 @@ class FrameIndex:
 
     def build(self) -> None:
         """(Re)concatenate, normalise, pad and transfer the index to device."""
+        with self._lock:
+            self._build_locked()
+
+    def _build_locked(self) -> None:
         row = 0
         mats = []
         for name in self._order:
@@ -174,8 +186,9 @@ class FrameIndex:
         self.version += 1
 
     def _ensure_built(self):
-        if self._dirty or self._device_index is None:
-            self.build()
+        with self._lock:
+            if self._dirty or self._device_index is None:
+                self._build_locked()
 
     # -- search -----------------------------------------------------------
     def _range_for(self, video_name: str | None) -> tuple[int, int]:
@@ -188,6 +201,10 @@ class FrameIndex:
         self, queries: np.ndarray, top_k: int, video_name: str | None = None
     ) -> tuple[np.ndarray, np.ndarray]:
         """(scores [Q, k], global row indices [Q, k]); k clamped to range."""
+        with self._lock:
+            return self._search_raw_locked(queries, top_k, video_name)
+
+    def _search_raw_locked(self, queries, top_k, video_name):
         self._ensure_built()
         start, end = self._range_for(video_name)
         k = max(1, min(top_k, end - start))
@@ -218,6 +235,10 @@ class FrameIndex:
 
     def resolve_row(self, row: int) -> tuple[str, str, int]:
         """global row → (video, frame_name, frame_index)."""
+        with self._lock:
+            return self._resolve_row_locked(row)
+
+    def _resolve_row_locked(self, row: int) -> tuple[str, str, int]:
         for name in self._order:
             entry = self._videos[name]
             if entry.row_start <= row < entry.row_start + entry.n_frames:

@@ -70,6 +70,9 @@ class TrainConfig:
     # disables AMP — `training_CLIP_multimodal.py:440-479`).
     skip_nonfinite_updates: bool = True
     max_consecutive_nonfinite: int = 5
+    # accumulate gradients over N micro-batches before applying
+    # (`training_CLIP_multimodal.py:404-487` grad_accumulation_steps=4)
+    grad_accumulation_steps: int = 1
 
 
 @chex.dataclass
@@ -119,6 +122,8 @@ def make_optimizer(
         opt = optax.chain(optax.clip_by_global_norm(cfg.grad_clip), opt)
     if cfg.skip_nonfinite_updates:
         opt = optax.apply_if_finite(opt, cfg.max_consecutive_nonfinite)
+    if cfg.grad_accumulation_steps > 1:
+        opt = optax.MultiSteps(opt, cfg.grad_accumulation_steps)
     return opt
 
 
