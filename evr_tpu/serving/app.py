@@ -58,6 +58,9 @@ def create_app(ctx: ServingContext):
             Rule("/health", endpoint="health", methods=["GET"]),
             Rule("/api/models", endpoint="models", methods=["GET"]),
             Rule("/api/models/active", endpoint="active_model", methods=["GET", "POST"]),
+            # additive observability route (no reference counterpart — the
+            # reference's only instrumentation is stdout prints, SURVEY §5.1)
+            Rule("/api/stats", endpoint="stats", methods=["GET"]),
         ]
     )
 
@@ -100,7 +103,28 @@ def create_app(ctx: ServingContext):
             events = [events[i] for i in range(0, len(events), step)][:20]
         return _json(events)
 
+    def ep_stats(request):
+        from evr_tpu.utils import Timer
+
+        return _json(
+            {
+                "timings": Timer.report(),
+                "index": {
+                    "videos": len(ctx.index.videos),
+                    "frames": ctx.index.total_frames,
+                    "version": ctx.index.version,
+                },
+                "caches": {
+                    "search": len(ctx.search_cache),
+                    "viz": len(ctx.viz_cache),
+                },
+                "active_model": ctx.engine.active_model,
+            }
+        )
+
     def ep_search(request):  # app.py:381-613
+        from evr_tpu.utils import Timer
+
         start_time = time.time()
         data = request.get_json(silent=True) or {}
         search_type = data.get("search_type", "text")
@@ -195,7 +219,10 @@ def create_app(ctx: ServingContext):
         else:
             results.sort(key=lambda x: x.get("confidence", 0), reverse=True)
 
-        _ = time.time() - start_time
+        from evr_tpu.utils.profiling import _registry, _lock
+
+        with _lock:
+            _registry[f"search/{search_method}"].append(time.time() - start_time)
         return _json({"events": results[:top_k]})
 
     def ep_upload(request):  # app.py:615-691
@@ -375,6 +402,7 @@ def create_app(ctx: ServingContext):
     endpoints = {
         "health": ep_health,
         "index": ep_index,
+        "stats": ep_stats,
         "videos": ep_videos,
         "video_events": ep_video_events,
         "search": ep_search,

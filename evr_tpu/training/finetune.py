@@ -268,16 +268,38 @@ class Trainer:
             shutil.rmtree(path)
         ckptr.save(path, payload)
         ckptr.wait_until_finished()
+        # optimizer moments in a sibling dir (restored against an abstract
+        # template so optax's namedtuple structure survives the round trip)
+        opt_path = path.parent / f"{name}_opt"
+        if opt_path.exists():
+            import shutil
+
+            shutil.rmtree(opt_path)
+        ckptr.save(opt_path, jax.tree.map(np.asarray, self.state.opt_state))
+        ckptr.wait_until_finished()
 
     def restore_checkpoint(self, name: str) -> dict:
+        """Full-state restore: params + optimizer moments + step (the
+        reference checkpoints bundle optimizer_state_dict the same way —
+        `clip_finetune_correct.py:216-224`)."""
         import orbax.checkpoint as ocp
 
         ckptr = ocp.StandardCheckpointer()
         payload = ckptr.restore(self._ckpt_dir(name))
         params = jax.tree.map(jnp.asarray, payload["params"])
+        opt_path = self._ckpt_dir(f"{name}_opt")
+        if opt_path.exists():
+            template = self.optimizer.init(params)
+            abstract = jax.tree.map(
+                lambda x: jax.ShapeDtypeStruct(jnp.shape(x), jnp.asarray(x).dtype),
+                template,
+            )
+            opt_state = ckptr.restore(opt_path, abstract)
+        else:  # older checkpoints: re-init moments
+            opt_state = self.optimizer.init(params)
         self.state = TrainState(
             params=params,
-            opt_state=self.optimizer.init(params),
+            opt_state=opt_state,
             step=jnp.asarray(payload["step"], jnp.int32),
         )
         return payload

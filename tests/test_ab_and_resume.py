@@ -105,3 +105,9 @@ def test_trainer_resume(tmp_path, rng):
     )
     epochs_run = [row["epoch"] for row in trainer2.history]
     assert epochs_run == [2, 3]
+
+    # optimizer moments survive the checkpoint round trip (not re-zeroed)
+    trainer3 = Trainer(cfg, clip_params, tc2, log_fn=lambda s: None)
+    trainer3.restore_checkpoint("final_checkpoint")
+    moments = [np.abs(np.asarray(l)).sum() for l in jax.tree.leaves(trainer3.state.opt_state)]
+    assert any(m > 0 for m in moments)

@@ -220,6 +220,18 @@ def test_upload_video(client, tmp_path):
     assert resp.status_code == 400
 
 
+def test_stats_route(client):
+    client.post(
+        "/api/search",
+        json={"search_type": "text", "query": "x", "search_method": "text_clip", "top_k": 1},
+    )
+    stats = get_json(client.get("/api/stats"))
+    assert stats["index"]["frames"] >= 2
+    assert "search/text_clip" in stats["timings"]
+    assert stats["timings"]["search/text_clip"]["count"] >= 1
+    assert stats["active_model"] == "original"
+
+
 def test_boot_restores_state(client):
     """A fresh context over the same data root restores the index from disk."""
     old_ctx = client.application.ctx
