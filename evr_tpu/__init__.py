@@ -39,6 +39,9 @@ _SUBPACKAGES = (
     "viz",
     "utils",
     "config",
+    "data_prep",
+    "native",
+    "tools",
 )
 
 

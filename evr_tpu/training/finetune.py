@@ -320,6 +320,40 @@ class Trainer:
             n += 1
         return {k: float(np.mean(v)) for k, v in agg.items()} | {"batches": n}
 
+    def evaluate_retrieval(self, batches) -> dict:
+        """Per-epoch retrieval validation (R@1/5/10, MRR both directions) —
+        the T3 trainer's `validate` (`training_CLIP_multimodal.py:269-375`)
+        computed over the current params."""
+        from evr_tpu.evaluation.retrieval import evaluate_retrieval
+        from evr_tpu.models.clip import encode_image, encode_text
+        from evr_tpu.ops.preprocess import CLIP_MEAN, CLIP_STD
+
+        dtype = (
+            jnp.bfloat16 if self.cfg.compute_dtype == "bfloat16" else jnp.float32
+        )
+        mean = np.asarray(CLIP_MEAN, np.float32)
+        std = np.asarray(CLIP_STD, np.float32)
+        imgs, txts = [], []
+        for batch in batches:
+            x = (np.asarray(batch["images"], np.float32) / 255.0 - mean) / std
+            imgs.append(
+                np.asarray(
+                    encode_image(self.state.params["clip"], self.model_cfg, jnp.asarray(x), dtype=dtype)
+                )
+            )
+            txts.append(
+                np.asarray(
+                    encode_text(
+                        self.state.params["clip"], self.model_cfg,
+                        jnp.asarray(batch["tokens"]), dtype=dtype,
+                    )
+                )
+            )
+        img = np.concatenate(imgs)
+        txt = np.concatenate(txts)
+        ids = list(range(len(img)))
+        return evaluate_retrieval(img, txt, ids, ids)
+
     def fit(self, train_batches_fn, val_batches_fn=None, resume_from: str | None = None) -> dict:
         """``train_batches_fn(epoch) -> iterator of batches`` (and likewise
         for validation). ``resume_from`` restores a saved checkpoint and
