@@ -302,7 +302,13 @@ class VideoRegistry:
     load — SURVEY.md §4).
     """
 
-    FIELDS = ("metadata_file", "embeddings_file", "video_path", "frames_dir")
+    FIELDS = (
+        "metadata_file",
+        "embeddings_file",
+        "video_path",
+        "frames_dir",
+        "embedding_model",  # which model produced the embeddings (app.py:655)
+    )
 
     def __init__(self, mapping_path):
         self.path = pathlib.Path(mapping_path)

@@ -89,6 +89,7 @@ def ingest_video(
             embeddings_file=str(emb_file),
             video_path=str(video_path),
             frames_dir=str(frames_dir),
+            embedding_model=getattr(engine, "active_model", "original"),
         )
 
     return IngestResult(
