@@ -59,11 +59,12 @@ class FrameIndex:
         mesh_axis: str = "data",
         device_dtype: str = "float32",
     ):
-        """``device_dtype='bfloat16'`` halves the index's HBM footprint and
-        the GEMM's bandwidth (the query-latency bottleneck at 100k+ rows);
-        scores still accumulate in fp32. Rank flips only occur between rows
-        whose fp32 scores differ by <1e-2 — acceptable for serving, not for
-        rank-parity evaluation (keep fp32 there)."""
+        """``device_dtype``: 'float32' (exact — use for rank-parity eval),
+        'bfloat16' (2× less HBM bandwidth), or 'int8' (4× less: symmetric
+        per-row quantisation with exact post-GEMM rescaling). Scores always
+        accumulate fp32; rank flips under reduced precision only occur
+        between rows whose fp32 scores differ by less than the quantisation
+        step (~1e-2 int8) — acceptable for serving."""
         self.embed_dim = embed_dim
         self.pad_multiple = pad_multiple
         self.mesh = mesh
@@ -73,6 +74,7 @@ class FrameIndex:
         self._embeddings: dict[str, np.ndarray] = {}
         self._order: list[str] = []
         self._device_index: jax.Array | None = None
+        self._row_scales = None
         self._dirty = True
         self.version = 0  # bumped on every rebuild (cache invalidation key)
         # Serving runs threaded (upload ingestion concurrent with search);
@@ -172,8 +174,15 @@ class FrameIndex:
         full = np.zeros((padded, self.embed_dim), dtype=np.float32)
         if mats:
             full[:total] = np.concatenate(mats, axis=0)
+        self._row_scales = None
         if self.device_dtype == "bfloat16":
             full = jnp.asarray(full).astype(jnp.bfloat16)
+        elif self.device_dtype == "int8":
+            max_abs = np.maximum(np.abs(full).max(axis=1), 1e-12)
+            scales = (max_abs / 127.0).astype(np.float32)
+            quant = np.clip(np.round(full / scales[:, None]), -127, 127).astype(np.int8)
+            full = jnp.asarray(quant)
+            self._row_scales = jnp.asarray(scales)
         if self.mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -213,6 +222,7 @@ class FrameIndex:
         use_sharded = (
             self.mesh is not None
             and self.mesh.shape[self.mesh_axis] > 1
+            and self._row_scales is None  # int8 path is single-device for now
             and k <= self._device_index.shape[0] // self.mesh.shape[self.mesh_axis]
         )
         if use_sharded:
@@ -229,7 +239,12 @@ class FrameIndex:
             )
         else:
             scores, rows = cosine_topk(
-                self._device_index, q, jnp.int32(start), jnp.int32(end), k
+                self._device_index,
+                q,
+                jnp.int32(start),
+                jnp.int32(end),
+                k,
+                row_scales=self._row_scales,
             )
         return np.asarray(scores), np.asarray(rows)
 

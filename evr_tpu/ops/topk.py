@@ -22,16 +22,32 @@ import jax.numpy as jnp
 
 @functools.partial(jax.jit, static_argnames=("k",))
 def cosine_topk(
-    index: jax.Array,  # [N_padded, D], L2-normalised rows
+    index: jax.Array,  # [N_padded, D], L2-normalised rows (float or int8)
     queries: jax.Array,  # [Q, D], unnormalised
     start: jax.Array,  # scalar int32 — first valid row
     end: jax.Array,  # scalar int32 — one past last valid row
     k: int,
+    row_scales: jax.Array | None = None,  # [N_padded] dequant scales (int8 index)
 ) -> tuple[jax.Array, jax.Array]:
-    """Return (scores [Q, k], indices [Q, k]) of top-k rows in [start, end)."""
+    """Return (scores [Q, k], indices [Q, k]) of top-k rows in [start, end).
+
+    With an int8 index the per-row dequantisation scale factors out of the
+    dot product, so it is applied AFTER the GEMM (exact, no dequantised
+    matrix ever materialises); HBM reads are 4× smaller than fp32.
+    """
     q = queries / jnp.linalg.norm(queries, axis=-1, keepdims=True)
-    # match the index dtype (bf16 index → bf16 operands, fp32 accumulation)
-    sims = jnp.dot(q.astype(index.dtype), index.T, preferred_element_type=jnp.float32)
+    if index.dtype == jnp.int8:
+        sims = jnp.dot(
+            q.astype(jnp.bfloat16),
+            index.T.astype(jnp.bfloat16),
+            preferred_element_type=jnp.float32,
+        )
+        sims = sims * row_scales[None, :]
+    else:
+        # match the index dtype (bf16 index → bf16 operands, fp32 accumulation)
+        sims = jnp.dot(
+            q.astype(index.dtype), index.T, preferred_element_type=jnp.float32
+        )
     rows = jnp.arange(index.shape[0])[None, :]
     sims = jnp.where((rows >= start) & (rows < end), sims, -jnp.inf)
     return jax.lax.top_k(sims, k)

@@ -21,7 +21,8 @@ def test_concurrent_ingest_and_search(rng):
 
     def searcher():
         try:
-            q = rng.normal(size=32).astype(np.float32)
+            # per-thread generator: numpy Generators are not thread-safe
+            q = np.random.default_rng(1).normal(size=32).astype(np.float32)
             while not stop.is_set():
                 hits = idx.search(q, 5)[0]
                 assert hits, "search returned empty during concurrent ingest"
@@ -30,8 +31,9 @@ def test_concurrent_ingest_and_search(rng):
 
     def ingester():
         try:
+            ing_rng = np.random.default_rng(2)
             for i in range(20):
-                idx.add_video(f"v{i}", rng.normal(size=(20, 32)).astype(np.float32))
+                idx.add_video(f"v{i}", ing_rng.normal(size=(20, 32)).astype(np.float32))
                 if i % 3 == 0:
                     idx.remove_video(f"v{i}")
         except Exception as e:  # pragma: no cover

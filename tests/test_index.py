@@ -94,6 +94,18 @@ def test_bf16_index_rank_agreement(rng):
     np.testing.assert_allclose(s1, s2, atol=5e-3)
 
 
+def test_int8_index_rank_agreement(rng):
+    videos = (("a", 300),)
+    f32, truth = _random_index(rng, videos=videos)
+    i8 = FrameIndex(embed_dim=64, pad_multiple=128, device_dtype="int8")
+    i8.add_video("a", truth["a"])
+    q = rng.normal(size=(4, 64)).astype(np.float32)
+    s1, r1 = f32.search_raw(q, 5)
+    s2, r2 = i8.search_raw(q, 5)
+    np.testing.assert_array_equal(r1[:, 0], r2[:, 0])  # top-1 preserved
+    np.testing.assert_allclose(s1, s2, atol=2e-2)  # int8 quantisation band
+
+
 def test_incremental_add_remove(rng):
     idx, truth = _random_index(rng)
     q = rng.normal(size=64).astype(np.float32)
