@@ -12,7 +12,6 @@ import csv
 import json
 import pathlib
 
-import numpy as np
 
 
 def clipscore_captions(

@@ -17,7 +17,6 @@ import math
 import numpy as np
 
 import jax
-import jax.numpy as jnp
 
 
 def check_frozen_parameters(params: dict, freeze_layers: int) -> dict:

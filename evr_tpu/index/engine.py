@@ -18,7 +18,6 @@ TPU-native differences:
 
 from __future__ import annotations
 
-import functools
 import pathlib
 from typing import Callable
 

@@ -13,8 +13,6 @@ cost; here the cache is still kept (hot queries skip even the one dispatch).
 
 from __future__ import annotations
 
-import functools
-
 import numpy as np
 
 import jax

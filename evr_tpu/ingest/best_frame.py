@@ -14,7 +14,6 @@ from __future__ import annotations
 import json
 import pathlib
 
-import numpy as np
 
 
 def select_best_frames(
