@@ -58,7 +58,7 @@ def _full_extras(engine, rng):
     from evr_tpu.training.finetune import TrainState
 
     extras = {}
-    # ViT-L/14@336 batch-64 encode
+    # ViT-L/14@336 batch-64 encode — both end-to-end and device-resident
     lcfg = get_model_config("ViT-L/14@336px")
     lengine = EmbeddingEngine(cfg=lcfg, batch_size=64, rng_seed=0)
     staged = (rng.random((64, 336, 336, 3)) * 255).astype(np.uint8)
@@ -67,6 +67,12 @@ def _full_extras(engine, rng):
     for _ in range(2):
         lengine.encode_staged_images(staged)
     extras["vitl336_fps_batch64"] = round(2 * 64 / (time.perf_counter() - t0), 2)
+    dev_batch = jnp.asarray(staged)
+    float(jnp.sum(lengine._encode_staged(lengine.params, dev_batch)))
+    t0 = time.perf_counter()
+    for _ in range(3):
+        float(jnp.sum(lengine._encode_staged(lengine.params, dev_batch)))
+    extras["vitl336_compute_fps_batch64"] = round(3 * 64 / (time.perf_counter() - t0), 2)
 
     # ViT-B/32 train-step throughput, batch 64
     cfg = get_model_config("ViT-B/32")
