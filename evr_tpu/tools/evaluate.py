@@ -20,7 +20,18 @@ def main(argv=None):
     parser.add_argument("--checkpoint", default=None, help="fine-tuned .pt to compare")
     parser.add_argument("--max-images", type=int, default=1000)
     parser.add_argument("--output-dir", default="comparison_results")
+    parser.add_argument(
+        "--classification-dirs",
+        nargs="*",
+        default=None,
+        metavar="CLASS=DIR",
+        help="labelled folders (e.g. Violence=imgs/v NonViolence=imgs/n) — "
+        "runs the classification benchmark instead of retrieval",
+    )
     args = parser.parse_args(argv)
+
+    if args.classification_dirs:
+        return _run_classification(args)
 
     from evr_tpu.evaluation import EngineAdapter, ModelComparison
     from evr_tpu.evaluation.datasets import (
@@ -52,6 +63,55 @@ def main(argv=None):
     chart = comp.save_charts()
     if chart:
         print(f"wrote {chart}")
+
+
+def _run_classification(args):
+    """E2 parity: per-model accuracy/precision/recall/F1 over labelled
+    folders (`compare_model_classification.py` equivalent)."""
+    import json
+    import pathlib
+
+    import numpy as np
+
+    from evr_tpu.evaluation.classification import evaluate_classification
+    from evr_tpu.index import EmbeddingEngine
+
+    class_dirs = dict(spec.split("=", 1) for spec in args.classification_dirs)
+    classes = sorted(class_dirs)
+    engine = EmbeddingEngine(args.model)
+    if args.checkpoint:
+        engine.load_finetuned(args.checkpoint)
+
+    paths, labels = [], []
+    for ci, cls in enumerate(classes):
+        for p in sorted(pathlib.Path(class_dirs[cls]).iterdir()):
+            if p.suffix.lower() in (".jpg", ".jpeg", ".png"):
+                paths.append(p)
+                labels.append(ci)
+    labels = np.asarray(labels)
+    print(f"classification over {len(paths)} images, classes={classes}")
+
+    results = {}
+    for model_name in engine.available_models():
+        engine.set_active_model(model_name)
+        feats = engine.encode_image_files(paths, normalise=True)
+        classifier_fn = (
+            engine.classify
+            if engine.models[model_name].get("classifier") is not None
+            else None
+        )
+        report = evaluate_classification(
+            feats, labels, n_classes=len(classes), classifier_fn=classifier_fn
+        )
+        results[model_name] = report
+        print(
+            f"{model_name} [{report['mode']}]: acc={report['accuracy']:.4f} "
+            f"f1={report['f1_macro']:.4f}"
+        )
+    out = pathlib.Path(args.output_dir)
+    out.mkdir(parents=True, exist_ok=True)
+    (out / "classification_results.json").write_text(json.dumps(results, indent=2))
+    print(f"wrote {out / 'classification_results.json'}")
 
 
 if __name__ == "__main__":

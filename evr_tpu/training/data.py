@@ -97,17 +97,38 @@ class CaptionDataset:
         if shuffle:
             np.random.default_rng(seed + epoch).shuffle(order)
         end = len(order) - (len(order) % batch_size) if drop_remainder else len(order)
+
+        stager = None
+        try:  # C++ thread-pool staging when built (evr_tpu.native)
+            from evr_tpu.native import NativeStager, native_available
+
+            if native_available():
+                stager = NativeStager(image_size)
+        except Exception:
+            stager = None
+
         for i in range(0, end, batch_size):
             chunk = order[i : i + batch_size]
+            paths = [self.items[j][0] for j in chunk]
             images, captions, labels = [], [], []
-            for j in chunk:
-                path, caption, cat = self.items[j]
-                try:
-                    images.append(stage_image_fast(path, image_size))
-                except IOError:
-                    continue
-                captions.append(caption)
-                labels.append(cat)
+            if stager is not None and all(
+                str(p).lower().endswith((".jpg", ".jpeg")) for p in paths
+            ):
+                staged, ok = stager.stage_batch(paths)
+                for pos in ok:
+                    j = chunk[pos]
+                    images.append(staged[pos])
+                    captions.append(self.items[j][1])
+                    labels.append(self.items[j][2])
+            else:
+                for j in chunk:
+                    path, caption, cat = self.items[j]
+                    try:
+                        images.append(stage_image_fast(path, image_size))
+                    except IOError:
+                        continue
+                    captions.append(caption)
+                    labels.append(cat)
             if not images:
                 continue
             # pad short (unreadable-image) batches back up by repetition to
