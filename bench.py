@@ -105,11 +105,30 @@ def _full_extras(engine, rng):
     return extras
 
 
+def _enable_compile_cache():
+    """Persistent XLA compilation cache: repeated bench/driver runs skip the
+    (minutes-long on relayed compilers) first-compile cost."""
+    import os
+
+    import jax
+
+    try:
+        jax.config.update(
+            "jax_compilation_cache_dir",
+            os.environ.get("JAX_COMPILATION_CACHE_DIR", "/tmp/evr_tpu_jax_cache"),
+        )
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+
 def main() -> None:
     import sys
 
     import jax
     import jax.numpy as jnp
+
+    _enable_compile_cache()
 
     from evr_tpu.index import EmbeddingEngine, FrameIndex
 
