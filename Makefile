@@ -1,7 +1,13 @@
 # Convenience targets. The native library also auto-builds on first use
 # (evr_tpu/native/loader.py).
 
-.PHONY: all native test bench clean
+.PHONY: all native test bench check clean
+
+# full local gate: tests on the virtual CPU mesh + driver entry points
+check: test
+	JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8 \
+	python -c "import jax; jax.config.update('jax_platforms','cpu'); \
+	import __graft_entry__ as g; fn,a = g.entry(); jax.jit(fn)(*a); g.dryrun_multichip(8)"
 
 all: native
 
