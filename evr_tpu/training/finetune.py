@@ -320,6 +320,36 @@ class Trainer:
             n += 1
         return {k: float(np.mean(v)) for k, v in agg.items()} | {"batches": n}
 
+    def plot_history(self, out_path) -> None:
+        """Loss/accuracy curves PNG (`clip_finetune_correct.py:272-293`)."""
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        epochs = [r["epoch"] for r in self.history]
+        fig, axes = plt.subplots(1, 2, figsize=(10, 4))
+        for key, label in (("train_total_loss", "train"), ("val_total_loss", "val")):
+            vals = [r.get(key) for r in self.history]
+            if any(v is not None for v in vals):
+                axes[0].plot(epochs, vals, label=label)
+        axes[0].set_xlabel("epoch")
+        axes[0].set_ylabel("loss")
+        axes[0].legend()
+        for key, label in (
+            ("train_classification_accuracy", "train"),
+            ("val_classification_accuracy", "val"),
+        ):
+            vals = [r.get(key) for r in self.history]
+            if any(v is not None for v in vals):
+                axes[1].plot(epochs, vals, label=label)
+        axes[1].set_xlabel("epoch")
+        axes[1].set_ylabel("classification accuracy")
+        axes[1].legend()
+        fig.tight_layout()
+        fig.savefig(out_path, dpi=110)
+        plt.close(fig)
+
     def evaluate_retrieval(self, batches) -> dict:
         """Per-epoch retrieval validation (R@1/5/10, MRR both directions) —
         the T3 trainer's `validate` (`training_CLIP_multimodal.py:269-375`)
