@@ -76,7 +76,12 @@ class EmbeddingEngine:
         tokenizer=None,
         rng_seed: int = 0,
         preprocess_mode: str = "fast",
+        mesh=None,
+        mesh_axis: str = "data",
     ):
+        """``mesh``: shard every encode batch over the mesh's data axis with
+        replicated params — ingestion/eval throughput scales with chips (the
+        batch size should divide the axis size)."""
         self.model_name = model_name
         self.cfg = cfg or get_model_config(model_name)
         if compute_dtype is None:
@@ -99,23 +104,30 @@ class EmbeddingEngine:
         cfg_ = self.cfg
         dtype = self.compute_dtype
 
-        @jax.jit
         def _encode_staged(params_, staged_u8):
             x = staged_u8.astype(jnp.float32) / 255.0
             x = (x - mean) / std
             return encode_image(params_, cfg_, x, dtype=dtype)
 
-        @jax.jit
         def _encode_pixels(params_, pixels):
             return encode_image(params_, cfg_, pixels, dtype=dtype)
 
-        @jax.jit
         def _encode_tokens(params_, tokens):
             return encode_text(params_, cfg_, tokens, dtype=dtype)
 
-        self._encode_staged = _encode_staged
-        self._encode_pixels = _encode_pixels
-        self._encode_tokens = _encode_tokens
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            repl = NamedSharding(mesh, P())
+            batch_sh = NamedSharding(mesh, P(mesh_axis))
+            jit_kw = dict(in_shardings=(repl, batch_sh), out_shardings=batch_sh)
+            self._encode_staged = jax.jit(_encode_staged, **jit_kw)
+            self._encode_pixels = jax.jit(_encode_pixels, **jit_kw)
+            self._encode_tokens = jax.jit(_encode_tokens, **jit_kw)
+        else:
+            self._encode_staged = jax.jit(_encode_staged)
+            self._encode_pixels = jax.jit(_encode_pixels)
+            self._encode_tokens = jax.jit(_encode_tokens)
 
     # -- model registry (set_active_model parity) -------------------------
     def register_model(self, name: str, clip_params, classifier=None,

@@ -71,6 +71,41 @@ def project_embeddings(
     return coords, "pca"
 
 
+def render_scatter(result: dict, out_path, point_size: float = 8.0) -> str | None:
+    """Optional matplotlib PNG render of a visualization payload
+    (`visualization_service.py:237-299` parity)."""
+    try:
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+    except ImportError:  # pragma: no cover
+        return None
+    coords = np.asarray(result["coordinates"])
+    labels = result["video_labels"]
+    videos = result["videos"]
+    color_of = {v: i for i, v in enumerate(videos)}
+    colors = [color_of[v] for v in labels]
+    fig, ax = plt.subplots(figsize=(8, 6))
+    scatter = ax.scatter(
+        coords[:, 0], coords[:, 1], c=colors, cmap="tab10", s=point_size, alpha=0.7
+    )
+    handles = [
+        plt.Line2D(
+            [], [], marker="o", linestyle="", label=v,
+            color=scatter.cmap(scatter.norm(color_of[v])),
+        )
+        for v in videos
+    ]
+    ax.legend(handles=handles, fontsize=7)
+    method = result.get("dimensionality_reduction", {}).get("method", "?")
+    ax.set_title(f"frame embeddings ({method})")
+    fig.tight_layout()
+    fig.savefig(out_path, dpi=110)
+    plt.close(fig)
+    return str(out_path)
+
+
 def generate_visualization(
     index,
     metadata_store,
