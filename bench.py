@@ -115,7 +115,7 @@ def _enable_compile_cache():
     try:
         jax.config.update(
             "jax_compilation_cache_dir",
-            os.environ.get("JAX_COMPILATION_CACHE_DIR", "/tmp/evr_tpu_jax_cache"),
+            os.environ.get("JAX_COMPILATION_CACHE_DIR", f"/tmp/evr_tpu_jax_cache_{jax.default_backend()}"),
         )
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     except Exception:

@@ -78,6 +78,7 @@ class EmbeddingEngine:
         preprocess_mode: str = "fast",
         mesh=None,
         mesh_axis: str = "data",
+        params_dtype: str = "float32",
     ):
         """``mesh``: shard every encode batch over the mesh's data axis with
         replicated params — ingestion/eval throughput scales with chips (the
@@ -95,6 +96,17 @@ class EmbeddingEngine:
 
         if params is None:
             params = init_clip_params(jax.random.PRNGKey(rng_seed), self.cfg)
+        if params_dtype == "bfloat16":
+            # store weights bf16 on device: halves serving HBM for the large
+            # towers; LN/softmax still compute fp32 (models.layers)
+            params = jax.tree.map(
+                lambda a: (
+                    jnp.asarray(a, jnp.bfloat16)
+                    if hasattr(a, "dtype") and jnp.issubdtype(jnp.asarray(a).dtype, jnp.floating)
+                    else a
+                ),
+                params,
+            )
         self.models: dict[str, dict] = {"original": {"clip": params, "classifier": None}}
         self.active_model = "original"
         self._text_cache: dict[tuple[str, str], np.ndarray] = {}
@@ -163,7 +175,7 @@ class EmbeddingEngine:
     def encode_texts(self, texts, normalise: bool = True) -> np.ndarray:
         if isinstance(texts, str):
             texts = [texts]
-        tokens = self.tokenizer(texts)
+        tokens = self.tokenizer(texts, context_length=self.cfg.text.context_length)
         out = np.asarray(self._encode_tokens(self.params, jnp.asarray(tokens)))
         if normalise:
             out = out / np.maximum(np.linalg.norm(out, axis=-1, keepdims=True), 1e-12)

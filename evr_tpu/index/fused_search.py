@@ -73,7 +73,9 @@ class TextSearcher:
         if cache_key in self._result_cache:
             return self._result_cache[cache_key]
 
-        tokens = self.engine.tokenizer(list(queries))
+        tokens = self.engine.tokenizer(
+            list(queries), context_length=self.engine.cfg.text.context_length
+        )
         fused = self._fused_fn(k)
         scores, rows = fused(
             self.engine.params,

@@ -148,6 +148,13 @@ class ClipTokenizer:
         if env:
             candidates.append(pathlib.Path(env))
         candidates.extend(pathlib.Path(p).expanduser() for p in _VOCAB_SEARCH_PATHS)
+        # any CLIP tokenizer assets already in the HF cache
+        hf_home = pathlib.Path(
+            os.environ.get("HF_HOME", "~/.cache/huggingface")
+        ).expanduser()
+        if hf_home.exists():
+            candidates.extend(sorted(hf_home.glob("**/clip*/**/merges.txt"))[:4])
+            candidates.extend(sorted(hf_home.glob("hub/models--*clip*/**/merges.txt"))[:4])
         for cand in candidates:
             if cand.exists():
                 return cand
