@@ -145,6 +145,20 @@ def create_app(ctx: ServingContext):
 
         video_name = ctx.video_name_from_id(data.get("videoId") or "")
 
+        # result cache (CacheService search-results parity, cache_service.py
+        # :242-255): keyed by the full request semantics + index version,
+        # invalidated by ingest. Build first so the version is stable.
+        ctx.index._ensure_built()
+        cache_key = (
+            model_name, ctx.index.version, search_type, query, image_url,
+            top_k, adaptive_threshold, text_confidence, object_confidence,
+            search_method, keyword, object_keyword, bool(enable_clip_similarity),
+            video_name,
+        )
+        cached = ctx.search_cache.get(cache_key)
+        if cached is not None:
+            return _json(cached)
+
         qe = ctx.query_engine
         results: list[dict] = []
         if search_type == "image" and image_url:
@@ -223,7 +237,9 @@ def create_app(ctx: ServingContext):
 
         with _lock:
             _registry[f"search/{search_method}"].append(time.time() - start_time)
-        return _json({"events": results[:top_k]})
+        payload = {"events": results[:top_k]}
+        ctx.search_cache.set(cache_key, payload)
+        return _json(payload)
 
     def ep_upload(request):  # app.py:615-691
         video_file = request.files.get("video")

@@ -220,6 +220,19 @@ def test_upload_video(client, tmp_path):
     assert resp.status_code == 400
 
 
+def test_search_result_cache(client):
+    ctx = client.application.ctx
+    ctx.search_cache.invalidate()
+    body = {"search_type": "text", "query": "cache probe", "search_method": "text_clip", "top_k": 2}
+    r1 = get_json(client.post("/api/search", json=body))
+    assert len(ctx.search_cache) == 1
+    r2 = get_json(client.post("/api/search", json=body))
+    assert r1 == r2
+    # different params → different cache entry
+    client.post("/api/search", json=body | {"top_k": 3})
+    assert len(ctx.search_cache) == 2
+
+
 def test_stats_route(client):
     client.post(
         "/api/search",
