@@ -102,6 +102,22 @@ def _full_extras(engine, rng):
         state, metrics = step(state, batch, jax.random.PRNGKey(i))
     float(metrics["total_loss"])  # sync
     extras["train_examples_per_sec_batch64"] = round(3 * 64 / (time.perf_counter() - t0), 2)
+
+    # index dtype sweep: batched-32 per-query latency over 100k rows
+    from evr_tpu.index import FrameIndex
+
+    emb = rng.normal(size=(N_INDEX, EMBED_DIM)).astype(np.float32)
+    q32 = rng.normal(size=(32, EMBED_DIM)).astype(np.float32)
+    for dtype_name in ("float32", "bfloat16", "int8"):
+        idx = FrameIndex(embed_dim=EMBED_DIM, pad_multiple=1024, device_dtype=dtype_name)
+        idx.add_video("bench", emb)
+        idx.search_raw(q32, 10)
+        t0 = time.perf_counter()
+        for _ in range(10):
+            idx.search_raw(q32, 10)
+        extras[f"query_ms_batched32_{dtype_name}"] = round(
+            (time.perf_counter() - t0) / 10 / 32 * 1e3, 3
+        )
     return extras
 
 
