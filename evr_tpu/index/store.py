@@ -99,11 +99,44 @@ class FrameIndex:
                 f"{name!r}: {len(frame_names)} frame names for {len(emb)} embeddings"
             )
         with self._lock:
+            if self._try_append(name, emb, frame_names):
+                return
             if name not in self._videos:
                 self._order.append(name)
             self._videos[name] = VideoEntry(name, len(emb), 0, list(frame_names))
             self._embeddings[name] = emb
             self._dirty = True
+
+    def _try_append(self, name: str, emb: np.ndarray, frame_names: list[str]) -> bool:
+        """Incremental device-side append: a NEW video whose rows fit the
+        already-allocated padding is written in place with
+        dynamic_update_slice — no O(total) rebuild per upload. Falls back to
+        a rebuild (returns False) for replacements, sharded/quantised
+        indexes, or when capacity is exhausted."""
+        if (
+            self._dirty
+            or self._device_index is None
+            or name in self._videos
+            or self.mesh is not None
+            or self._row_scales is not None
+        ):
+            return False
+        n = len(emb)
+        capacity = self._device_index.shape[0]
+        if self._total + n > capacity:
+            return False
+        norms = np.linalg.norm(emb, axis=1, keepdims=True)
+        rows = (emb / np.maximum(norms, 1e-12)).astype(np.float32)
+        rows_dev = jnp.asarray(rows).astype(self._device_index.dtype)
+        self._device_index = jax.lax.dynamic_update_slice(
+            self._device_index, rows_dev, (self._total, 0)
+        )
+        self._order.append(name)
+        self._videos[name] = VideoEntry(name, n, self._total, list(frame_names))
+        self._embeddings[name] = emb
+        self._total += n
+        self.version += 1
+        return True
 
     def remove_video(self, name: str) -> None:
         with self._lock:
@@ -154,6 +187,8 @@ class FrameIndex:
             per = -(-max(n, 1) // shards)
             per = ((per + 127) // 128) * 128
             return per * shards
+        # single-device: 25% headroom so uploads append in place
+        n = int(n * 1.25)
         return max(m, ((n + m - 1) // m) * m)
 
     def build(self) -> None:

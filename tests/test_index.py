@@ -118,6 +118,40 @@ def test_incremental_add_remove(rng):
     assert idx.total_frames == 37 + 201 + 10
 
 
+def test_incremental_append_matches_rebuild(rng):
+    """A new video appended in place must search identically to a fresh
+    rebuild with the same contents."""
+    base = {name: rng.normal(size=(n, 64)).astype(np.float32) for name, n in
+            (("a", 100), ("b", 60))}
+    extra = rng.normal(size=(30, 64)).astype(np.float32)
+
+    inc = FrameIndex(embed_dim=64, pad_multiple=128)
+    for name, emb in base.items():
+        inc.add_video(name, emb)
+    inc.build()
+    v_before = inc.version
+    inc.add_video("c", extra)  # should append in place (headroom)
+    assert inc.version == v_before + 1
+    assert not inc._dirty  # no rebuild happened
+
+    rebuilt = FrameIndex(embed_dim=64, pad_multiple=128)
+    for name, emb in base.items():
+        rebuilt.add_video(name, emb)
+    rebuilt.add_video("c", extra)
+
+    q = rng.normal(size=(3, 64)).astype(np.float32)
+    s1, r1 = inc.search_raw(q, 8)
+    s2, r2 = rebuilt.search_raw(q, 8)
+    np.testing.assert_allclose(s1, s2, rtol=1e-5, atol=1e-6)
+    # row numbering may differ only if layouts differ; resolve and compare
+    hits1 = [[inc.resolve_row(int(r))[:2] for r in row] for row in r1]
+    hits2 = [[rebuilt.resolve_row(int(r))[:2] for r in row] for row in r2]
+    assert hits1 == hits2
+    # replacement of an existing video falls back to rebuild
+    inc.add_video("c", rng.normal(size=(10, 64)).astype(np.float32))
+    assert inc._dirty
+
+
 def test_save_load_roundtrip(rng, tmp_path):
     idx, truth = _random_index(rng)
     idx.save(tmp_path)
