@@ -71,6 +71,24 @@ def test_fused_search_respects_model_switch(engine, rng):
     assert np.abs(s1 - s2).max() > 1e-4  # different model → different scores
 
 
+def test_bf16_params_dtype(rng):
+    cfg = small_cfg()
+    from evr_tpu.models import init_clip_params
+    import jax as _jax
+
+    params = init_clip_params(_jax.random.PRNGKey(0), cfg)
+    f32 = EmbeddingEngine(cfg=cfg, params=params, batch_size=4)
+    bf16 = EmbeddingEngine(cfg=cfg, params=params, batch_size=4, params_dtype="bfloat16")
+    staged = (rng.random((2, 64, 64, 3)) * 255).astype(np.uint8)
+    a = f32.encode_staged_images(staged, normalise=True)
+    b = bf16.encode_staged_images(staged, normalise=True)
+    cos = (a * b).sum(axis=1)
+    assert (cos > 0.99).all()
+    # token embeddings stay integer-indexable; tokens unaffected
+    t = bf16.encode_texts(["a query"], normalise=True)
+    assert np.isfinite(t).all()
+
+
 def test_classification_cli(tmp_path, monkeypatch, rng):
     from PIL import Image
 
