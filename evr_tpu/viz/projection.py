@@ -50,6 +50,16 @@ def project_embeddings(
         except ImportError:
             if method == "umap":
                 raise
+    if method == "tsne_jax":
+        from .tsne_jax import tsne
+
+        coords = tsne(
+            emb,
+            n_components=n_components,
+            random_state=random_state,
+            metric="euclidean",  # emb already normalised above for cosine
+        )
+        return coords, "tsne_jax"
     if method == "tsne":
         from sklearn.manifold import TSNE
 
