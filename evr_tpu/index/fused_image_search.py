@@ -55,13 +55,12 @@ class ImageSearcher:
         self, staged_u8: np.ndarray, top_k: int, video_name: str | None = None
     ) -> tuple[np.ndarray, np.ndarray]:
         """staged_u8: uint8 [Q, S, S, 3] (already resized/cropped)."""
-        self.index._ensure_built()
-        start, end = self.index._range_for(video_name)
+        device_index, _, start, end, _ = self.index.snapshot(video_name)
         k = max(1, min(top_k, end - start))
         fused = self._fused_fn(k)
         scores, rows = fused(
             self.engine.params,
-            self.index._device_index,
+            device_index,
             jnp.asarray(staged_u8),
             jnp.int32(start),
             jnp.int32(end),

@@ -59,13 +59,12 @@ class TextSearcher:
         """(scores [Q, k], global rows [Q, k]) in one device call."""
         if isinstance(queries, str):
             queries = [queries]
-        self.index._ensure_built()
-        start, end = self.index._range_for(video_name)
+        device_index, _, start, end, version = self.index.snapshot(video_name)
         k = max(1, min(top_k, end - start))
 
         cache_key = (
             self.engine.active_model,
-            self.index.version,
+            version,
             tuple(queries),
             k,
             video_name,
@@ -79,7 +78,7 @@ class TextSearcher:
         fused = self._fused_fn(k)
         scores, rows = fused(
             self.engine.params,
-            self.index._device_index,
+            device_index,
             jnp.asarray(tokens),
             jnp.int32(start),
             jnp.int32(end),

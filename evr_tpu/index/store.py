@@ -283,6 +283,15 @@ class FrameIndex:
             )
         return np.asarray(scores), np.asarray(rows)
 
+    def snapshot(self, video_name: str | None = None):
+        """Consistent view for external searchers: (device_index, row_scales,
+        start, end, version) taken under the lock — safe against concurrent
+        rebuilds."""
+        with self._lock:
+            self._ensure_built()
+            start, end = self._range_for(video_name)
+            return self._device_index, self._row_scales, start, end, self.version
+
     def resolve_row(self, row: int) -> tuple[str, str, int]:
         """global row → (video, frame_name, frame_index)."""
         with self._lock:
@@ -346,10 +355,11 @@ class VideoRegistry:
     """Durable per-video artefact registry (video_mapping.json parity).
 
     Schema per entry matches `path_service.py:95-112`:
-    ``{metadata_file, embeddings_file, video_path, frames_dir}`` — but paths
-    are stored relative to the data root so the registry is relocatable
-    (the reference's absolute Windows paths are why its own fixtures can't
-    load — SURVEY.md §4).
+    ``{metadata_file, embeddings_file, video_path, frames_dir,
+    embedding_model}``. Paths are stored as given; data-root-relative paths
+    are supported throughout (prune/boot resolve against the root), unlike
+    the reference's absolute Windows paths that keep its own fixtures from
+    loading (SURVEY.md §4).
     """
 
     FIELDS = (

@@ -22,6 +22,14 @@ TPU-native difference: candidates come from ONE batched GEMM + top-k with
 scores attached (`FrameIndex.search`), and metadata probes are O(1) hash
 lookups (`MetadataStore`) — the reference's per-frame re-scoring and O(k·N)
 JSON scans are gone.
+
+One deliberate divergence: the reference pre-filters keyword matches to the
+top_k×3 highest-confidence keyword frames and intersects candidates with
+that set (`search_service.py:25-58` + `query_strategies.py:289-295`), so
+with more than top_k×3 matching frames it silently drops valid
+intersections. Here the keyword predicate is evaluated directly on each
+CLIP candidate — a strict superset of the reference's results, identical
+whenever the reference's cap doesn't truncate.
 """
 
 from __future__ import annotations
