@@ -116,6 +116,24 @@ class ModelComparison:
         path.write_text(json.dumps(payload, indent=2))
         return path
 
+    def save_csv(self, filename: str = "comparison_results.csv") -> pathlib.Path:
+        """Tabular export (the reference writes Excel; CSV opens everywhere
+        and needs no optional engine)."""
+        import csv
+
+        self.output_dir.mkdir(parents=True, exist_ok=True)
+        path = self.output_dir / filename
+        metrics = ["R@1", "R@5", "R@10", "MRR", "Median_Rank", "Mean_Rank"]
+        with open(path, "w", newline="") as f:
+            writer = csv.writer(f)
+            writer.writerow(["model", "direction"] + metrics + ["rsum"])
+            for name, res in self.results.items():
+                for direction in ("t2i", "i2t", "mean"):
+                    row = [name, direction] + [res[direction][m] for m in metrics]
+                    row.append(res["mean"]["rsum"] if direction == "mean" else "")
+                    writer.writerow(row)
+        return path
+
     def save_charts(self, filename: str = "comparison_chart.png") -> pathlib.Path | None:
         try:
             import matplotlib

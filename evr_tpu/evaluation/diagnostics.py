@@ -20,9 +20,14 @@ import jax
 
 
 def check_frozen_parameters(params: dict, freeze_layers: int) -> dict:
-    """Audit which tensors the freeze mask covers and the trainable ratio."""
+    """Audit which tensors the freeze mask covers and the trainable ratio.
+
+    Accepts either the training-layout tree ({'clip': ..., 'classifier':
+    ...}) or a bare CLIP params tree."""
     from evr_tpu.training.partition import count_labels, param_group_labels
 
+    if "clip" not in params:
+        params = {"clip": params}
     labels = param_group_labels(params, freeze_layers)
     counts = count_labels(labels)
     leaves = jax.tree.leaves(params)
