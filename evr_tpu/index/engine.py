@@ -39,8 +39,8 @@ from evr_tpu.tokenizer import get_default_tokenizer
 IMAGE_EXTENSIONS = (".jpg", ".jpeg", ".png", ".bmp", ".webp")
 
 
-def stage_image_fast(path, image_size: int = 224) -> np.ndarray:
-    """cv2 decode + shortest-side resize + center crop → uint8 [S, S, 3] RGB.
+def stage_array_fast(rgb: np.ndarray, image_size: int = 224) -> np.ndarray:
+    """uint8 RGB array → shortest-side resize + center crop, uint8 [S,S,3].
 
     INTER_AREA downscale approximates the reference's antialiased bicubic
     closely enough for retrieval (the exact-PIL path is
@@ -48,19 +48,25 @@ def stage_image_fast(path, image_size: int = 224) -> np.ndarray:
     """
     import cv2
 
-    img = cv2.imread(str(path), cv2.IMREAD_COLOR)
-    if img is None:
-        raise IOError(f"cannot decode image: {path}")
-    h, w = img.shape[:2]
+    h, w = rgb.shape[:2]
     scale = image_size / min(h, w)
     interp = cv2.INTER_AREA if scale < 1.0 else cv2.INTER_CUBIC
     img = cv2.resize(
-        img, (int(round(w * scale)), int(round(h * scale))), interpolation=interp
+        rgb, (int(round(w * scale)), int(round(h * scale))), interpolation=interp
     )
     h, w = img.shape[:2]
     top, left = (h - image_size) // 2, (w - image_size) // 2
-    img = img[top : top + image_size, left : left + image_size]
-    return np.ascontiguousarray(img[:, :, ::-1])  # BGR → RGB
+    return np.ascontiguousarray(img[top : top + image_size, left : left + image_size])
+
+
+def stage_image_fast(path, image_size: int = 224) -> np.ndarray:
+    """cv2 decode + shortest-side resize + center crop → uint8 [S, S, 3] RGB."""
+    import cv2
+
+    img = cv2.imread(str(path), cv2.IMREAD_COLOR)
+    if img is None:
+        raise IOError(f"cannot decode image: {path}")
+    return stage_array_fast(np.ascontiguousarray(img[:, :, ::-1]), image_size)
 
 
 class EmbeddingEngine:

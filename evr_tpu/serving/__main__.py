@@ -12,6 +12,11 @@ def main():
     parser.add_argument(
         "--checkpoint", default=None, help="optional fine-tuned .pt checkpoint"
     )
+    parser.add_argument(
+        "--shard-index",
+        action="store_true",
+        help="shard the frame index + encode batches across all visible devices",
+    )
     args = parser.parse_args()
 
     from werkzeug.serving import run_simple
@@ -20,10 +25,16 @@ def main():
     from .app import create_app
     from .context import ServingContext
 
-    engine = EmbeddingEngine(args.model)
+    mesh = None
+    if args.shard_index:
+        from evr_tpu.parallel import get_mesh
+
+        mesh = get_mesh()
+        print(f"sharding over {mesh.shape} mesh")
+    engine = EmbeddingEngine(args.model, mesh=mesh)
     if args.checkpoint:
         engine.load_finetuned(args.checkpoint)
-    ctx = ServingContext(args.data_root, engine=engine)
+    ctx = ServingContext(args.data_root, engine=engine, mesh=mesh)
     loaded = ctx.boot()
     print(f"serving {len(loaded)} videos from {args.data_root}")
     run_simple(args.host, args.port, create_app(ctx), threaded=True)

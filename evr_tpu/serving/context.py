@@ -186,20 +186,13 @@ class ServingContext:
     def search_by_image(
         self, source: str, threshold: float, top_k: int, video_name: str | None = None
     ) -> list[dict]:
-        from evr_tpu.index.engine import stage_image_fast
+        from evr_tpu.index.engine import stage_array_fast
         from evr_tpu.query.events import format_event_for_frontend
-        import cv2
 
         img = self.load_image_source(source)
-        arr = np.asarray(img)[:, :, ::-1]  # RGB→BGR for cv2 resize below
-        size = self.engine.cfg.vision.image_size
-        h, w = arr.shape[:2]
-        scale = size / min(h, w)
-        interp = cv2.INTER_AREA if scale < 1.0 else cv2.INTER_CUBIC
-        arr = cv2.resize(arr, (int(round(w * scale)), int(round(h * scale))), interpolation=interp)
-        h, w = arr.shape[:2]
-        top, left = (h - size) // 2, (w - size) // 2
-        staged = np.ascontiguousarray(arr[top : top + size, left : left + size, ::-1])
+        staged = stage_array_fast(
+            np.ascontiguousarray(np.asarray(img)), self.engine.cfg.vision.image_size
+        )
 
         # fused one-dispatch path: normalize → encode_image → GEMM → top-k
         if getattr(self, "_image_searcher", None) is None:
