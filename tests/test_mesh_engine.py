@@ -38,6 +38,39 @@ def test_mesh_engine_matches_single_device(rng):
     np.testing.assert_allclose(t1, t2, rtol=1e-5, atol=1e-6)
 
 
+def test_sharded_serving_context(tmp_path, rng):
+    """ServingContext with a mesh: ingest + all search paths still work with
+    the index sharded across devices."""
+    import cv2
+
+    from evr_tpu.config import DataRootConfig
+    from evr_tpu.serving import ServingContext
+
+    video = tmp_path / "v.mp4"
+    w = cv2.VideoWriter(str(video), cv2.VideoWriter_fourcc(*"mp4v"), 25.0, (64, 64))
+    for i in range(40):
+        f = np.zeros((64, 64, 3), np.uint8)
+        f[:, :, 0 if i < 20 else 2] = 200
+        w.write(f)
+    w.release()
+
+    cfg = CLIPConfig(
+        embed_dim=32,
+        vision=VisionConfig(image_size=64, patch_size=16, width=64, layers=2, heads=4),
+        text=TextConfig(width=64, layers=2, heads=4),
+    )
+    mesh = get_mesh(len(jax.devices()))
+    ctx = ServingContext(
+        DataRootConfig(tmp_path / "data"),
+        engine=EmbeddingEngine(cfg=cfg, batch_size=8, mesh=mesh),
+        mesh=mesh,
+    )
+    ctx.ingest(video)
+    results = ctx.query_engine.query_text_clip("red scene", top_k=2)
+    assert len(results) == 2
+    assert all(np.isfinite(r["clip_similarity"]) for r in results)
+
+
 def test_render_scatter(tmp_path, rng):
     from evr_tpu.viz.projection import render_scatter
 
