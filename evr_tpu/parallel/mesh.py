@@ -46,6 +46,27 @@ def get_mesh(
     return Mesh(dev_array, axis_names)
 
 
+def get_multislice_mesh(
+    n_slices: int,
+    chips_per_slice: int,
+    axis_names: tuple[str, str] = ("replica", "data"),
+) -> Mesh:
+    """Multi-slice layout: the outer ``replica`` axis crosses slices (DCN),
+    the inner ``data`` axis stays within a slice (ICI). Keep
+    bandwidth-hungry collectives (feature all-gathers for the global-batch
+    contrastive loss, index row sharding) on the inner axis; only the
+    gradient psum crosses the slow outer axis. With real multi-slice
+    hardware, construct via jax.experimental.mesh_utils'
+    create_hybrid_device_mesh with the same axis semantics.
+    """
+    devices = jax.devices()
+    need = n_slices * chips_per_slice
+    if len(devices) < need:
+        raise ValueError(f"need {need} devices, have {len(devices)}")
+    dev_array = np.asarray(devices[:need]).reshape(n_slices, chips_per_slice)
+    return Mesh(dev_array, axis_names)
+
+
 def shard_rows(mesh: Mesh, axis: str = "data") -> NamedSharding:
     """Sharding that splits the leading (row) dimension across ``axis``."""
     return NamedSharding(mesh, P(axis))

@@ -51,6 +51,23 @@ def test_deterministic_and_lowercased():
     assert tok.encode("  spaced    out  ") == tok.encode("spaced out")
 
 
+def test_real_vocab_ids_when_available():
+    """With the real OpenAI merge table supplied (EVR_TPU_BPE_VOCAB), the
+    special ids must be the canonical 49406/49407."""
+    import os
+
+    import pytest
+
+    if not os.environ.get("EVR_TPU_BPE_VOCAB"):
+        pytest.skip("real BPE vocab not provided")
+    tok = ClipTokenizer()
+    assert tok.sot_id == 49406
+    assert tok.eot_id == 49407
+    assert tok.vocab_size == 49408
+    # canonical encoding of a known phrase under the real vocab
+    assert tok.encode("a photo of a cat") == [320, 1125, 539, 320, 2368]
+
+
 def test_unicode_bytes_covered():
     """Vietnamese queries (the reference's primary language) must tokenize."""
     tok = ClipTokenizer()
