@@ -174,6 +174,14 @@ def main() -> None:
         _sync(engine._encode_staged(engine.params, dev_batch))
     compute_fps = n_iters * EMBED_BATCH / (time.perf_counter() - t0)
 
+    # larger device batch amortises per-call overhead (B=1024)
+    big = jnp.asarray(np.tile(staged, (4, 1, 1, 1)))
+    _sync(engine._encode_staged(engine.params, big))
+    t0 = time.perf_counter()
+    for _ in range(2):
+        _sync(engine._encode_staged(engine.params, big))
+    compute_fps_1024 = 2 * 4 * EMBED_BATCH / (time.perf_counter() - t0)
+
     # -- H2D bandwidth -----------------------------------------------------
     t0 = time.perf_counter()
     for _ in range(2):
@@ -234,6 +242,7 @@ def main() -> None:
                 "vs_baseline": round(e2e_fps / REFERENCE_GPU_FPS, 3),
                 "backend": backend,
                 "compute_fps": round(compute_fps, 2),
+                "compute_fps_batch1024": round(compute_fps_1024, 2),
                 "h2d_MBps": round(h2d_mbps, 1),
                 "p50_query_latency_ms_100k": round(p50_search, 3),
                 "p50_query_latency_ms_100k_batched32": round(batched_per_query, 3),
