@@ -117,6 +117,24 @@ def test_combined_strategy_over_fixtures(stack):
     assert results[0]["confidence"] >= 0.5
 
 
+def test_reference_registry_windows_paths(reference_fixtures, tmp_path):
+    """The reference's real video_mapping.json (absolute Windows paths)
+    loads and self-heals without crashing on POSIX."""
+    import shutil
+
+    from evr_tpu.index import VideoRegistry
+
+    mapping = tmp_path / "video_mapping.json"
+    shutil.copy(reference_fixtures / "metadata" / "video_mapping.json", mapping)
+    reg = VideoRegistry(mapping)
+    names = reg.names()
+    assert len(names) >= 4
+    dropped = reg.prune_missing()
+    # every Windows-absolute video path is unreachable here → all pruned
+    assert set(dropped) == set(names)
+    assert reg.names() == []
+
+
 def test_visualization_over_fixtures(stack):
     from evr_tpu.viz import generate_visualization
 
