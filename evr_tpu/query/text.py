@@ -46,6 +46,25 @@ def identity_preprocessor(query: str) -> str:
     return query
 
 
+DEFAULT_EN_STOPWORDS = frozenset(
+    "a an and are as at be by for from has he in is it its of on that the to "
+    "was were will with this these those there then than or nor not no so "
+    "very just about into over under out up down off again once".split()
+)
+
+
+def load_stopwords(path) -> set[str]:
+    """One stopword per line (the reference ships `vietnamese-stopwords.txt`
+    / `Eng_stopwords.txt` in this format)."""
+    import pathlib
+
+    return {
+        line.strip().lower()
+        for line in pathlib.Path(path).read_text(encoding="utf-8").splitlines()
+        if line.strip()
+    }
+
+
 class VietnamesePreprocessor:
     """Local-first equivalent of `word_processing.py:68-75`.
 
