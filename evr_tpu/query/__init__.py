@@ -1,7 +1,14 @@
 from .metadata import MetadataStore
 from .events import format_event_for_frontend
 from .strategies import QueryEngine, SEARCH_METHODS
-from .text import fold_accents, QueryPreprocessor, VietnamesePreprocessor
+from .text import (
+    DEFAULT_EN_STOPWORDS,
+    QueryPreprocessor,
+    VietnamesePreprocessor,
+    fold_accents,
+    load_stopwords,
+    segment_sentences,
+)
 
 __all__ = [
     "MetadataStore",
@@ -11,4 +18,7 @@ __all__ = [
     "fold_accents",
     "QueryPreprocessor",
     "VietnamesePreprocessor",
+    "DEFAULT_EN_STOPWORDS",
+    "load_stopwords",
+    "segment_sentences",
 ]
