@@ -87,12 +87,24 @@ class VietnamesePreprocessor:
             return text
         return " ".join(w for w in text.split() if w.lower() not in self.stopwords)
 
+    @staticmethod
+    def looks_vietnamese(text: str) -> bool:
+        """Local language gate replacing the reference's langdetect call
+        (`word_processing.py`): Vietnamese text almost always carries
+        diacritics or đ; plain-ASCII queries skip translation entirely."""
+        vietnamese_chars = set(
+            "àáảãạăằắẳẵặâầấẩẫậèéẻẽẹêềếểễệìíỉĩịòóỏõọôồốổỗộơờớởỡợ"
+            "ùúủũụưừứửữựỳýỷỹỵđ"
+        )
+        low = text.lower()
+        return any(c in vietnamese_chars for c in low)
+
     def __call__(self, query: str) -> str:
         if query in self._cache:
             return self._cache[query]
         text = " ".join(query.lower().split())
         text = self.remove_stopwords(text)
-        if self.translator is not None:
+        if self.translator is not None and self.looks_vietnamese(text):
             try:
                 text = self.translator(text)
             except Exception:

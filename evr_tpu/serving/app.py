@@ -404,7 +404,21 @@ def create_app(ctx: ServingContext):
 
     def ep_active_model(request):  # app.py:939-966
         if request.method == "GET":
-            return _json({"active_model": ctx.engine.active_model})
+            # surface model/index mismatches the reference leaves silent:
+            # searching an index embedded with model A using model B's text
+            # tower degrades ranking
+            index_models = {
+                (ctx.registry.get(n) or {}).get("embedding_model", "original")
+                for n in ctx.video_names()
+            }
+            payload = {"active_model": ctx.engine.active_model}
+            mismatched = index_models - {ctx.engine.active_model}
+            if index_models and mismatched:
+                payload["warning"] = (
+                    f"index contains embeddings from models {sorted(index_models)}; "
+                    f"queries use {ctx.engine.active_model!r}"
+                )
+            return _json(payload)
         data = request.get_json(silent=True) or {}
         model_name = data.get("model")
         if not model_name:

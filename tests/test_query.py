@@ -204,6 +204,26 @@ def test_dispatch_table(setup):
         setup.search("nope", query="x", top_k=1)
 
 
+def test_vietnamese_preprocessor_language_gate():
+    from evr_tpu.query import VietnamesePreprocessor
+
+    calls = []
+
+    def translator(text):
+        calls.append(text)
+        return "translated"
+
+    p = VietnamesePreprocessor(translator=translator)
+    # plain English skips translation
+    assert p("a man fighting") == "a man fighting"
+    assert calls == []
+    # Vietnamese diacritics trigger it (cached thereafter)
+    assert p("bạo lực trên đường") == "translated"
+    assert len(calls) == 1
+    assert p("bạo lực trên đường") == "translated"
+    assert len(calls) == 1
+
+
 def test_fold_accents_vietnamese():
     assert fold_accents("bạo lực trên đường phố") == "bao luc tren duong pho"
     assert fold_accents("Đặc biệt") == "Dac biet"
