@@ -38,7 +38,7 @@ class ImageSearcher:
         def fused(params, index_dev, staged_u8, start, end):
             x = (staged_u8.astype(jnp.float32) / 255.0 - mean) / std
             img = encode_image(params, cfg, x, dtype=dtype)
-            q = img / jnp.linalg.norm(img, axis=-1, keepdims=True)
+            q = img / jnp.maximum(jnp.linalg.norm(img, axis=-1, keepdims=True), 1e-12)
             sims = jnp.dot(
                 q.astype(index_dev.dtype),
                 index_dev.T,

@@ -40,7 +40,7 @@ class TextSearcher:
         @jax.jit
         def fused(params, index_dev, tokens, start, end):
             txt = encode_text(params, cfg, tokens, dtype=dtype)
-            q = txt / jnp.linalg.norm(txt, axis=-1, keepdims=True)
+            q = txt / jnp.maximum(jnp.linalg.norm(txt, axis=-1, keepdims=True), 1e-12)
             sims = jnp.dot(
                 q.astype(index_dev.dtype),
                 index_dev.T,

@@ -35,7 +35,7 @@ def cosine_topk(
     dot product, so it is applied AFTER the GEMM (exact, no dequantised
     matrix ever materialises); HBM reads are 4× smaller than fp32.
     """
-    q = queries / jnp.linalg.norm(queries, axis=-1, keepdims=True)
+    q = queries / jnp.maximum(jnp.linalg.norm(queries, axis=-1, keepdims=True), 1e-12)
     if index.dtype == jnp.int8:
         sims = jnp.dot(
             q.astype(jnp.bfloat16),

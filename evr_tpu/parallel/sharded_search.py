@@ -37,7 +37,7 @@ def sharded_cosine_topk(
         # idx_shard: [rows_per_shard, D] — this device's rows.
         shard_id = jax.lax.axis_index(axis)
         row0 = shard_id * rows_per_shard
-        qn = q / jnp.linalg.norm(q, axis=-1, keepdims=True)
+        qn = q / jnp.maximum(jnp.linalg.norm(q, axis=-1, keepdims=True), 1e-12)
         sims = jnp.dot(qn, idx_shard.T, preferred_element_type=jnp.float32)
         local_rows = row0 + jnp.arange(rows_per_shard)
         valid = (local_rows[None, :] >= start_) & (local_rows[None, :] < end_)
