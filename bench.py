@@ -105,10 +105,13 @@ def _full_extras(engine, rng):
     }
     state, _ = step(state, batch, jax.random.PRNGKey(0))  # compile
     t0 = time.perf_counter()
-    for i in range(3):
+    n_steps = 10
+    for i in range(n_steps):
         state, metrics = step(state, batch, jax.random.PRNGKey(i))
     float(metrics["total_loss"])  # sync
-    extras["train_examples_per_sec_batch64"] = round(3 * 64 / (time.perf_counter() - t0), 2)
+    extras["train_examples_per_sec_batch64"] = round(
+        n_steps * 64 / (time.perf_counter() - t0), 2
+    )
 
     # index dtype sweep: batched-32 per-query latency over 100k rows
     from evr_tpu.index import FrameIndex
