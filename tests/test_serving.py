@@ -59,6 +59,15 @@ def test_health(client):
     assert get_json(resp) == {"status": "ok"}
 
 
+def test_builtin_ui(client):
+    resp = client.get("/")
+    assert resp.status_code == 200
+    body = resp.get_data(as_text=True)
+    assert "text/html" in resp.headers["Content-Type"]
+    assert "/api/search" in body  # drives the same contract as the React app
+    assert "text_object_keyword" in body  # all 7 methods selectable
+
+
 def test_videos_listing(client):
     resp = client.get("/api/videos")
     assert resp.status_code == 200
