@@ -257,7 +257,6 @@ class FrameIndex:
         use_sharded = (
             self.mesh is not None
             and self.mesh.shape[self.mesh_axis] > 1
-            and self._row_scales is None  # int8 path is single-device for now
             and k <= self._device_index.shape[0] // self.mesh.shape[self.mesh_axis]
         )
         if use_sharded:
@@ -271,6 +270,7 @@ class FrameIndex:
                 jnp.int32(end),
                 k,
                 self.mesh_axis,
+                row_scales=self._row_scales,
             )
         else:
             scores, rows = cosine_topk(

@@ -27,33 +27,66 @@ def sharded_cosine_topk(
     end: jax.Array,  # scalar int32 — one past last valid global row
     k: int,
     axis: str = "data",
+    row_scales: jax.Array | None = None,  # [N_padded] dequant scales (int8)
 ) -> tuple[jax.Array, jax.Array]:
-    """Exact global top-k over rows [start, end) of the sharded index."""
+    """Exact global top-k over rows [start, end) of the sharded index.
+
+    With an int8 index, ``row_scales`` shards along the same axis and the
+    per-row dequantisation applies after each shard's local GEMM — identical
+    math to the single-device int8 path, sharded."""
     n_shards = mesh.shape[axis]
     n_padded = index.shape[0]
     rows_per_shard = n_padded // n_shards
 
-    def local_search(idx_shard, q, start_, end_):
-        # idx_shard: [rows_per_shard, D] — this device's rows.
-        shard_id = jax.lax.axis_index(axis)
-        row0 = shard_id * rows_per_shard
-        qn = q / jnp.maximum(jnp.linalg.norm(q, axis=-1, keepdims=True), 1e-12)
-        sims = jnp.dot(qn, idx_shard.T, preferred_element_type=jnp.float32)
-        local_rows = row0 + jnp.arange(rows_per_shard)
-        valid = (local_rows[None, :] >= start_) & (local_rows[None, :] < end_)
-        sims = jnp.where(valid, sims, -jnp.inf)
+    def local_topk(sims, row0):
         scores, local_idx = jax.lax.top_k(sims, k)  # [Q, k]
         global_idx = local_idx + row0
-        # Gather every shard's candidates: [S, Q, k] on all devices.
         all_scores = jax.lax.all_gather(scores, axis)
         all_idx = jax.lax.all_gather(global_idx, axis)
         return merge_topk(all_scores, all_idx, k)
 
+    def prep(idx_shard, q, start_, end_):
+        shard_id = jax.lax.axis_index(axis)
+        row0 = shard_id * rows_per_shard
+        qn = q / jnp.maximum(jnp.linalg.norm(q, axis=-1, keepdims=True), 1e-12)
+        local_rows = row0 + jnp.arange(rows_per_shard)
+        valid = (local_rows[None, :] >= start_) & (local_rows[None, :] < end_)
+        return row0, qn, valid
+
+    if row_scales is None:
+
+        def local_search(idx_shard, q, start_, end_):
+            row0, qn, valid = prep(idx_shard, q, start_, end_)
+            sims = jnp.dot(
+                qn.astype(idx_shard.dtype), idx_shard.T,
+                preferred_element_type=jnp.float32,
+            )
+            return local_topk(jnp.where(valid, sims, -jnp.inf), row0)
+
+        fn = shard_map(
+            local_search,
+            mesh=mesh,
+            in_specs=(P(axis, None), P(), P(), P()),
+            out_specs=(P(), P()),
+            check_rep=False,
+        )
+        return fn(index, queries, start, end)
+
+    def local_search_q(idx_shard, scales_shard, q, start_, end_):
+        row0, qn, valid = prep(idx_shard, q, start_, end_)
+        sims = jnp.dot(
+            qn.astype(jnp.bfloat16),
+            idx_shard.T.astype(jnp.bfloat16),
+            preferred_element_type=jnp.float32,
+        )
+        sims = sims * scales_shard[None, :]
+        return local_topk(jnp.where(valid, sims, -jnp.inf), row0)
+
     fn = shard_map(
-        local_search,
+        local_search_q,
         mesh=mesh,
-        in_specs=(P(axis, None), P(), P(), P()),
+        in_specs=(P(axis, None), P(axis), P(), P(), P()),
         out_specs=(P(), P()),
         check_rep=False,
     )
-    return fn(index, queries, start, end)
+    return fn(index, row_scales, queries, start, end)

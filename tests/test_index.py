@@ -106,6 +106,24 @@ def test_int8_index_rank_agreement(rng):
     np.testing.assert_allclose(s1, s2, atol=2e-2)  # int8 quantisation band
 
 
+def test_sharded_int8_matches_single_device(rng):
+    import jax
+
+    from evr_tpu.parallel import get_mesh
+
+    mesh = get_mesh(len(jax.devices()))
+    emb = rng.normal(size=(512, 64)).astype(np.float32)
+    single = FrameIndex(embed_dim=64, pad_multiple=128, device_dtype="int8")
+    single.add_video("a", emb)
+    sharded = FrameIndex(embed_dim=64, pad_multiple=128, mesh=mesh, device_dtype="int8")
+    sharded.add_video("a", emb)
+    q = rng.normal(size=(3, 64)).astype(np.float32)
+    s1, r1 = single.search_raw(q, 8)
+    s2, r2 = sharded.search_raw(q, 8)
+    np.testing.assert_array_equal(r1, r2)
+    np.testing.assert_allclose(s1, s2, rtol=1e-4, atol=1e-5)
+
+
 def test_incremental_add_remove(rng):
     idx, truth = _random_index(rng)
     q = rng.normal(size=64).astype(np.float32)
