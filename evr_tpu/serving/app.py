@@ -79,7 +79,8 @@ def create_app(ctx: ServingContext):
     def ep_videos(request):  # app.py:221-303
         dropped = ctx.registry.prune_missing(ctx.data_root.root)
         for name in dropped:
-            ctx.index.remove_video(name)
+            for index in ctx._indexes.values():
+                index.remove_video(name)
         videos = []
         for idx, name in enumerate(ctx.video_names(), 1):
             summary = ctx.video_summary(idx, name)
@@ -110,8 +111,12 @@ def create_app(ctx: ServingContext):
             {
                 "timings": Timer.report(),
                 "index": {
-                    "videos": len(ctx.index.videos),
-                    "frames": ctx.index.total_frames,
+                    "videos": sum(len(i.videos) for i in ctx._indexes.values()),
+                    "frames": sum(i.total_frames for i in ctx._indexes.values()),
+                    "per_model": {
+                        m: {"videos": len(i.videos), "frames": i.total_frames}
+                        for m, i in ctx._indexes.items()
+                    },
                     "version": ctx.index.version,
                 },
                 "caches": {

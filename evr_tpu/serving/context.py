@@ -39,14 +39,41 @@ class ServingContext:
             else DataRootConfig(pathlib.Path(data_root))
         )
         self.engine = engine or EmbeddingEngine()
-        self.index = FrameIndex(embed_dim=self.engine.cfg.embed_dim, mesh=mesh)
+        self.mesh = mesh
+        # One index PER embedding model: text queries with model M only ever
+        # score embeddings M produced. The reference searches whatever .npy
+        # exists regardless of the active model — a silent ranking corruption
+        # this design makes impossible.
+        self._indexes: dict[str, FrameIndex] = {}
+        self._query_engines: dict[str, QueryEngine] = {}
         self.metadata = MetadataStore()
         self.registry = VideoRegistry(self.data_root.mapping_path)
-        self.query_engine = QueryEngine(self.engine, self.index, self.metadata)
         self.search_cache = TTLCache(default_ttl=3600.0)
         self.viz_cache = TTLCache(default_ttl=24 * 3600.0)
         self.transcriber = transcriber
         self.scene_threshold = scene_threshold
+
+    # -- per-model index routing ------------------------------------------
+    def index_for(self, model: str) -> FrameIndex:
+        if model not in self._indexes:
+            self._indexes[model] = FrameIndex(
+                embed_dim=self.engine.cfg.embed_dim, mesh=self.mesh
+            )
+        return self._indexes[model]
+
+    @property
+    def index(self) -> FrameIndex:
+        """The active model's index."""
+        return self.index_for(self.engine.active_model)
+
+    @property
+    def query_engine(self) -> QueryEngine:
+        model = self.engine.active_model
+        if model not in self._query_engines:
+            self._query_engines[model] = QueryEngine(
+                self.engine, self.index_for(model), self.metadata
+            )
+        return self._query_engines[model]
 
     # -- boot / durable state ---------------------------------------------
     def boot(self) -> list[str]:
@@ -72,7 +99,8 @@ class ServingContext:
             frame_names = [r.get("frameid", f"{i}.jpg") for i, r in enumerate(records)]
             if len(frame_names) != len(emb):
                 frame_names = None
-            self.index.add_video(name, emb, frame_names)
+            model = entry.get("embedding_model", "original")
+            self.index_for(model).add_video(name, emb, frame_names)
             fps = 25.0
             video_path = entry.get("video_path", "")
             if video_path and pathlib.Path(video_path).exists():
@@ -195,11 +223,16 @@ class ServingContext:
         )
 
         # fused one-dispatch path: normalize → encode_image → GEMM → top-k
-        if getattr(self, "_image_searcher", None) is None:
-            from evr_tpu.index.fused_image_search import ImageSearcher
+        from evr_tpu.index.fused_image_search import ImageSearcher
 
-            self._image_searcher = ImageSearcher(self.engine, self.index)
-        scores, rows = self._image_searcher.search(staged[None], top_k * 3, video_name)
+        if not hasattr(self, "_image_searchers"):
+            self._image_searchers = {}
+        model = self.engine.active_model
+        if model not in self._image_searchers:
+            self._image_searchers[model] = ImageSearcher(self.engine, self.index)
+        scores, rows = self._image_searchers[model].search(
+            staged[None], top_k * 3, video_name
+        )
 
         results = []
         for score, row in zip(scores[0], rows[0]):

@@ -254,13 +254,57 @@ def test_stats_route(client):
     assert stats["active_model"] == "original"
 
 
+def test_per_model_index_routing(client, tmp_path):
+    """Videos ingested under model M are only searchable with model M —
+    the silent cross-model ranking corruption the reference allows."""
+    import jax
+
+    from evr_tpu.models import init_clip_params
+
+    ctx = client.application.ctx
+    engine = ctx.engine
+    engine.register_model(
+        "alt", init_clip_params(jax.random.PRNGKey(42), engine.cfg)
+    )
+    video = tmp_path / "altvid.mp4"
+    _make_video(video, n=30)
+    resp = client.post(
+        "/api/upload-video",
+        data={"video": (io.BytesIO(video.read_bytes()), "altvid.mp4"),
+              "model": "alt"},
+    )
+    assert resp.status_code == 200
+    assert ctx.registry.get("altvid")["embedding_model"] == "alt"
+    # searchable under 'alt'
+    events_alt = get_json(client.post(
+        "/api/search",
+        json={"search_type": "text", "query": "x", "search_method": "text_clip",
+              "model": "alt", "top_k": 50},
+    ))["events"]
+    assert any(e["videoId"] == "video-altvid" for e in events_alt)
+    # invisible under 'original'
+    events_orig = get_json(client.post(
+        "/api/search",
+        json={"search_type": "text", "query": "x", "search_method": "text_clip",
+              "model": "original", "top_k": 50},
+    ))["events"]
+    assert not any(e["videoId"] == "video-altvid" for e in events_orig)
+    # and original videos invisible under 'alt'
+    assert not any(e["videoId"] == "video-clip1" for e in events_alt)
+    # stats reports per-model split; model list includes 'alt'
+    stats = get_json(client.get("/api/stats"))
+    assert "alt" in stats["index"]["per_model"]
+    engine.set_active_model("original")
+
+
 def test_boot_restores_state(client):
     """A fresh context over the same data root restores the index from disk."""
     old_ctx = client.application.ctx
     engine = old_ctx.engine
     ctx2 = ServingContext(old_ctx.data_root, engine=engine)
+    engine.set_active_model("original")
     loaded = ctx2.boot()
-    assert set(loaded) == {"clip1", "clip2"}
+    assert {"clip1", "clip2"} <= set(loaded)
     assert ctx2.index.total_frames == old_ctx.index.total_frames
     app2 = create_app(ctx2)
     events = get_json(Client(app2).get("/api/video/video-1/events"))
