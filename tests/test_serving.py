@@ -209,6 +209,30 @@ def test_transcribe_unconfigured(client):
     assert resp.status_code == 501
 
 
+def test_transcribe_with_provider(client):
+    from evr_tpu.serving.providers import AssemblyAITranscriber, CallableTranscriber
+
+    ctx = client.application.ctx
+    ctx.transcriber = CallableTranscriber(lambda path, lang: f"heard ({lang})")
+    try:
+        resp = client.post(
+            "/api/transcribe-voice",
+            data={"audio": (io.BytesIO(b"RIFFxxxx"), "voice.wav"),
+                  "language": "vi"},
+        )
+        assert resp.status_code == 200
+        body = get_json(resp)
+        assert body["text"] == "heard (vi)"
+        assert body["audio_file"].endswith(".audio")
+    finally:
+        ctx.transcriber = None
+    # network provider fails fast without a key
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        AssemblyAITranscriber(api_key=None)
+
+
 def test_upload_video(client, tmp_path):
     video2 = tmp_path / "clip2.mp4"
     _make_video(video2, n=40)
