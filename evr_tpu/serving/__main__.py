@@ -17,6 +17,12 @@ def main():
         action="store_true",
         help="shard the frame index + encode batches across all visible devices",
     )
+    parser.add_argument(
+        "--transcriber",
+        choices=["none", "assemblyai"],
+        default="none",
+        help="voice-transcription provider (assemblyai reads ASSEMBLYAI_API_KEY)",
+    )
     args = parser.parse_args()
 
     from werkzeug.serving import run_simple
@@ -31,10 +37,15 @@ def main():
 
         mesh = get_mesh()
         print(f"sharding over {mesh.shape} mesh")
+    transcriber = None
+    if args.transcriber == "assemblyai":
+        from .providers import AssemblyAITranscriber
+
+        transcriber = AssemblyAITranscriber()
     engine = EmbeddingEngine(args.model, mesh=mesh)
     if args.checkpoint:
         engine.load_finetuned(args.checkpoint)
-    ctx = ServingContext(args.data_root, engine=engine, mesh=mesh)
+    ctx = ServingContext(args.data_root, engine=engine, mesh=mesh, transcriber=transcriber)
     loaded = ctx.boot()
     print(f"serving {len(loaded)} videos from {args.data_root}")
     run_simple(args.host, args.port, create_app(ctx), threaded=True)
