@@ -29,6 +29,36 @@ CATEGORY_MAPPING = {"Sensitive content": 0, "Violence": 1, "NonViolence": 2}
 DEFAULT_CATEGORY_ID = 2
 
 
+def prefetch_batches(iterator, depth: int = 2):
+    """Producer-thread prefetch: host staging of batch i+1 overlaps the
+    device step on batch i (the role DataLoader workers play in the
+    reference's torch loops)."""
+    import queue
+    import threading
+
+    q: "queue.Queue" = queue.Queue(maxsize=depth)
+    SENTINEL = object()
+    errors: list[BaseException] = []
+
+    def produce():
+        try:
+            for item in iterator:
+                q.put(item)
+        except BaseException as e:  # re-raised on the consumer side
+            errors.append(e)
+        finally:
+            q.put(SENTINEL)
+
+    threading.Thread(target=produce, daemon=True).start()
+    while True:
+        item = q.get()
+        if item is SENTINEL:
+            break
+        yield item
+    if errors:
+        raise errors[0]
+
+
 class CaptionDataset:
     """(image path, caption, category_id) triples from caption JSONs."""
 
