@@ -306,9 +306,11 @@ class Trainer:
 
     # -- loops ------------------------------------------------------------
     def _run_epoch(self, batches, rng, train: bool = True) -> dict:
+        from .data import prefetch_batches
+
         agg: dict[str, list[float]] = {}
         n = 0
-        for batch in batches:
+        for batch in prefetch_batches(batches):
             batch = {k: jnp.asarray(v) for k, v in batch.items()}
             if train:
                 rng, sub = jax.random.split(rng)
