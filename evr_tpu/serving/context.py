@@ -83,11 +83,18 @@ class ServingContext:
         import json
 
         self.registry.prune_missing(self.data_root.root)
+
+        def resolve(p: str) -> pathlib.Path:
+            path = pathlib.Path(p)
+            # relative registry entries resolve against the data root — the
+            # relocatability the reference's absolute Windows paths lack
+            return path if path.is_absolute() else self.data_root.root / path
+
         loaded = []
         for name in self.registry.names():
             entry = self.registry.get(name)
-            emb_path = pathlib.Path(entry.get("embeddings_file", ""))
-            meta_path = pathlib.Path(entry.get("metadata_file", ""))
+            emb_path = resolve(entry.get("embeddings_file", ""))
+            meta_path = resolve(entry.get("metadata_file", ""))
             if not emb_path.exists():
                 continue
             emb = np.load(emb_path)
@@ -103,8 +110,8 @@ class ServingContext:
             self.index_for(model).add_video(name, emb, frame_names)
             fps = 25.0
             video_path = entry.get("video_path", "")
-            if video_path and pathlib.Path(video_path).exists():
-                fps = video_fps(video_path)
+            if video_path and resolve(video_path).exists():
+                fps = video_fps(resolve(video_path))
             self.metadata.add_video(name, records, fps=fps)
             loaded.append(name)
         return loaded
