@@ -83,12 +83,22 @@ def ingest_video(
     if metadata_store is not None:
         metadata_store.add_video(name, records, fps=fps)
     if registry is not None:
+
+        def rel(p: pathlib.Path) -> str:
+            # store artifacts under the data root as root-relative paths so
+            # the whole data directory can be relocated (unlike the
+            # reference's absolute-path registry)
+            try:
+                return str(pathlib.Path(p).resolve().relative_to(data_root.root.resolve()))
+            except ValueError:
+                return str(p)
+
         registry.add(
             name,
-            metadata_file=str(meta_file),
-            embeddings_file=str(emb_file),
-            video_path=str(video_path),
-            frames_dir=str(frames_dir),
+            metadata_file=rel(meta_file),
+            embeddings_file=rel(emb_file),
+            video_path=rel(video_path),
+            frames_dir=rel(frames_dir),
             embedding_model=getattr(engine, "active_model", "original"),
         )
 

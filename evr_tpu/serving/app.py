@@ -300,8 +300,9 @@ def create_app(ctx: ServingContext):
             entry = ctx.registry.get(name) or {}
             frames_dir = entry.get("frames_dir")
             if frames_dir:
-                p = (pathlib.Path(frames_dir) / frame_name).resolve()
-                if p.is_file() and p.parent == pathlib.Path(frames_dir).resolve():
+                base = ctx.resolve_path(frames_dir)
+                p = (base / frame_name).resolve()
+                if p.is_file() and p.parent == base.resolve():
                     return _file(p, "image/jpeg")
         return _json({"error": f"Frame {frame_path} not found"}, 404)
 
@@ -314,8 +315,9 @@ def create_app(ctx: ServingContext):
             entry = ctx.registry.get(name) or {}
             vp = entry.get("video_path", "")
             if name == base or pathlib.Path(vp).name == base:
-                if vp and pathlib.Path(vp).exists():
-                    return _file(vp, "video/mp4")
+                resolved = ctx.resolve_path(vp) if vp else None
+                if resolved is not None and resolved.exists():
+                    return _file(resolved, "video/mp4")
         return _json({"error": f"Video {video_path} not found"}, 404)
 
     def ep_transcribe(request):  # app.py:766-850
@@ -378,7 +380,7 @@ def create_app(ctx: ServingContext):
         for name in ctx.video_names():
             entry = ctx.registry.get(name) or {}
             emb = entry.get("embeddings_file")
-            if not name.startswith("default") and emb and pathlib.Path(emb).exists():
+            if not name.startswith("default") and emb and ctx.resolve_path(emb).exists():
                 available.append(
                     {
                         "name": name,

@@ -53,6 +53,12 @@ class ServingContext:
         self.transcriber = transcriber
         self.scene_threshold = scene_threshold
 
+    def resolve_path(self, p: str) -> pathlib.Path:
+        """Registry paths may be data-root-relative (relocatable) or
+        absolute; resolve accordingly."""
+        path = pathlib.Path(p)
+        return path if path.is_absolute() else self.data_root.root / path
+
     # -- per-model index routing ------------------------------------------
     def index_for(self, model: str) -> FrameIndex:
         if model not in self._indexes:
@@ -84,12 +90,7 @@ class ServingContext:
 
         self.registry.prune_missing(self.data_root.root)
 
-        def resolve(p: str) -> pathlib.Path:
-            path = pathlib.Path(p)
-            # relative registry entries resolve against the data root — the
-            # relocatability the reference's absolute Windows paths lack
-            return path if path.is_absolute() else self.data_root.root / path
-
+        resolve = self.resolve_path
         loaded = []
         for name in self.registry.names():
             entry = self.registry.get(name)
@@ -157,16 +158,16 @@ class ServingContext:
     def video_summary(self, idx: int, name: str) -> dict | None:
         entry = self.registry.get(name) or {}
         video_path = entry.get("video_path", "")
-        if not video_path or not pathlib.Path(video_path).exists():
+        p = self.resolve_path(video_path) if video_path else None
+        if p is None or not p.exists():
             return None
-        p = pathlib.Path(video_path)
         frames_dir = entry.get("frames_dir")
         thumbnail = None
-        if frames_dir and pathlib.Path(frames_dir).exists():
-            frames = sorted(pathlib.Path(frames_dir).iterdir())
+        if frames_dir and self.resolve_path(frames_dir).exists():
+            frames = sorted(self.resolve_path(frames_dir).iterdir())
             if frames:
                 thumbnail = str(frames[0])
-        info = self.video_file_info(video_path)
+        info = self.video_file_info(str(p))
         return {
             "id": f"video-{idx}",
             "title": name,

@@ -122,10 +122,8 @@ def test_search_video_scope(client):
 def test_search_image_base64(client):
     # grab an ingested frame and search by it — should retrieve itself first
     ctx = client.application.ctx
-    frames_dir = ctx.registry.get("clip1")["frames_dir"]
-    import pathlib
-
-    frame_file = sorted(pathlib.Path(frames_dir).iterdir())[0]
+    frames_dir = ctx.resolve_path(ctx.registry.get("clip1")["frames_dir"])
+    frame_file = sorted(frames_dir.iterdir())[0]
     b64 = base64.b64encode(frame_file.read_bytes()).decode()
     resp = client.post(
         "/api/search",
