@@ -45,9 +45,19 @@ def main():
     engine = EmbeddingEngine(args.model, mesh=mesh)
     if args.checkpoint:
         engine.load_finetuned(args.checkpoint)
+    from evr_tpu.utils import get_logger
+
+    log = get_logger("evr_tpu.serving")
     ctx = ServingContext(args.data_root, engine=engine, mesh=mesh, transcriber=transcriber)
     loaded = ctx.boot()
-    print(f"serving {len(loaded)} videos from {args.data_root}")
+    log.info(
+        "serving %d videos (%d frames) from %s on %s:%d",
+        len(loaded),
+        sum(i.total_frames for i in ctx._indexes.values()),
+        args.data_root,
+        args.host,
+        args.port,
+    )
     run_simple(args.host, args.port, create_app(ctx), threaded=True)
 
 
