@@ -23,6 +23,11 @@ def main():
         default="none",
         help="voice-transcription provider (assemblyai reads ASSEMBLYAI_API_KEY)",
     )
+    parser.add_argument(
+        "--frontend-dist",
+        default=None,
+        help="serve a built SPA (e.g. the reference React app's dist/) at /app/",
+    )
     args = parser.parse_args()
 
     from werkzeug.serving import run_simple
@@ -58,7 +63,10 @@ def main():
         args.host,
         args.port,
     )
-    run_simple(args.host, args.port, create_app(ctx), threaded=True)
+    run_simple(
+        args.host, args.port, create_app(ctx, frontend_dist=args.frontend_dist),
+        threaded=True,
+    )
 
 
 if __name__ == "__main__":

@@ -40,10 +40,16 @@ def _file(path, mimetype: str) -> Response:
     return resp
 
 
-def create_app(ctx: ServingContext):
+def create_app(ctx: ServingContext, frontend_dist: str | None = None):
+    """``frontend_dist``: optional directory of a built SPA (e.g. the
+    reference React app's `vite build` output) served at ``/app/``; the
+    JSON API lives unchanged under ``/api/`` so the frontend needs no
+    code changes."""
     url_map = Map(
         [
             Rule("/", endpoint="index", methods=["GET"]),
+            Rule("/app/", endpoint="frontend", defaults={"asset": "index.html"}, methods=["GET"]),
+            Rule("/app/<path:asset>", endpoint="frontend", methods=["GET"]),
             Rule("/api/videos", endpoint="videos", methods=["GET"]),
             Rule(
                 "/api/video/<video_id>/events", endpoint="video_events", methods=["GET"]
@@ -75,6 +81,23 @@ def create_app(ctx: ServingContext):
         resp = Response(INDEX_HTML, mimetype="text/html")
         resp.headers["Access-Control-Allow-Origin"] = "*"
         return resp
+
+    def ep_frontend(request, asset):
+        import mimetypes
+
+        if frontend_dist is None:
+            return _json({"error": "no frontend dist configured (--frontend-dist)"}, 404)
+        root = pathlib.Path(frontend_dist).resolve()
+        target = (root / asset).resolve()
+        if not target.is_relative_to(root):
+            return _json({"error": "not found"}, 404)
+        if not target.is_file():
+            # SPA fallback: unknown client-side routes serve index.html
+            target = root / "index.html"
+            if not target.is_file():
+                return _json({"error": "not found"}, 404)
+        mimetype = mimetypes.guess_type(str(target))[0] or "application/octet-stream"
+        return _file(target, mimetype)
 
     def ep_videos(request):  # app.py:221-303
         dropped = ctx.registry.prune_missing(ctx.data_root.root)
@@ -439,6 +462,7 @@ def create_app(ctx: ServingContext):
     endpoints = {
         "health": ep_health,
         "index": ep_index,
+        "frontend": ep_frontend,
         "stats": ep_stats,
         "videos": ep_videos,
         "video_events": ep_video_events,

@@ -59,6 +59,27 @@ def test_health(client):
     assert get_json(resp) == {"status": "ok"}
 
 
+def test_frontend_dist_serving(client, tmp_path):
+    from evr_tpu.serving import create_app
+
+    dist = tmp_path / "dist"
+    (dist / "assets").mkdir(parents=True)
+    (dist / "index.html").write_text("<html>SPA</html>")
+    (dist / "assets" / "main.js").write_text("console.log(1)")
+    app = create_app(client.application.ctx, frontend_dist=str(dist))
+    c = Client(app)
+    assert b"SPA" in c.get("/app/").get_data()
+    js = c.get("/app/assets/main.js")
+    assert js.status_code == 200 and "javascript" in js.headers["Content-Type"]
+    # SPA fallback for client-side routes
+    assert b"SPA" in c.get("/app/library").get_data()
+    # traversal blocked
+    resp = c.get("/app/../../etc/passwd")
+    assert b"root:" not in resp.get_data()
+    # unconfigured dist → 404
+    assert client.get("/app/").status_code == 404
+
+
 def test_builtin_ui(client):
     resp = client.get("/")
     assert resp.status_code == 200
