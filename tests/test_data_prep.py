@@ -139,15 +139,18 @@ def test_retrieve_cli(tmp_path, monkeypatch):
         lambda *a, **k: EmbeddingEngine(cfg=small, batch_size=4),
     )
     out = tmp_path / "res.json"
+    grid = tmp_path / "grid.png"
     retrieve.main(
         [
             "--frames-dir", str(frames),
             "--queries", "red frame", "dark frame",
             "--top-k", "2",
             "--output", str(out),
+            "--grid", str(grid),
         ]
     )
     results = json.loads(out.read_text())
     assert set(results) == {"red frame", "dark frame"}
     assert all(len(v) == 2 for v in results.values())
     assert all("similarity" in r for v in results.values() for r in v)
+    assert grid.exists() and grid.stat().st_size > 0

@@ -117,6 +117,39 @@ def test_combined_strategy_over_fixtures(stack):
     assert results[0]["confidence"] >= 0.5
 
 
+def test_fixture_data_facts(stack):
+    """Pin stable facts about the fixture corpus so semantic drift in the
+    match sources is caught (counts computed directly from the data)."""
+    qe, _, raw = stack
+    _, records = raw["Violence_2"]
+
+    # ground truth reimplemented from the raw data with the strategy's
+    # documented semantics: requested threshold 0.8 is CAPPED at 0.65
+    # (`query_strategies.py:443`); sources = object detections (native
+    # conf), caption 0.65, tags 0.75, OCR text ×0.7.
+    def frame_matches(r):
+        if any(
+            "person" in d["label"].lower() and d["confidence"] >= 0.65
+            for d in r.get("object_detections", {}).get("detections", [])
+        ):
+            return True
+        if "person" in str((r.get("metadata") or {}).get("caption", "")).lower():
+            return True  # caption source scores exactly 0.65 == cap
+        if any("person" in str(t).lower() for t in r.get("tags", [])):
+            return True  # tag source 0.75 >= 0.65
+        return any(
+            "person" in d["label"].lower() and d["confidence"] * 0.7 >= 0.65
+            for d in r.get("text_detections", {}).get("detections", [])
+        )
+
+    expected = sum(1 for r in records if frame_matches(r))
+    results = qe.query_object(
+        "person", adaptive_threshold=0.8, top_k=1000, video_name="Violence_2"
+    )
+    assert len(results) == expected
+    assert expected > 0
+
+
 def test_reference_registry_windows_paths(reference_fixtures, tmp_path):
     """The reference's real video_mapping.json (absolute Windows paths)
     loads and self-heals without crashing on POSIX."""
