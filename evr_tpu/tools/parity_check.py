@@ -79,9 +79,14 @@ def main(argv=None):
         )
         return 0
 
+    import jax
     import numpy as np
 
     from evr_tpu.index import EmbeddingEngine, FrameIndex
+
+    # TPU matmuls default to bf16 even for fp32 operands; the golden gate
+    # needs true fp32 numerics.
+    jax.config.update("jax_default_matmul_precision", "highest")
 
     clip_params, cfg = load_any_checkpoint(args.checkpoint)
     engine = EmbeddingEngine(cfg=cfg, params=clip_params, preprocess_mode="pil",
