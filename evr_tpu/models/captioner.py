@@ -1,0 +1,236 @@
+"""Prefix captioner — the TPU-native caption model behind SCST (T7).
+
+The reference RL-tunes LLaVA-1.5-7B with self-critical sequence training,
+using CLIP cosine similarity x100 as the reward
+(`Backend/sinhcaption.py:126-167` reward, `:172-222` greedy/sampled
+generation, `:227-410` SCST loop). A 7B host-side VLM is not a TPU kernel
+target; the TPU-native equivalent is a ClipCap-style *prefix captioner*: the
+(frozen) CLIP image embedding is mapped to a learned prefix of decoder
+tokens, and a small causal transformer LM over the CLIP BPE vocabulary
+generates the caption. Sharing CLIP's vocabulary means generated token
+buffers feed the CLIP text tower directly for the on-device reward — the
+whole SCST step (greedy rollout, sampled rollout, reward, policy gradient)
+is ONE jitted XLA program with static shapes.
+
+Decoding is a `lax.scan` over a fixed-size token buffer (no Python loop, no
+dynamic shapes): each step re-runs the decoder over the full padded buffer
+and reads the logit at the current position. With causal attention the
+positions beyond the cursor are never attended to, so the padding garbage is
+inert. At captioner scale (width 256-512, <=45 positions) the O(L^2) re-run
+is far cheaper than the dispatch overhead a KV-cache path would add.
+
+Generation semantics mirror the reference's `model.generate` call
+(`sinhcaption.py:184-196`): greedy or sampled with top-k 50 / top-p 0.9,
+`max_new_tokens` 30, early stop on EOT. If a rollout never emits EOT, the
+final position is forced to EOT so CLIP's argmax-EOT pooling stays aligned
+(the reference relies on HF's eos handling for the same invariant).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+from evr_tpu.models.layers import (
+    block_apply,
+    init_block,
+    init_linear,
+    init_layer_norm,
+    layer_norm,
+    linear,
+    quick_gelu,
+)
+
+Params = dict[str, Any]
+
+
+@dataclass(frozen=True)
+class CaptionerConfig:
+    # CLIP BPE vocabulary (evr_tpu.tokenizer.bpe); SOT/EOT are the last ids.
+    vocab_size: int = 49408
+    sot_id: int = 49406
+    eot_id: int = 49407
+    # decoder transformer
+    width: int = 512
+    layers: int = 4
+    heads: int = 8
+    # ClipCap-style mapping: image embedding -> prefix_len soft tokens
+    image_dim: int = 512
+    prefix_len: int = 10
+    # `max_new_tokens=30` in the reference generate call (sinhcaption.py:189)
+    max_new_tokens: int = 30
+
+    @property
+    def buf_len(self) -> int:
+        """Token buffer length: SOT + generated tokens."""
+        return 1 + self.max_new_tokens
+
+    @property
+    def seq_len(self) -> int:
+        return self.prefix_len + self.buf_len
+
+
+def init_captioner_params(rng: jax.Array, cfg: CaptionerConfig) -> Params:
+    k_map1, k_map2, k_tok, k_pos, k_blocks = jax.random.split(rng, 5)
+    block_keys = jax.random.split(k_blocks, cfg.layers)
+    return {
+        # two-layer MLP mapping network (ClipCap's lightweight variant)
+        "mapper": {
+            "fc": init_linear(k_map1, cfg.image_dim, cfg.width * cfg.prefix_len),
+            "proj": init_linear(
+                k_map2, cfg.width * cfg.prefix_len, cfg.width * cfg.prefix_len
+            ),
+        },
+        "token_embedding": (
+            jax.random.normal(k_tok, (cfg.vocab_size, cfg.width), jnp.float32) * 0.02
+        ),
+        "pos_embedding": (
+            jax.random.normal(k_pos, (cfg.seq_len, cfg.width), jnp.float32) * 0.01
+        ),
+        "blocks": [init_block(k, cfg.width, cfg.layers) for k in block_keys],
+        "ln_final": init_layer_norm(cfg.width),
+    }
+
+
+def image_prefix(params: Params, cfg: CaptionerConfig, image_emb: jax.Array) -> jax.Array:
+    """[B, image_dim] -> [B, prefix_len, width] soft-token prefix."""
+    h = quick_gelu(linear(image_emb, params["mapper"]["fc"]))
+    h = linear(h, params["mapper"]["proj"])
+    return h.reshape(image_emb.shape[0], cfg.prefix_len, cfg.width)
+
+
+def caption_logits(
+    params: Params,
+    cfg: CaptionerConfig,
+    image_emb: jax.Array,
+    tokens: jax.Array,
+    dtype: jnp.dtype = jnp.float32,
+) -> jax.Array:
+    """Teacher-forced decoder pass.
+
+    tokens: [B, buf_len] int32, tokens[:, 0] == SOT.
+    Returns logits [B, buf_len, vocab]; logits[:, i] predicts tokens[:, i+1]
+    (the last position predicts the token after the buffer and is unused).
+    Output head is weight-tied to the token embedding.
+    """
+    B, L = tokens.shape
+    prefix = image_prefix(params, cfg, image_emb).astype(dtype)
+    tok = params["token_embedding"].astype(dtype)[tokens]
+    x = jnp.concatenate([prefix, tok], axis=1) + params["pos_embedding"].astype(dtype)
+    for blk in params["blocks"]:
+        x = block_apply(x, blk, cfg.heads, causal=True)
+    x = layer_norm(x, params["ln_final"])
+    out = x[:, cfg.prefix_len :]  # positions emitting predictions for t_1..t_L
+    logits = out @ params["token_embedding"].astype(dtype).T
+    return logits.astype(jnp.float32)
+
+
+def sequence_logprob(
+    params: Params,
+    cfg: CaptionerConfig,
+    image_emb: jax.Array,
+    tokens: jax.Array,
+    valid: jax.Array,
+    dtype: jnp.dtype = jnp.float32,
+) -> jax.Array:
+    """Sum log p(tokens[:, 1:]) over valid generated positions. [B]"""
+    logits = caption_logits(params, cfg, image_emb, tokens, dtype)[:, :-1]
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    tgt = tokens[:, 1:]
+    picked = jnp.take_along_axis(logp, tgt[:, :, None], axis=-1)[:, :, 0]
+    return jnp.sum(picked * valid[:, 1:].astype(jnp.float32), axis=-1)
+
+
+def _sample_filtered(
+    rng: jax.Array,
+    logits: jax.Array,
+    top_k: int,
+    top_p: float,
+    temperature: float,
+) -> jax.Array:
+    """Top-k + nucleus (top-p) sampling, matching the reference generate
+    kwargs `top_k=50, top_p=0.9` (sinhcaption.py:186-188). Static shapes:
+    top-k via threshold against the k-th logit, top-p via sorted cumulative
+    probability mask."""
+    logits = logits / jnp.maximum(temperature, 1e-6)
+    if top_k > 0:
+        kth = jax.lax.top_k(logits, top_k)[0][..., -1:]
+        logits = jnp.where(logits < kth, -jnp.inf, logits)
+    if 0.0 < top_p < 1.0:
+        sorted_logits = jnp.sort(logits, axis=-1)[..., ::-1]
+        probs = jax.nn.softmax(sorted_logits, axis=-1)
+        cum = jnp.cumsum(probs, axis=-1) - probs  # exclusive cumsum
+        cutoff_logit = jnp.min(
+            jnp.where(cum <= top_p, sorted_logits, jnp.inf), axis=-1, keepdims=True
+        )
+        logits = jnp.where(logits < cutoff_logit, -jnp.inf, logits)
+    return jax.random.categorical(rng, logits, axis=-1)
+
+
+def generate(
+    params: Params,
+    cfg: CaptionerConfig,
+    image_emb: jax.Array,
+    rng: jax.Array | None = None,
+    sample: bool = False,
+    temperature: float = 1.0,
+    top_k: int = 50,
+    top_p: float = 0.9,
+    dtype: jnp.dtype = jnp.float32,
+) -> tuple[jax.Array, jax.Array]:
+    """Decode captions for a batch of image embeddings.
+
+    Returns (tokens [B, buf_len] int32, valid [B, buf_len] bool). tokens[:,0]
+    is SOT; generation stops at EOT (which is included and marked valid, like
+    HF's eos handling); positions after EOT are 0 (CLIP padding). A rollout
+    that never emits EOT gets EOT forced into its final slot.
+    """
+    B = image_emb.shape[0]
+    if rng is None:
+        rng = jax.random.PRNGKey(0)
+    buf0 = jnp.zeros((B, cfg.buf_len), jnp.int32).at[:, 0].set(cfg.sot_id)
+
+    def step(carry, i):
+        buf, done, key = carry
+        key, sub = jax.random.split(key)
+        logits = caption_logits(params, cfg, image_emb, buf, dtype)
+        cur = jnp.take_along_axis(logits, jnp.full((B, 1, 1), i), axis=1)[:, 0]
+        cur = cur.at[:, cfg.sot_id].set(-jnp.inf)  # never re-emit SOT
+        if sample:
+            nxt = _sample_filtered(sub, cur, top_k, top_p, temperature)
+        else:
+            nxt = jnp.argmax(cur, axis=-1)
+        nxt = nxt.astype(jnp.int32)
+        emitted = jnp.where(done, 0, nxt)  # pad after EOT
+        buf = jax.lax.dynamic_update_index_in_dim(buf, emitted, i + 1, axis=1)
+        valid_here = ~done
+        done = done | (nxt == cfg.eot_id)
+        return (buf, done, key), valid_here
+
+    (buf, done, _), valid_steps = jax.lax.scan(
+        step,
+        (buf0, jnp.zeros((B,), jnp.bool_), rng),
+        jnp.arange(cfg.max_new_tokens),
+    )
+    # force EOT into the last slot for rollouts that never stopped, so CLIP's
+    # argmax-EOT pooling finds a pool position
+    last = buf[:, -1]
+    buf = buf.at[:, -1].set(jnp.where(done, last, cfg.eot_id))
+    valid = jnp.concatenate(
+        [jnp.ones((B, 1), jnp.bool_), valid_steps.T], axis=1
+    )
+    return buf, valid
+
+
+def tokens_to_context(
+    tokens: jax.Array, context_length: int = 77
+) -> jax.Array:
+    """Pad a captioner buffer [B, buf_len] to CLIP's [B, 77] text context."""
+    B, L = tokens.shape
+    if L >= context_length:
+        return tokens[:, :context_length]
+    pad = jnp.zeros((B, context_length - L), jnp.int32)
+    return jnp.concatenate([tokens, pad], axis=1)

@@ -222,7 +222,9 @@ class ClipTokenizer:
         return ids
 
     def decode(self, ids: Iterable[int]) -> str:
-        text = "".join(self.decoder[i] for i in ids)
+        # unknown ids (e.g. sampled from an untrained model under the
+        # fallback vocab) are skipped rather than raising
+        text = "".join(self.decoder.get(i, "") for i in ids)
         raw = bytearray(self.byte_decoder[c] for c in text if c in self.byte_decoder)
         return raw.decode("utf-8", errors="replace").replace("</w>", " ")
 

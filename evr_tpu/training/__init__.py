@@ -2,6 +2,7 @@ from .finetune import TrainConfig, Trainer, TrainState, make_optimizer, make_tra
 from .losses import combined_clip_loss
 from .partition import freeze_paths, param_group_labels
 from .data import CaptionDataset
+from .scst import ScstConfig, ScstTrainer, clip_text_reward, encode_captions
 
 __all__ = [
     "TrainConfig",
@@ -13,4 +14,8 @@ __all__ = [
     "freeze_paths",
     "param_group_labels",
     "CaptionDataset",
+    "ScstConfig",
+    "ScstTrainer",
+    "clip_text_reward",
+    "encode_captions",
 ]

@@ -1,0 +1,254 @@
+"""SCST caption-RL tests (T7 — `Backend/sinhcaption.py`).
+
+Covers the prefix captioner's scan decoder (shapes, EOT semantics, logprob
+correctness, sampling filters) and the SCST/XE training loops (reward
+improves, loss falls, checkpoint round trip). Runs on tiny towers on the
+CPU mesh like every other training test.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from evr_tpu.models.captioner import (
+    CaptionerConfig,
+    caption_logits,
+    generate,
+    init_captioner_params,
+    sequence_logprob,
+    tokens_to_context,
+)
+from evr_tpu.models.clip import CLIPConfig, TextConfig, VisionConfig, init_clip_params
+from evr_tpu.training.scst import (
+    ScstConfig,
+    ScstTrainer,
+    _valid_from_tokens,
+    clip_text_reward,
+    encode_captions,
+    xe_caption_loss,
+)
+
+VOCAB = 64
+SOT, EOT = 62, 63
+
+CAP_CFG = CaptionerConfig(
+    vocab_size=VOCAB,
+    sot_id=SOT,
+    eot_id=EOT,
+    width=32,
+    layers=1,
+    heads=2,
+    image_dim=16,
+    prefix_len=3,
+    max_new_tokens=6,
+)
+
+CLIP_CFG = CLIPConfig(
+    embed_dim=16,
+    vision=VisionConfig(32, 8, 32, 1, 2),
+    text=TextConfig(context_length=16, vocab_size=VOCAB, width=32, layers=1, heads=2),
+)
+
+
+@pytest.fixture(scope="module")
+def cap_params():
+    return init_captioner_params(jax.random.PRNGKey(0), CAP_CFG)
+
+
+@pytest.fixture(scope="module")
+def clip_params():
+    return init_clip_params(jax.random.PRNGKey(1), CLIP_CFG)
+
+
+def _features(n, seed=2):
+    f = jax.random.normal(jax.random.PRNGKey(seed), (n, CAP_CFG.image_dim))
+    return f / jnp.linalg.norm(f, axis=-1, keepdims=True)
+
+
+def test_generate_greedy_shapes_and_eot(cap_params):
+    toks, valid = generate(cap_params, CAP_CFG, _features(4), sample=False)
+    assert toks.shape == (4, CAP_CFG.buf_len)
+    assert valid.shape == toks.shape
+    assert bool(jnp.all(toks[:, 0] == SOT))
+    # every rollout contains exactly one EOT (natural or forced at the end)
+    assert bool(jnp.all(jnp.sum(toks == EOT, axis=1) == 1))
+    # SOT never re-emitted
+    assert bool(jnp.all(jnp.sum(toks == SOT, axis=1) == 1))
+    # after EOT: zero padding, and valid mask off
+    toks_np, valid_np = np.asarray(toks), np.asarray(valid)
+    for row, vrow in zip(toks_np, valid_np):
+        eot_pos = int(np.argmax(row == EOT))
+        assert (row[eot_pos + 1 :] == 0).all()
+        if eot_pos < CAP_CFG.buf_len - 1:  # natural stop → trailing invalid
+            assert not vrow[eot_pos + 1 :].any()
+        assert vrow[: eot_pos + 1].all() or eot_pos == CAP_CFG.buf_len - 1
+
+
+def test_generate_deterministic_greedy(cap_params):
+    t1, _ = generate(cap_params, CAP_CFG, _features(3), sample=False)
+    t2, _ = generate(cap_params, CAP_CFG, _features(3), sample=False)
+    assert bool(jnp.all(t1 == t2))
+
+
+def test_topk1_sampling_matches_greedy(cap_params):
+    greedy, _ = generate(cap_params, CAP_CFG, _features(3), sample=False)
+    sampled, _ = generate(
+        cap_params,
+        CAP_CFG,
+        _features(3),
+        rng=jax.random.PRNGKey(7),
+        sample=True,
+        top_k=1,
+        top_p=0.0,
+    )
+    assert bool(jnp.all(greedy == sampled))
+
+
+def test_sequence_logprob_matches_manual(cap_params):
+    feats = _features(2)
+    toks, valid = generate(
+        cap_params, CAP_CFG, feats, rng=jax.random.PRNGKey(3), sample=True
+    )
+    lp = sequence_logprob(cap_params, CAP_CFG, feats, toks, valid)
+    logits = caption_logits(cap_params, CAP_CFG, feats, toks)[:, :-1]
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    manual = np.zeros(2)
+    toks_np, valid_np = np.asarray(toks), np.asarray(valid)
+    for b in range(2):
+        for i in range(1, CAP_CFG.buf_len):
+            if valid_np[b, i]:
+                manual[b] += float(logp[b, i - 1, toks_np[b, i]])
+    np.testing.assert_allclose(np.asarray(lp), manual, rtol=1e-5)
+
+
+def test_reward_range_and_pooling(cap_params, clip_params):
+    feats = _features(4)
+    toks, _ = generate(cap_params, CAP_CFG, feats, sample=False)
+    r = clip_text_reward(clip_params, CLIP_CFG, feats, toks)
+    assert r.shape == (4,)
+    assert bool(jnp.all(r >= 0.0)) and bool(jnp.all(r <= 100.0))
+    # the 77-context padding keeps EOT the argmax id for pooling
+    ctx = tokens_to_context(toks, CLIP_CFG.text.context_length)
+    assert bool(jnp.all(jnp.max(ctx, axis=1) == EOT))
+
+
+def test_valid_from_tokens():
+    toks = jnp.asarray([[SOT, 5, EOT, 0, 0], [SOT, 1, 2, 3, EOT]], jnp.int32)
+    valid = _valid_from_tokens(toks, EOT)
+    np.testing.assert_array_equal(
+        np.asarray(valid),
+        [[True, True, True, False, False], [True, True, True, True, True]],
+    )
+
+
+def test_encode_captions_buffers():
+    bufs = encode_captions(["a dog", "violence in the street scene"], CAP_CFG)
+    assert bufs.shape == (2, CAP_CFG.buf_len)
+    # default tokenizer uses the real CLIP id space; buffers for the real
+    # config must carry SOT first and one EOT
+    real_cfg = CaptionerConfig()
+    bufs = encode_captions(["a dog", "x"], real_cfg)
+    assert (bufs[:, 0] == real_cfg.sot_id).all()
+    assert ((bufs == real_cfg.eot_id).sum(axis=1) == 1).all()
+
+
+def test_xe_pretraining_reduces_loss(clip_params):
+    rng = jax.random.PRNGKey(5)
+    trainer = ScstTrainer(
+        clip_params,
+        CLIP_CFG,
+        cap_cfg=CAP_CFG,
+        cfg=ScstConfig(lr=5e-3, batch_size=8),
+        rng=rng,
+    )
+    feats = np.asarray(_features(8, seed=11))
+    toks = np.zeros((8, CAP_CFG.buf_len), np.int32)
+    toks[:, 0] = SOT
+    toks[:, 1] = np.arange(8) % 60  # one distinct target token per image
+    toks[:, 2] = EOT
+    losses = trainer.pretrain_xe(feats, toks, epochs=40)
+    assert losses[-1] < losses[0] * 0.5
+
+
+def test_scst_improves_greedy_reward(clip_params):
+    cfg = ScstConfig(lr=2e-3, advantage_scale=1.0, batch_size=16, top_k=0, top_p=0.0)
+    trainer = ScstTrainer(
+        clip_params, CLIP_CFG, cap_cfg=CAP_CFG, cfg=cfg, rng=jax.random.PRNGKey(9)
+    )
+    feats = np.asarray(_features(16, seed=21))
+    before = trainer.mean_greedy_reward(feats)
+    trainer.fit(feats, val_features=feats, epochs=25, rng=jax.random.PRNGKey(10))
+    after = trainer.mean_greedy_reward(feats)
+    assert after > before, (before, after)
+    assert trainer.history and "val_reward" in trainer.history[-1]
+
+
+def test_scst_target_reward_early_stop(clip_params):
+    cfg = ScstConfig(batch_size=4, target_reward=-1.0)  # trivially reached
+    trainer = ScstTrainer(
+        clip_params, CLIP_CFG, cap_cfg=CAP_CFG, cfg=cfg, rng=jax.random.PRNGKey(12)
+    )
+    feats = np.asarray(_features(4, seed=31))
+    history = trainer.fit(feats, val_features=feats, epochs=10)
+    assert len(history) == 1  # stopped after the first epoch
+
+
+def test_scst_checkpoint_roundtrip(clip_params, tmp_path):
+    cfg = ScstConfig(batch_size=4, save_dir=str(tmp_path))
+    trainer = ScstTrainer(
+        clip_params, CLIP_CFG, cap_cfg=CAP_CFG, cfg=cfg, rng=jax.random.PRNGKey(13)
+    )
+    feats = np.asarray(_features(4, seed=41))
+    trainer.fit(feats, epochs=1)
+    toks_before, _ = generate(trainer.params, CAP_CFG, jnp.asarray(feats))
+    trainer.save_checkpoint("scst_final")
+    fresh = ScstTrainer(
+        clip_params, CLIP_CFG, cap_cfg=CAP_CFG, cfg=cfg, rng=jax.random.PRNGKey(99)
+    )
+    fresh.restore_checkpoint("scst_final")
+    toks_after, _ = generate(fresh.params, CAP_CFG, jnp.asarray(feats))
+    assert bool(jnp.all(toks_before == toks_after))
+
+
+def test_xe_loss_ignores_padding(clip_params, cap_params):
+    feats = _features(2)
+    toks = jnp.asarray(
+        [[SOT, 5, EOT, 0, 0, 0, 0], [SOT, 5, EOT, 0, 0, 0, 0]], jnp.int32
+    )
+    valid = _valid_from_tokens(toks, EOT)
+    l1 = xe_caption_loss(cap_params, CAP_CFG, feats, toks, valid)
+    # change padding content only — loss must not move
+    toks2 = toks.at[:, 4].set(9)
+    valid2 = _valid_from_tokens(toks2, EOT)
+    l2 = xe_caption_loss(cap_params, CAP_CFG, feats, toks2, valid2)
+    np.testing.assert_allclose(float(l1), float(l2), rtol=1e-6)
+
+
+def test_train_captioner_cli(tmp_path):
+    from evr_tpu.tools import train_captioner
+
+    rng = np.random.default_rng(0)
+    feats = rng.normal(size=(8, 512)).astype(np.float32)
+    np.save(tmp_path / "emb.npy", feats)
+    (tmp_path / "caps.json").write_text(
+        '["a dog", "a cat", "a car", "a tree", "a road", "a man", "a dog", "a cat"]'
+    )
+    train_captioner.main(
+        [
+            "--embeddings", str(tmp_path / "emb.npy"),
+            "--captions", str(tmp_path / "caps.json"),
+            "--xe-epochs", "1",
+            "--scst-epochs", "1",
+            "--batch-size", "4",
+            "--max-new-tokens", "4",
+            "--prefix-len", "2",
+            "--cap-width", "64",
+            "--cap-layers", "1",
+            "--cap-heads", "2",
+            "--save-dir", str(tmp_path / "ckpt"),
+            "--demo", "2",
+        ]
+    )
+    assert (tmp_path / "ckpt" / "history.json").exists()
+    assert (tmp_path / "ckpt" / "scst_final").exists()
