@@ -308,17 +308,21 @@ class FrameIndex:
     def search(
         self, queries: np.ndarray, top_k: int, video_name: str | None = None
     ) -> list[list[SearchHit]]:
-        scores, rows = self.search_raw(queries, top_k, video_name)
-        out: list[list[SearchHit]] = []
-        for qi in range(scores.shape[0]):
-            hits = []
-            for score, row in zip(scores[qi], rows[qi]):
-                if not np.isfinite(score):
-                    continue
-                video, frame, fidx = self.resolve_row(int(row))
-                hits.append(SearchHit(video, frame, float(score), int(row), fidx))
-            out.append(hits)
-        return out
+        # One lock acquisition around score computation AND row resolution:
+        # a remove_video between the two would compact the row layout, so a
+        # just-computed row id could raise (or silently name the wrong frame).
+        with self._lock:
+            scores, rows = self._search_raw_locked(queries, top_k, video_name)
+            out: list[list[SearchHit]] = []
+            for qi in range(scores.shape[0]):
+                hits = []
+                for score, row in zip(scores[qi], rows[qi]):
+                    if not np.isfinite(score):
+                        continue
+                    video, frame, fidx = self._resolve_row_locked(int(row))
+                    hits.append(SearchHit(video, frame, float(score), int(row), fidx))
+                out.append(hits)
+            return out
 
     # -- persistence ------------------------------------------------------
     def save(self, data_root) -> None:
