@@ -3,17 +3,21 @@
 Prints exactly ONE JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...extras}
 
-Headline: frames embedded/sec/chip on CLIP ViT-B/32 — the chip's encode
-throughput on device-resident uint8 batches (normalise + full ViT forward,
-bf16, fp32 accumulation). This is the like-for-like comparison against the
-reference's GPU loop (`Backend/services/embedding_service.py:461-505`),
-whose 450 fps baseline is measured on a host with local PCIe; this test
-environment instead reaches its chip through a ~20–40 MB/s relayed
-transport, so end-to-end numbers here measure the relay, not the chip.
-Both are reported: ``value`` is per-chip throughput; ``e2e_relay_fps`` is
-the staging→H2D→encode→D2H loop through this environment's transport, and
-``h2d_MBps`` quantifies that transport so the two can be reconciled on any
-host (see PERF.md for the methodology).
+Headline: frames embedded/sec/chip on CLIP ViT-B/32 — the chip's sustained
+encode throughput on device-resident uint8 batches (normalise + full ViT
+forward, bf16, fp32 accumulation), measured as a `lax.scan` chain of encode
+steps inside ONE dispatch with a single result fetch. Chaining matters on
+this environment's relayed transport (~30–60 ms per round trip): a
+per-dispatch measurement charges one relay round trip to every batch and
+understates the chip roughly 2× (that figure is still reported as
+``compute_fps_percall``). The scan body gathers a different input buffer
+each step, so XLA cannot hoist the encode out of the loop. This is the
+like-for-like comparison against the reference's GPU loop
+(`Backend/services/embedding_service.py:461-505`), whose 450 fps baseline
+is measured on a host with local PCIe. ``e2e_relay_fps`` is the
+staging→H2D→encode→D2H loop through this environment's transport, and
+``h2d_MBps`` quantifies that transport so the numbers can be reconciled on
+any host (see PERF.md for the methodology).
 
 Extras also cover the retrieval side: p50 text-query latency over a
 100k-frame HBM index — single query (fused one-dispatch path and two-step
@@ -176,21 +180,44 @@ def main() -> None:
             engine.encode_staged_images(staged)
         e2e_fps = max(e2e_fps, n_iters * EMBED_BATCH / (time.perf_counter() - t0))
 
-    # -- compute-only frames/sec (device-resident input) ------------------
+    # -- compute-only frames/sec, per dispatch (one relay RT per batch) ----
     dev_batch = jnp.asarray(staged)
     _sync(engine._encode_staged(engine.params, dev_batch))
     t0 = time.perf_counter()
     for _ in range(n_iters):
         _sync(engine._encode_staged(engine.params, dev_batch))
-    compute_fps = n_iters * EMBED_BATCH / (time.perf_counter() - t0)
+    compute_fps_percall = n_iters * EMBED_BATCH / (time.perf_counter() - t0)
 
-    # larger device batch amortises per-call overhead (B=1024)
-    big = jnp.asarray(np.tile(staged, (4, 1, 1, 1)))
-    _sync(engine._encode_staged(engine.params, big))
-    t0 = time.perf_counter()
-    for _ in range(2):
-        _sync(engine._encode_staged(engine.params, big))
-    compute_fps_1024 = 2 * 4 * EMBED_BATCH / (time.perf_counter() - t0)
+    # -- HEADLINE: sustained device throughput — a lax.scan chain of encode
+    # steps inside one dispatch, one sync at the end. Two distinct input
+    # buffers gathered by step index keep the loop body non-invariant (XLA
+    # would hoist a constant-input encode out of the scan). B=128 measured
+    # fastest on v5e for ViT-B/32's T=50 (B=64..160 within 2%; larger
+    # batches lose ~20% — see PERF.md).
+    # (on CPU the per-dispatch overhead the chain amortises doesn't exist;
+    # keep the chain short so the bench stays runnable on a dev box)
+    SUS_BATCH, SUS_STEPS = 128, (32 if backend == "tpu" else 2)
+    sus = jnp.asarray(
+        (rng.random((2, SUS_BATCH, 224, 224, 3)) * 255).astype(np.uint8)
+    )
+    enc = engine._encode_staged
+
+    def _chained(params, buffers, n_steps):
+        def body(carry, idx):
+            return carry + jnp.sum(enc(params, buffers[idx % 2])), None
+
+        total, _ = jax.lax.scan(body, jnp.float32(0), jnp.arange(n_steps))
+        return total
+
+    chained = jax.jit(_chained, static_argnames=("n_steps",))
+    _sync(chained(engine.params, sus, SUS_STEPS))  # compile + warm
+    compute_fps = 0.0
+    for _ in range(3):
+        t0 = time.perf_counter()
+        _sync(chained(engine.params, sus, SUS_STEPS))
+        compute_fps = max(
+            compute_fps, SUS_STEPS * SUS_BATCH / (time.perf_counter() - t0)
+        )
 
     # -- H2D bandwidth -----------------------------------------------------
     t0 = time.perf_counter()
@@ -251,14 +278,14 @@ def main() -> None:
                 "unit": "frames/s",
                 "vs_baseline": round(compute_fps / REFERENCE_GPU_FPS, 3),
                 "backend": backend,
-                "compute_fps_batch1024": round(compute_fps_1024, 2),
+                "compute_fps_percall": round(compute_fps_percall, 2),
                 "e2e_relay_fps": round(e2e_fps, 2),
                 "h2d_MBps": round(h2d_mbps, 1),
                 "p50_query_latency_ms_100k": round(p50_search, 3),
                 "p50_query_latency_ms_100k_batched32": round(batched_per_query, 3),
                 "p50_e2e_text_query_ms_100k": round(p50_e2e, 3),
                 "p50_fused_text_query_ms_100k": round(p50_fused, 3),
-                "embed_batch": EMBED_BATCH,
+                "embed_batch": SUS_BATCH,
                 **extras,
             }
         )
