@@ -87,3 +87,46 @@ def caption_folder(
             out_json.write_text(json.dumps(results, indent=2, ensure_ascii=False))
     out_json.write_text(json.dumps(results, indent=2, ensure_ascii=False))
     return results
+
+
+class PrefixCaptioner:
+    """TPU-native captioner: CLIP image embedding → SCST-trained prefix
+    captioner (`models/captioner.py`, `training/scst.py`) → decoded text.
+
+    Plays the role LLaVA plays in the reference's captioning scripts but
+    runs entirely on-device through the embedding engine. Satisfies the
+    ``Captioner`` protocol; ``caption_batch`` keeps device batching when a
+    whole folder is captioned (used by ``ingest.annotate_folder``).
+    """
+
+    def __init__(self, engine, captioner_params, cap_cfg, tokenizer=None):
+        import jax
+
+        from evr_tpu.models.captioner import generate
+
+        self.engine = engine
+        self.params = captioner_params
+        self.cap_cfg = cap_cfg
+        if tokenizer is None:
+            from evr_tpu.tokenizer import get_default_tokenizer
+
+            tokenizer = get_default_tokenizer()
+        self.tokenizer = tokenizer
+        cfg = cap_cfg
+        self._generate = jax.jit(
+            lambda params, feats: generate(params, cfg, feats, sample=False)
+        )
+
+    def caption_batch(self, paths) -> list[str]:
+        import numpy as np
+
+        feats = self.engine.encode_image_files(list(paths), normalise=True)
+        tokens, _ = self._generate(self.params, feats)
+        out = []
+        for row in np.asarray(tokens):
+            ids = [int(t) for t in row[1:] if t not in (0, self.cap_cfg.eot_id)]
+            out.append(self.tokenizer.decode(ids).strip())
+        return out
+
+    def __call__(self, image_path, category: str | None = None) -> str:
+        return self.caption_batch([image_path])[0]

@@ -40,6 +40,7 @@ def build_frame_record(
     frameidx: int | None = None,
     detections: dict | None = None,
     tags: list[str] | None = None,
+    caption: str | None = None,
 ) -> dict:
     """One frame record in the reference schema."""
     from PIL import Image
@@ -56,18 +57,23 @@ def build_frame_record(
         mode_channels = {"RGB": 3, "RGBA": 4, "L": 1}
         channels = mode_channels.get(img.mode, len(img.getbands()))
         mime = Image.MIME.get(img.format or "JPEG", "image/jpeg")
+    metadata = {
+        "size_bytes": image_path.stat().st_size,
+        "mime_type": mime,
+        "width": width,
+        "height": height,
+        "num_channels": channels,
+    }
+    if caption:
+        # machine caption: scored by object search as the caption source
+        # (weight 0.65 — `query_strategies.py:219-227`)
+        metadata["caption"] = caption
     return {
         "id": str(uuid.uuid4()),
         "media_type": "image",
         "filepath": str(image_path),
         "tags": list(tags or []),
-        "metadata": {
-            "size_bytes": image_path.stat().st_size,
-            "mime_type": mime,
-            "width": width,
-            "height": height,
-            "num_channels": channels,
-        },
+        "metadata": metadata,
         "video": str(video_path),
         "frameid": image_path.name,
         "text_detections": {"detections": list(detections.get("text_detections", []))},
@@ -83,11 +89,19 @@ def annotate_folder(
     video_path,
     annotator: Annotator | None = None,
     max_workers: int = 4,
+    captioner=None,
 ) -> list[dict]:
     """Annotate every frame image in a folder (sorted by filename, matching
     the embedding row order). Annotators run in a thread pool like the
     reference's `JSON_sample_DOC.py:129-134`, but each worker gets the
-    *shared* annotator explicitly documented as needing to be thread-safe."""
+    *shared* annotator explicitly documented as needing to be thread-safe.
+
+    ``captioner`` optionally writes a machine caption into each record's
+    ``metadata.caption`` (the object-search caption source). Anything
+    satisfying ``data_prep.captioning.Captioner`` works; objects exposing
+    ``caption_batch(paths)`` (e.g. the TPU ``PrefixCaptioner``) are called
+    once over the whole folder so device batching is preserved.
+    """
     from concurrent.futures import ThreadPoolExecutor
 
     frames_dir = pathlib.Path(frames_dir)
@@ -96,10 +110,20 @@ def annotate_folder(
         p for p in frames_dir.iterdir() if p.suffix.lower() in (".jpg", ".jpeg", ".png")
     )
 
+    captions: dict[pathlib.Path, str] = {}
+    if captioner is not None and paths:
+        if hasattr(captioner, "caption_batch"):
+            texts = captioner.caption_batch([str(p) for p in paths])
+            captions = dict(zip(paths, texts))
+        else:
+            captions = {p: captioner(p) for p in paths}
+
     def work(path):
         try:
             dets = annotator(path)
-            return build_frame_record(path, video_path, detections=dets)
+            return build_frame_record(
+                path, video_path, detections=dets, caption=captions.get(path)
+            )
         except Exception:
             return None
 

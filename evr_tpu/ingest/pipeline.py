@@ -55,6 +55,7 @@ def ingest_video(
     annotator: Annotator | None = None,
     scene_threshold: float = 30.0,
     video_name: str | None = None,
+    captioner=None,
 ) -> IngestResult:
     video_path = pathlib.Path(video_path)
     name = video_name or video_path.stem
@@ -70,8 +71,9 @@ def ingest_video(
     emb_file = data_root.embedding_dir / f"{name}_embeddings.npy"
     np.save(emb_file, embeddings)
 
-    # 3. metadata records (pluggable OCR/object annotators)
-    records = annotate_folder(frames_dir, video_path, annotator)
+    # 3. metadata records (pluggable OCR/object annotators + optional
+    # machine captions, e.g. the TPU PrefixCaptioner)
+    records = annotate_folder(frames_dir, video_path, annotator, captioner=captioner)
     meta_file = data_root.metadata_dir / f"{name}_metadata.json"
     meta_file.write_text(json.dumps(records, indent=2, ensure_ascii=False))
 
