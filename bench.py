@@ -51,7 +51,7 @@ def _sync(x) -> float:
     return float(jnp.sum(x))
 
 
-def _full_extras(engine, rng):
+def _full_extras(rng):
     """--full mode: ViT-L/14@336 encode throughput (BASELINE config 2) and
     the data-parallel train-step throughput (config 4). Slow first-compile;
     not part of the default driver run."""
@@ -69,22 +69,6 @@ def _full_extras(engine, rng):
     from evr_tpu.training.finetune import TrainState
 
     extras = {}
-    # ViT-L/14@336 batch-64 encode — both end-to-end and device-resident
-    lcfg = get_model_config("ViT-L/14@336px")
-    lengine = EmbeddingEngine(cfg=lcfg, batch_size=64, rng_seed=0)
-    staged = (rng.random((64, 336, 336, 3)) * 255).astype(np.uint8)
-    lengine.encode_staged_images(staged)
-    t0 = time.perf_counter()
-    for _ in range(2):
-        lengine.encode_staged_images(staged)
-    extras["vitl336_fps_batch64"] = round(2 * 64 / (time.perf_counter() - t0), 2)
-    dev_batch = jnp.asarray(staged)
-    float(jnp.sum(lengine._encode_staged(lengine.params, dev_batch)))
-    t0 = time.perf_counter()
-    for _ in range(3):
-        float(jnp.sum(lengine._encode_staged(lengine.params, dev_batch)))
-    extras["vitl336_compute_fps_batch64"] = round(3 * 64 / (time.perf_counter() - t0), 2)
-
     # ViT-B/32 train-step throughput, batch 64
     cfg = get_model_config("ViT-B/32")
     params = {
@@ -107,15 +91,61 @@ def _full_extras(engine, rng):
         "tokens": jnp.asarray(tokens),
         "labels": jnp.asarray(rng.integers(0, 3, size=64).astype(np.int32)),
     }
-    state, _ = step(state, batch, jax.random.PRNGKey(0))  # compile
-    t0 = time.perf_counter()
+    # 10 optimizer steps chained in ONE dispatch (same reasoning as the
+    # headline: late-process dispatches through the relay stop pipelining
+    # and charge a full round trip per step, understating the chip >10x)
     n_steps = 10
-    for i in range(n_steps):
-        state, metrics = step(state, batch, jax.random.PRNGKey(i))
-    float(metrics["total_loss"])  # sync
+
+    def _train_chain(state_, batch_, keys):
+        def body(s, k):
+            s2, m = step(s, batch_, k)
+            return s2, m["total_loss"]
+
+        return jax.lax.scan(body, state_, keys)
+
+    train_chain = jax.jit(_train_chain, donate_argnums=(0,))
+    keys = jax.random.split(jax.random.PRNGKey(0), n_steps)
+    state, losses = train_chain(state, batch, keys)  # compile + warm
+    _sync(losses)
+    t0 = time.perf_counter()
+    state, losses = train_chain(state, batch, keys)
+    _sync(losses)
     extras["train_examples_per_sec_batch64"] = round(
         n_steps * 64 / (time.perf_counter() - t0), 2
     )
+
+    # ViT-L/14@336 batch-64 encode — both end-to-end and device-resident
+    lcfg = get_model_config("ViT-L/14@336px")
+    lengine = EmbeddingEngine(cfg=lcfg, batch_size=64, rng_seed=0)
+    staged = (rng.random((64, 336, 336, 3)) * 255).astype(np.uint8)
+    lengine.encode_staged_images(staged)
+    t0 = time.perf_counter()
+    for _ in range(2):
+        lengine.encode_staged_images(staged)
+    extras["vitl336_fps_batch64"] = round(2 * 64 / (time.perf_counter() - t0), 2)
+    # sustained device throughput, chained-scan (same methodology as the
+    # headline: step-indexed buffers, one dispatch, one sync)
+    lsus = jnp.asarray((rng.random((2, 64, 336, 336, 3)) * 255).astype(np.uint8))
+    lenc = lengine._encode_staged
+
+    def _lchained(params, buffers, n_steps):
+        def body(carry, idx):
+            return carry + jnp.sum(lenc(params, buffers[idx % 2])), None
+
+        total, _ = jax.lax.scan(body, jnp.float32(0), jnp.arange(n_steps))
+        return total
+
+    lchained = jax.jit(_lchained, static_argnames=("n_steps",))
+    LSTEPS = 8
+    _sync(lchained(lengine.params, lsus, LSTEPS))
+    best = 0.0
+    for _ in range(2):
+        t0 = time.perf_counter()
+        _sync(lchained(lengine.params, lsus, LSTEPS))
+        best = max(best, LSTEPS * 64 / (time.perf_counter() - t0))
+    extras["vitl336_compute_fps_batch64"] = round(best, 2)
+
+    del lengine, lsus  # release ViT-L HBM before the dtype sweep
 
     # index dtype sweep: batched-32 per-query latency over 100k rows
     from evr_tpu.index import FrameIndex
@@ -268,7 +298,18 @@ def main() -> None:
         fused.append((time.perf_counter() - t0) * 1e3)
     p50_fused = float(np.percentile(fused, 50))
 
-    extras = _full_extras(engine, rng) if full_mode else {}
+    if full_mode:
+        # unload the main-phase device state first (the reference's
+        # memory-efficient load→eval→unload pattern, compare_models.py:1282):
+        # leaving the index + staged buffers live measurably degrades the
+        # in-process train-step dispatch on this relayed platform.
+        import gc
+
+        del idx, searcher, dev_batch, sus, engine
+        gc.collect()
+        extras = _full_extras(rng)
+    else:
+        extras = {}
 
     print(
         json.dumps(
