@@ -9,8 +9,11 @@ from .clip import (
 )
 from .variants import MODEL_REGISTRY, get_model_config
 from .classifier import ClassifierConfig, init_classifier_params, classifier_forward
+from .captioner import CaptionerConfig, init_captioner_params
 
 __all__ = [
+    "CaptionerConfig",
+    "init_captioner_params",
     "CLIPConfig",
     "TextConfig",
     "VisionConfig",
