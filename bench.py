@@ -51,6 +51,24 @@ def _sync(x) -> float:
     return float(jnp.sum(x))
 
 
+def _chained_encode(enc):
+    """Jitted harness chaining ``n_steps`` encode calls in ONE dispatch
+    (lax.scan; step-indexed buffers so XLA cannot hoist the body). Shared by
+    the headline and the --full ViT-L measurement so both use the identical
+    methodology."""
+    import jax
+    import jax.numpy as jnp
+
+    def harness(params, buffers, n_steps):
+        def body(carry, idx):
+            return carry + jnp.sum(enc(params, buffers[idx % 2])), None
+
+        total, _ = jax.lax.scan(body, jnp.float32(0), jnp.arange(n_steps))
+        return total
+
+    return jax.jit(harness, static_argnames=("n_steps",))
+
+
 def _full_extras(rng):
     """--full mode: ViT-L/14@336 encode throughput (BASELINE config 2) and
     the data-parallel train-step throughput (config 4). Slow first-compile;
@@ -126,16 +144,7 @@ def _full_extras(rng):
     # sustained device throughput, chained-scan (same methodology as the
     # headline: step-indexed buffers, one dispatch, one sync)
     lsus = jnp.asarray((rng.random((2, 64, 336, 336, 3)) * 255).astype(np.uint8))
-    lenc = lengine._encode_staged
-
-    def _lchained(params, buffers, n_steps):
-        def body(carry, idx):
-            return carry + jnp.sum(lenc(params, buffers[idx % 2])), None
-
-        total, _ = jax.lax.scan(body, jnp.float32(0), jnp.arange(n_steps))
-        return total
-
-    lchained = jax.jit(_lchained, static_argnames=("n_steps",))
+    lchained = _chained_encode(lengine._encode_staged)
     LSTEPS = 8
     _sync(lchained(lengine.params, lsus, LSTEPS))
     best = 0.0
@@ -230,16 +239,7 @@ def main() -> None:
     sus = jnp.asarray(
         (rng.random((2, SUS_BATCH, 224, 224, 3)) * 255).astype(np.uint8)
     )
-    enc = engine._encode_staged
-
-    def _chained(params, buffers, n_steps):
-        def body(carry, idx):
-            return carry + jnp.sum(enc(params, buffers[idx % 2])), None
-
-        total, _ = jax.lax.scan(body, jnp.float32(0), jnp.arange(n_steps))
-        return total
-
-    chained = jax.jit(_chained, static_argnames=("n_steps",))
+    chained = _chained_encode(engine._encode_staged)
     _sync(chained(engine.params, sus, SUS_STEPS))  # compile + warm
     compute_fps = 0.0
     for _ in range(3):
@@ -326,7 +326,8 @@ def main() -> None:
                 "p50_query_latency_ms_100k_batched32": round(batched_per_query, 3),
                 "p50_e2e_text_query_ms_100k": round(p50_e2e, 3),
                 "p50_fused_text_query_ms_100k": round(p50_fused, 3),
-                "embed_batch": SUS_BATCH,
+                "embed_batch_sustained": SUS_BATCH,
+                "embed_batch_percall": EMBED_BATCH,
                 **extras,
             }
         )

@@ -116,16 +116,28 @@ class PrefixCaptioner:
         self._generate = jax.jit(
             lambda params, feats: generate(params, cfg, feats, sample=False)
         )
+        # one compiled decode program: pad to the engine's batch size so a
+        # corpus of many folder sizes doesn't trigger a compile per shape
+        self._chunk = max(1, int(getattr(engine, "batch_size", 32)))
 
     def caption_batch(self, paths) -> list[str]:
+        import jax.numpy as jnp
         import numpy as np
 
+        from evr_tpu.models.captioner import decode_tokens
+
         feats = self.engine.encode_image_files(list(paths), normalise=True)
-        tokens, _ = self._generate(self.params, feats)
-        out = []
-        for row in np.asarray(tokens):
-            ids = [int(t) for t in row[1:] if t not in (0, self.cap_cfg.eot_id)]
-            out.append(self.tokenizer.decode(ids).strip())
+        out: list[str] = []
+        B = self._chunk
+        for i in range(0, len(feats), B):
+            chunk = feats[i : i + B]
+            n = chunk.shape[0]
+            if n < B:
+                chunk = np.concatenate(
+                    [chunk, np.zeros((B - n, chunk.shape[1]), chunk.dtype)]
+                )
+            tokens, _ = self._generate(self.params, jnp.asarray(chunk))
+            out.extend(decode_tokens(self.tokenizer, tokens[:n], self.cap_cfg.eot_id))
         return out
 
     def __call__(self, image_path, category: str | None = None) -> str:

@@ -112,11 +112,27 @@ def annotate_folder(
 
     captions: dict[pathlib.Path, str] = {}
     if captioner is not None and paths:
+
+        def _per_frame() -> dict[pathlib.Path, str]:
+            # skip-on-error semantics, matching the annotator workers below
+            out = {}
+            for p in paths:
+                try:
+                    out[p] = captioner(p)
+                except Exception:
+                    pass
+            return out
+
         if hasattr(captioner, "caption_batch"):
-            texts = captioner.caption_batch([str(p) for p in paths])
-            captions = dict(zip(paths, texts))
+            try:
+                texts = captioner.caption_batch([str(p) for p in paths])
+                captions = dict(zip(paths, texts))
+            except Exception:
+                # batch path failed (e.g. one undecodable frame aborts the
+                # whole batched encode) — degrade to per-frame captioning
+                captions = _per_frame()
         else:
-            captions = {p: captioner(p) for p in paths}
+            captions = _per_frame()
 
     def work(path):
         try:

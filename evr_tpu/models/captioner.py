@@ -128,6 +128,19 @@ def caption_logits(
     return logits.astype(jnp.float32)
 
 
+def token_logprobs(
+    params: Params,
+    cfg: CaptionerConfig,
+    image_emb: jax.Array,
+    tokens: jax.Array,
+    dtype: jnp.dtype = jnp.float32,
+) -> jax.Array:
+    """Teacher-forced log p(tokens[:, i]) for i >= 1. [B, buf_len-1]"""
+    logits = caption_logits(params, cfg, image_emb, tokens, dtype)[:, :-1]
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    return jnp.take_along_axis(logp, tokens[:, 1:, None], axis=-1)[:, :, 0]
+
+
 def sequence_logprob(
     params: Params,
     cfg: CaptionerConfig,
@@ -137,10 +150,7 @@ def sequence_logprob(
     dtype: jnp.dtype = jnp.float32,
 ) -> jax.Array:
     """Sum log p(tokens[:, 1:]) over valid generated positions. [B]"""
-    logits = caption_logits(params, cfg, image_emb, tokens, dtype)[:, :-1]
-    logp = jax.nn.log_softmax(logits, axis=-1)
-    tgt = tokens[:, 1:]
-    picked = jnp.take_along_axis(logp, tgt[:, :, None], axis=-1)[:, :, 0]
+    picked = token_logprobs(params, cfg, image_emb, tokens, dtype)
     return jnp.sum(picked * valid[:, 1:].astype(jnp.float32), axis=-1)
 
 
@@ -226,11 +236,33 @@ def generate(
 
 
 def tokens_to_context(
-    tokens: jax.Array, context_length: int = 77
+    tokens: jax.Array, context_length: int = 77, eot_id: int | None = None
 ) -> jax.Array:
-    """Pad a captioner buffer [B, buf_len] to CLIP's [B, 77] text context."""
+    """Pad (or truncate) a captioner buffer [B, buf_len] to CLIP's [B, 77]
+    text context. When truncating, the last position is forced to EOT —
+    like the tokenizer's truncate path — so argmax-EOT pooling never lands
+    on a random token (argmax returns the FIRST max, so a second EOT after
+    an earlier natural one is harmless)."""
     B, L = tokens.shape
     if L >= context_length:
-        return tokens[:, :context_length]
+        out = tokens[:, :context_length]
+        if L > context_length and eot_id is not None:
+            out = out.at[:, -1].set(eot_id)
+        return out
     pad = jnp.zeros((B, context_length - L), jnp.int32)
     return jnp.concatenate([tokens, pad], axis=1)
+
+
+def decode_tokens(tokenizer, tokens, eot_id: int) -> list[str]:
+    """Decode generated buffers [B, buf_len] to text: drop SOT, cut each row
+    at its first EOT (id 0 is a real BPE token — '!' — so filtering zeros
+    would corrupt captions; padding only ever FOLLOWS the EOT)."""
+    import numpy as np
+
+    out = []
+    for row in np.asarray(tokens):
+        body = row[1:]
+        hits = np.nonzero(body == eot_id)[0]
+        end = int(hits[0]) if hits.size else len(body)
+        out.append(tokenizer.decode([int(t) for t in body[:end]]).strip())
+    return out

@@ -57,6 +57,12 @@ def main(argv=None):
     feats = feats / np.maximum(norms, 1e-8)
 
     clip_cfg = get_model_config(args.model)
+    if 1 + args.max_new_tokens > clip_cfg.text.context_length:
+        raise SystemExit(
+            f"--max-new-tokens {args.max_new_tokens} overflows the reward "
+            f"tower's {clip_cfg.text.context_length}-token context "
+            f"(max {clip_cfg.text.context_length - 1})"
+        )
     if args.clip_checkpoint:
         from evr_tpu.models.torch_import import load_checkpoint
 
@@ -114,12 +120,13 @@ def main(argv=None):
     if args.demo > 0:
         import jax.numpy as jnp
 
+        from evr_tpu.models.captioner import decode_tokens
+
         tok = get_default_tokenizer()
         demo = jnp.asarray(feats[: args.demo])
         toks, _ = generate(trainer.params, cap_cfg, demo, sample=False)
-        for i, row in enumerate(np.asarray(toks)):
-            ids = [int(t) for t in row[1:] if t not in (0, cap_cfg.eot_id)]
-            print(f"demo[{i}]: {tok.decode(ids)!r}")
+        for i, text in enumerate(decode_tokens(tok, toks, cap_cfg.eot_id)):
+            print(f"demo[{i}]: {text!r}")
 
     out = pathlib.Path(args.save_dir) / "history.json"
     out.parent.mkdir(parents=True, exist_ok=True)

@@ -36,10 +36,10 @@ import optax
 
 from evr_tpu.models.captioner import (
     CaptionerConfig,
-    caption_logits,
     generate,
     init_captioner_params,
     sequence_logprob,
+    token_logprobs,
     tokens_to_context,
 )
 from evr_tpu.models.clip import CLIPConfig, encode_text
@@ -69,15 +69,17 @@ def clip_text_reward(
     image_features: jax.Array,
     tokens: jax.Array,
     dtype: jnp.dtype = jnp.float32,
+    eot_id: int | None = None,
 ) -> jax.Array:
     """CLIPScore reward: 100 * max(0, cos(image, caption)). [B]
 
     `image_features` are L2-normalised CLIP image embeddings (the frozen
     image tower runs once per dataset, not once per SCST step). Mirrors
     `compute_clip_reward` (`sinhcaption.py:126-167`): normalise both, cosine,
-    clamp min 0, x100.
+    clamp min 0, x100. ``eot_id`` keeps argmax-EOT pooling intact if the
+    caption buffer is longer than the text context and must be truncated.
     """
-    ctx = tokens_to_context(tokens, clip_cfg.text.context_length)
+    ctx = tokens_to_context(tokens, clip_cfg.text.context_length, eot_id=eot_id)
     txt = encode_text(clip_params, clip_cfg, ctx, dtype)
     txt = txt / jnp.maximum(jnp.linalg.norm(txt, axis=-1, keepdims=True), 1e-8)
     sim = jnp.sum(image_features * txt, axis=-1)
@@ -98,10 +100,7 @@ def xe_caption_loss(
     equivalent warm start trained on the caption JSONs the data-prep stack
     produces (`data_prep/captioning.py`).
     """
-    logits = caption_logits(params, cfg, image_emb, tokens)[:, :-1]
-    logp = jax.nn.log_softmax(logits, axis=-1)
-    tgt = tokens[:, 1:]
-    picked = jnp.take_along_axis(logp, tgt[:, :, None], axis=-1)[:, :, 0]
+    picked = token_logprobs(params, cfg, image_emb, tokens)
     mask = valid[:, 1:].astype(jnp.float32)
     return -jnp.sum(picked * mask) / jnp.maximum(jnp.sum(mask), 1.0)
 
@@ -130,8 +129,12 @@ def make_scst_step(
             top_k=cfg.top_k,
             top_p=cfg.top_p,
         )
-        r_greedy = clip_text_reward(clip_params, clip_cfg, image_features, greedy_toks)
-        r_sample = clip_text_reward(clip_params, clip_cfg, image_features, sampled_toks)
+        r_greedy = clip_text_reward(
+            clip_params, clip_cfg, image_features, greedy_toks, eot_id=cap_cfg.eot_id
+        )
+        r_sample = clip_text_reward(
+            clip_params, clip_cfg, image_features, sampled_toks, eot_id=cap_cfg.eot_id
+        )
         advantage = (r_sample - r_greedy) * cfg.advantage_scale
 
         def loss_fn(p):
@@ -198,7 +201,8 @@ class ScstTrainer:
         )
         self._reward = jax.jit(
             lambda clip_params, image_features, tokens: clip_text_reward(
-                clip_params, clip_cfg_, image_features, tokens
+                clip_params, clip_cfg_, image_features, tokens,
+                eot_id=cap_cfg_.eot_id,
             )
         )
         self.history: list[dict] = []
@@ -258,6 +262,8 @@ class ScstTrainer:
     ) -> list[dict]:
         rng = rng if rng is not None else jax.random.PRNGKey(42)
         feats = np.asarray(train_features)
+        if feats.shape[0] == 0:
+            raise ValueError("fit() needs at least one training example")
         bs = min(self.cfg.batch_size, feats.shape[0])
         n_full = (feats.shape[0] // bs) * bs
         for epoch in range(epochs):

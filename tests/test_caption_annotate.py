@@ -77,3 +77,23 @@ def test_build_frame_record_caption_optional(frames):
     assert "caption" not in rec["metadata"]
     rec = build_frame_record(p, "vid.mp4", caption="hello world")
     assert rec["metadata"]["caption"] == "hello world"
+
+
+def test_annotate_folder_captioner_batch_failure_degrades(frames):
+    calls = []
+
+    class FlakyCaptioner:
+        def caption_batch(self, paths):
+            raise IOError("cannot decode image")
+
+        def __call__(self, path, category=None):
+            calls.append(path)
+            if str(path).endswith("30.jpg"):
+                raise IOError("bad frame")
+            return "fallback caption"
+
+    records = annotate_folder(frames, "vid.mp4", captioner=FlakyCaptioner())
+    assert len(records) == 3  # every frame still annotated
+    caps = [r["metadata"].get("caption") for r in records]
+    assert caps.count("fallback caption") == 2  # bad frame skipped, no abort
+    assert len(calls) == 3

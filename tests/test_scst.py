@@ -252,3 +252,45 @@ def test_train_captioner_cli(tmp_path):
     )
     assert (tmp_path / "ckpt" / "history.json").exists()
     assert (tmp_path / "ckpt" / "scst_final").exists()
+
+
+def test_decode_tokens_keeps_id0_and_cuts_at_eot():
+    from evr_tpu.models.captioner import decode_tokens
+
+    class Tok:
+        def decode(self, ids):
+            return "-".join(str(i) for i in ids)
+
+    toks = jnp.asarray([[SOT, 5, 0, 7, EOT, 0, 0]], jnp.int32)
+    # id 0 INSIDE the caption ('!' in the real vocab) must survive; padding
+    # after EOT must not
+    assert decode_tokens(Tok(), toks, EOT) == ["5-0-7"]
+
+
+def test_tokens_to_context_truncation_forces_eot():
+    long_toks = jnp.asarray([[SOT] + [5] * 18 + [EOT]], jnp.int32)  # len 20
+    ctx = tokens_to_context(long_toks, 16, eot_id=EOT)
+    assert ctx.shape == (1, 16)
+    assert int(ctx[0, -1]) == EOT  # pooling position preserved
+    # no-truncation path unchanged
+    short = jnp.asarray([[SOT, 5, EOT]], jnp.int32)
+    ctx2 = tokens_to_context(short, 16, eot_id=EOT)
+    assert int(jnp.argmax(ctx2[0])) == 2
+
+
+def test_fit_empty_train_raises(clip_params):
+    trainer = ScstTrainer(
+        clip_params, CLIP_CFG, cap_cfg=CAP_CFG, cfg=ScstConfig(batch_size=4)
+    )
+    with pytest.raises(ValueError, match="at least one"):
+        trainer.fit(np.zeros((0, CAP_CFG.image_dim), np.float32))
+
+
+def test_cli_rejects_overlong_captions(tmp_path):
+    from evr_tpu.tools import train_captioner
+
+    np.save(tmp_path / "e.npy", np.zeros((4, 512), np.float32))
+    with pytest.raises(SystemExit, match="overflows"):
+        train_captioner.main(
+            ["--embeddings", str(tmp_path / "e.npy"), "--max-new-tokens", "99"]
+        )
