@@ -58,18 +58,28 @@ class FrameIndex:
         mesh=None,
         mesh_axis: str = "data",
         device_dtype: str = "float32",
+        search_impl: str = "xla",
     ):
         """``device_dtype``: 'float32' (exact — use for rank-parity eval),
         'bfloat16' (2× less HBM bandwidth), or 'int8' (4× less: symmetric
         per-row quantisation with exact post-GEMM rescaling). Scores always
         accumulate fp32; rank flips under reduced precision only occur
         between rows whose fp32 scores differ by less than the quantisation
-        step (~1e-2 int8) — acceptable for serving."""
+        step (~1e-2 int8) — acceptable for serving.
+
+        ``search_impl``: 'xla' (default — one GEMM + lax.top_k) or 'pallas'
+        (fused tile-streaming kernel, `ops/retrieval_pallas.py`; never
+        materialises the [Q, N] score matrix in HBM — measured ~14% faster
+        at multi-million-row scale, see PERF.md; falls back to XLA when the
+        padded row count doesn't tile or the index is mesh-sharded)."""
         self.embed_dim = embed_dim
         self.pad_multiple = pad_multiple
         self.mesh = mesh
         self.mesh_axis = mesh_axis
         self.device_dtype = device_dtype
+        if search_impl not in ("xla", "pallas"):
+            raise ValueError(f"unknown search_impl {search_impl!r}")
+        self.search_impl = search_impl
         self._videos: dict[str, VideoEntry] = {}
         self._embeddings: dict[str, np.ndarray] = {}
         self._order: list[str] = []
@@ -273,14 +283,37 @@ class FrameIndex:
                 row_scales=self._row_scales,
             )
         else:
-            scores, rows = cosine_topk(
-                self._device_index,
-                q,
-                jnp.int32(start),
-                jnp.int32(end),
-                k,
-                row_scales=self._row_scales,
-            )
+            impl = self.search_impl
+            tile_n = 0
+            if impl == "pallas":
+                n_padded = self._device_index.shape[0]
+                for cand in (8192, 4096, 2048, 1024):
+                    if n_padded % cand == 0:
+                        tile_n = cand
+                        break
+                if tile_n == 0:
+                    impl = "xla"  # padded rows don't tile — exact fallback
+            if impl == "pallas":
+                from evr_tpu.ops.retrieval_pallas import fused_topk
+
+                scores, rows = fused_topk(
+                    self._device_index,
+                    q,
+                    jnp.int32(start),
+                    jnp.int32(end),
+                    k,
+                    row_scales=self._row_scales,
+                    tile_n=tile_n,
+                )
+            else:
+                scores, rows = cosine_topk(
+                    self._device_index,
+                    q,
+                    jnp.int32(start),
+                    jnp.int32(end),
+                    k,
+                    row_scales=self._row_scales,
+                )
         return np.asarray(scores), np.asarray(rows)
 
     def snapshot(self, video_name: str | None = None):

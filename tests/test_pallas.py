@@ -74,3 +74,59 @@ def test_fused_layer_norm_quickgelu(rng):
     ln = (x32 - x32.mean(-1, keepdims=True)) / np.sqrt(x32.var(-1, keepdims=True) + 1e-5)
     ref = ln * (1 / (1 + np.exp(-1.702 * ln)))
     np.testing.assert_allclose(ours, ref, rtol=1e-4, atol=1e-4)
+
+
+def test_fused_topk_matches_xla_fp32_and_int8():
+    from evr_tpu.ops.retrieval_pallas import fused_topk
+    from evr_tpu.ops.topk import cosine_topk
+
+    rng = np.random.default_rng(7)
+    N, D, Q, K = 1024, 128, 5, 10  # Q=5 exercises sublane padding
+    idx = rng.normal(size=(N, D)).astype(np.float32)
+    idx /= np.linalg.norm(idx, axis=1, keepdims=True)
+    q = rng.normal(size=(Q, D)).astype(np.float32)
+
+    ref_s, ref_r = cosine_topk(
+        jnp.asarray(idx), jnp.asarray(q), jnp.int32(3), jnp.int32(900), K
+    )
+    s, r = fused_topk(
+        jnp.asarray(idx), jnp.asarray(q), jnp.int32(3), jnp.int32(900), K, tile_n=256
+    )
+    assert bool(jnp.all(r == ref_r))
+    np.testing.assert_allclose(np.asarray(s), np.asarray(ref_s), atol=1e-5)
+    # row-range mask respected
+    assert int(jnp.min(r)) >= 3 and int(jnp.max(r)) < 900
+
+    scales = np.abs(idx).max(axis=1) / 127.0
+    qi = np.clip(np.round(idx / scales[:, None]), -127, 127).astype(np.int8)
+    ref_s2, ref_r2 = cosine_topk(
+        jnp.asarray(qi), jnp.asarray(q), jnp.int32(0), jnp.int32(N), K,
+        row_scales=jnp.asarray(scales),
+    )
+    s2, r2 = fused_topk(
+        jnp.asarray(qi), jnp.asarray(q), jnp.int32(0), jnp.int32(N), K,
+        row_scales=jnp.asarray(scales), tile_n=256,
+    )
+    assert bool(jnp.all(r2 == ref_r2))
+    np.testing.assert_allclose(np.asarray(s2), np.asarray(ref_s2), atol=1e-3)
+
+
+def test_frameindex_pallas_impl_matches_xla():
+    from evr_tpu.index import FrameIndex
+
+    rng = np.random.default_rng(11)
+    emb = rng.normal(size=(700, 64)).astype(np.float32)
+    q = rng.normal(size=(3, 64)).astype(np.float32)
+    xla = FrameIndex(embed_dim=64, pad_multiple=1024)
+    pls = FrameIndex(embed_dim=64, pad_multiple=1024, search_impl="pallas")
+    for ix in (xla, pls):
+        ix.add_video("a", emb[:400])
+        ix.add_video("b", emb[400:])
+    s1, r1 = xla.search_raw(q, 7)
+    s2, r2 = pls.search_raw(q, 7)
+    np.testing.assert_array_equal(r1, r2)
+    np.testing.assert_allclose(s1, s2, atol=1e-5)
+    # per-video scoping agrees too
+    s1, r1 = xla.search_raw(q, 5, video_name="b")
+    s2, r2 = pls.search_raw(q, 5, video_name="b")
+    np.testing.assert_array_equal(r1, r2)
