@@ -28,15 +28,59 @@ def sharded_cosine_topk(
     k: int,
     axis: str = "data",
     row_scales: jax.Array | None = None,  # [N_padded] dequant scales (int8)
+    impl: str = "xla",
 ) -> tuple[jax.Array, jax.Array]:
     """Exact global top-k over rows [start, end) of the sharded index.
 
     With an int8 index, ``row_scales`` shards along the same axis and the
     per-row dequantisation applies after each shard's local GEMM — identical
-    math to the single-device int8 path, sharded."""
+    math to the single-device int8 path, sharded.
+
+    ``impl='pallas'`` runs the fused tile-streaming kernel
+    (`ops/retrieval_pallas.py`) on each shard instead of GEMM+top_k — the
+    same per-chip HBM-traffic win as the single-device kernel, with the
+    identical O(Q·k·devices) all-gather merge on top. Falls back to XLA
+    when the per-shard row count doesn't tile."""
     n_shards = mesh.shape[axis]
     n_padded = index.shape[0]
     rows_per_shard = n_padded // n_shards
+
+    if impl == "pallas":
+        tile_n = next(
+            (c for c in (8192, 4096, 2048, 1024, 512, 256) if rows_per_shard % c == 0),
+            0,
+        )
+        if tile_n:
+            from evr_tpu.ops.retrieval_pallas import fused_topk
+
+            def local_fused(idx_shard, scales_shard, q, start_, end_):
+                shard_id = jax.lax.axis_index(axis)
+                row0 = shard_id * rows_per_shard
+                # global [start, end) clipped into this shard's local rows
+                lo = jnp.clip(start_ - row0, 0, rows_per_shard)
+                hi = jnp.clip(end_ - row0, 0, rows_per_shard)
+                scores, local_rows = fused_topk(
+                    idx_shard, q, lo, hi, k,
+                    row_scales=scales_shard, tile_n=tile_n,
+                )
+                all_scores = jax.lax.all_gather(scores, axis)
+                all_idx = jax.lax.all_gather(local_rows + row0, axis)
+                return merge_topk(all_scores, all_idx, k)
+
+            scales = (
+                row_scales
+                if row_scales is not None
+                else jnp.ones((n_padded,), jnp.float32)
+            )
+            fn = shard_map(
+                local_fused,
+                mesh=mesh,
+                in_specs=(P(axis, None), P(axis), P(), P(), P()),
+                out_specs=(P(), P()),
+                check_rep=False,
+            )
+            return fn(index, scales, queries, start, end)
+        # fall through to the XLA path when shards don't tile
 
     def local_topk(sims, row0):
         scores, local_idx = jax.lax.top_k(sims, k)  # [Q, k]

@@ -130,3 +130,24 @@ def test_frameindex_pallas_impl_matches_xla():
     s1, r1 = xla.search_raw(q, 5, video_name="b")
     s2, r2 = pls.search_raw(q, 5, video_name="b")
     np.testing.assert_array_equal(r1, r2)
+
+
+def test_sharded_fused_topk_matches_single_device():
+    from evr_tpu.ops.topk import cosine_topk
+    from evr_tpu.parallel import get_mesh
+    from evr_tpu.parallel.sharded_search import sharded_cosine_topk
+
+    mesh = get_mesh(8)
+    rng = np.random.default_rng(3)
+    N, D, Q, K = 4096, 64, 4, 8  # 512 rows/shard -> tile_n 512
+    idx = rng.normal(size=(N, D)).astype(np.float32)
+    idx /= np.linalg.norm(idx, axis=1, keepdims=True)
+    q = rng.normal(size=(Q, D)).astype(np.float32)
+    start, end = jnp.int32(100), jnp.int32(3900)
+
+    ref_s, ref_r = cosine_topk(jnp.asarray(idx), jnp.asarray(q), start, end, K)
+    s, r = sharded_cosine_topk(
+        mesh, jnp.asarray(idx), jnp.asarray(q), start, end, K, impl="pallas"
+    )
+    np.testing.assert_array_equal(np.asarray(r), np.asarray(ref_r))
+    np.testing.assert_allclose(np.asarray(s), np.asarray(ref_s), atol=1e-5)
