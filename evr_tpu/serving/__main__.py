@@ -28,6 +28,19 @@ def main():
         default=None,
         help="serve a built SPA (e.g. the reference React app's dist/) at /app/",
     )
+    parser.add_argument(
+        "--index-dtype",
+        choices=["float32", "bfloat16", "int8"],
+        default="float32",
+        help="HBM index storage dtype (bf16 halves / int8 quarters bandwidth)",
+    )
+    parser.add_argument(
+        "--search-impl",
+        choices=["xla", "pallas"],
+        default="xla",
+        help="retrieval kernel: xla GEMM+top_k or the fused Pallas tile "
+        "streamer (faster at multi-million-frame scale — PERF.md)",
+    )
     args = parser.parse_args()
 
     from werkzeug.serving import run_simple
@@ -53,7 +66,14 @@ def main():
     from evr_tpu.utils import get_logger
 
     log = get_logger("evr_tpu.serving")
-    ctx = ServingContext(args.data_root, engine=engine, mesh=mesh, transcriber=transcriber)
+    ctx = ServingContext(
+        args.data_root,
+        engine=engine,
+        mesh=mesh,
+        transcriber=transcriber,
+        index_dtype=args.index_dtype,
+        search_impl=args.search_impl,
+    )
     loaded = ctx.boot()
     log.info(
         "serving %d videos (%d frames) from %s on %s:%d",

@@ -32,6 +32,8 @@ class ServingContext:
         mesh=None,
         transcriber=None,
         scene_threshold: float = 30.0,
+        index_dtype: str = "float32",
+        search_impl: str = "xla",
     ):
         self.data_root = (
             data_root
@@ -52,6 +54,10 @@ class ServingContext:
         self.viz_cache = TTLCache(default_ttl=24 * 3600.0)
         self.transcriber = transcriber
         self.scene_threshold = scene_threshold
+        # index storage dtype (fp32/bf16/int8) + scoring impl (xla/pallas) —
+        # see FrameIndex; applied to every per-model index
+        self.index_dtype = index_dtype
+        self.search_impl = search_impl
 
     def resolve_path(self, p: str) -> pathlib.Path:
         """Registry paths may be data-root-relative (relocatable) or
@@ -63,7 +69,10 @@ class ServingContext:
     def index_for(self, model: str) -> FrameIndex:
         if model not in self._indexes:
             self._indexes[model] = FrameIndex(
-                embed_dim=self.engine.cfg.embed_dim, mesh=self.mesh
+                embed_dim=self.engine.cfg.embed_dim,
+                mesh=self.mesh,
+                device_dtype=self.index_dtype,
+                search_impl=self.search_impl,
             )
         return self._indexes[model]
 

@@ -151,3 +151,43 @@ def test_sharded_fused_topk_matches_single_device():
     )
     np.testing.assert_array_equal(np.asarray(r), np.asarray(ref_r))
     np.testing.assert_allclose(np.asarray(s), np.asarray(ref_s), atol=1e-5)
+
+
+def test_serving_context_pallas_index_options(tmp_path):
+    from evr_tpu.config import DataRootConfig
+    from evr_tpu.index import EmbeddingEngine
+    from evr_tpu.models.clip import CLIPConfig, TextConfig, VisionConfig
+    from evr_tpu.serving import ServingContext
+
+    cfg = CLIPConfig(
+        embed_dim=64,
+        vision=VisionConfig(32, 8, 64, 1, 2),
+        text=TextConfig(16, 600, 64, 1, 2),
+    )
+    rng = np.random.default_rng(5)
+    emb = rng.normal(size=(300, 64)).astype(np.float32)
+    q = rng.normal(size=(1, 64)).astype(np.float32)
+
+    hits = {}
+    for impl in ("xla", "pallas"):
+        ctx = ServingContext(
+            DataRootConfig(tmp_path / impl),
+            engine=EmbeddingEngine(cfg=cfg, batch_size=4),
+            search_impl=impl,
+        )
+        idx = ctx.index_for("original")
+        assert idx.search_impl == impl
+        idx.add_video("v", emb)
+        hits[impl] = idx.search_raw(q, 5)
+    np.testing.assert_array_equal(hits["xla"][1], hits["pallas"][1])
+    # int8 storage option plumbs through too
+    ctx = ServingContext(
+        DataRootConfig(tmp_path / "i8"),
+        engine=EmbeddingEngine(cfg=cfg, batch_size=4),
+        index_dtype="int8",
+        search_impl="pallas",
+    )
+    idx = ctx.index_for("original")
+    idx.add_video("v", emb)
+    s, r = idx.search_raw(q, 5)
+    assert np.isfinite(s).all()
