@@ -102,17 +102,8 @@ class EmbeddingEngine:
 
         if params is None:
             params = init_clip_params(jax.random.PRNGKey(rng_seed), self.cfg)
-        if params_dtype == "bfloat16":
-            # store weights bf16 on device: halves serving HBM for the large
-            # towers; LN/softmax still compute fp32 (models.layers)
-            params = jax.tree.map(
-                lambda a: (
-                    jnp.asarray(a, jnp.bfloat16)
-                    if hasattr(a, "dtype") and jnp.issubdtype(jnp.asarray(a).dtype, jnp.floating)
-                    else a
-                ),
-                params,
-            )
+        self.params_dtype = params_dtype
+        params = self._cast_params(params)
         self.models: dict[str, dict] = {"original": {"clip": params, "classifier": None}}
         self.active_model = "original"
         self._text_cache: dict[tuple[str, str], np.ndarray] = {}
@@ -147,11 +138,31 @@ class EmbeddingEngine:
             self._encode_pixels = jax.jit(_encode_pixels)
             self._encode_tokens = jax.jit(_encode_tokens)
 
+    def _cast_params(self, params):
+        """Apply the engine's serving weight format to a CLIP params pytree:
+        ``float32`` (as-is), ``bfloat16`` (halve HBM; LN/softmax still fp32),
+        or ``int8`` (quantize transformer-block linears for the MXU's int8
+        path — see evr_tpu.models.quant; inference-only)."""
+        if self.params_dtype == "bfloat16":
+            return jax.tree.map(
+                lambda a: (
+                    jnp.asarray(a, jnp.bfloat16)
+                    if hasattr(a, "dtype") and jnp.issubdtype(jnp.asarray(a).dtype, jnp.floating)
+                    else a
+                ),
+                params,
+            )
+        if self.params_dtype == "int8":
+            from evr_tpu.models.quant import quantize_clip_params
+
+            return quantize_clip_params(params)
+        return params
+
     # -- model registry (set_active_model parity) -------------------------
     def register_model(self, name: str, clip_params, classifier=None,
                        classifier_cfg: ClassifierConfig | None = None) -> None:
         self.models[name] = {
-            "clip": clip_params,
+            "clip": self._cast_params(clip_params),
             "classifier": classifier,
             "classifier_cfg": classifier_cfg or ClassifierConfig(embed_dim=self.cfg.embed_dim),
         }

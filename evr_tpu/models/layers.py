@@ -39,6 +39,10 @@ def layer_norm(x: jax.Array, p: Params, eps: float = LN_EPS) -> jax.Array:
 
 
 def linear(x: jax.Array, p: Params) -> jax.Array:
+    if "kernel_q" in p:  # int8-quantized weights (models.quant)
+        from evr_tpu.models.quant import quantized_linear
+
+        return quantized_linear(x, p)
     y = x @ p["kernel"].astype(x.dtype)
     if "bias" in p:
         y = y + p["bias"].astype(x.dtype)

@@ -1,0 +1,140 @@
+"""Int8 quantized inference path (evr_tpu.models.quant).
+
+The reference has no quantization; this is a TPU-native capability (MXU int8
+is 2x bf16 peak on v5e). These tests pin the numerics: quantized linears stay
+within the expected int8 error envelope, whole-tower embeddings stay
+direction-faithful to fp32, and retrieval rankings over a synthetic index
+agree at the top.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from evr_tpu.models import clip as jclip
+from evr_tpu.models.layers import init_linear, linear
+from evr_tpu.models.quant import (
+    is_quantized_linear,
+    quantize_clip_params,
+    quantize_linear_params,
+    quantized_linear,
+)
+
+
+@pytest.fixture(scope="module")
+def small_cfg():
+    return jclip.CLIPConfig(
+        embed_dim=64,
+        vision=jclip.VisionConfig(image_size=32, patch_size=8, width=64, layers=2, heads=4),
+        text=jclip.TextConfig(context_length=16, vocab_size=512, width=64, layers=2, heads=4),
+    )
+
+
+@pytest.fixture(scope="module")
+def small_params(small_cfg):
+    return jclip.init_clip_params(jax.random.PRNGKey(0), small_cfg)
+
+
+def test_quantized_linear_error_envelope():
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(8, 40, 96)).astype(np.float32))
+    p = init_linear(jax.random.PRNGKey(1), 96, 128)
+    ref = linear(x, p)
+    q = quantized_linear(x, quantize_linear_params(p))
+    # per-token symmetric int8 on Gaussian data: relative error well under 2%
+    rel = float(jnp.linalg.norm(ref - q) / jnp.linalg.norm(ref))
+    assert rel < 0.02, rel
+
+
+def test_linear_dispatches_on_quantized_structure():
+    p = init_linear(jax.random.PRNGKey(0), 16, 16)
+    pq = quantize_linear_params(p)
+    assert is_quantized_linear(pq) and not is_quantized_linear(p)
+    x = jnp.ones((2, 16), jnp.float32)
+    assert np.allclose(np.asarray(linear(x, pq)), np.asarray(quantized_linear(x, pq)))
+
+
+def test_quantize_clip_params_structure(small_params):
+    qp = quantize_clip_params(small_params)
+    for tower in ("visual", "text"):
+        for blk in qp[tower]["blocks"]:
+            for leaf in (blk["attn"]["qkv"], blk["attn"]["out"], blk["mlp"]["fc"], blk["mlp"]["proj"]):
+                assert leaf["kernel_q"].dtype == jnp.int8
+                assert "kernel" not in leaf
+        # non-block params untouched (same objects)
+        assert qp[tower] is not small_params[tower]
+    assert qp["visual"]["patch_embed"] is small_params["visual"]["patch_embed"]
+    # original params pytree is not mutated
+    assert "kernel" in small_params["visual"]["blocks"][0]["attn"]["qkv"]
+
+
+def test_int8_tower_embeddings_track_fp32(small_cfg, small_params):
+    rng = np.random.default_rng(1)
+    qp = quantize_clip_params(small_params)
+
+    pixels = jnp.asarray(rng.normal(size=(4, 32, 32, 3)).astype(np.float32))
+    img_fp = np.asarray(jclip.encode_image(small_params, small_cfg, pixels))
+    img_q = np.asarray(jclip.encode_image(qp, small_cfg, pixels))
+
+    tokens = np.zeros((4, 16), np.int32)
+    tokens[:, 0] = 509
+    lengths = [3, 7, 10, 14]
+    for i, ln in enumerate(lengths):
+        tokens[i, 1:ln] = rng.integers(1, 500, size=ln - 1)
+        tokens[i, ln] = 511  # EOT = largest id
+    txt_fp = np.asarray(jclip.encode_text(small_params, small_cfg, jnp.asarray(tokens)))
+    txt_q = np.asarray(jclip.encode_text(qp, small_cfg, jnp.asarray(tokens)))
+
+    def cos(a, b):
+        a = a / np.linalg.norm(a, axis=-1, keepdims=True)
+        b = b / np.linalg.norm(b, axis=-1, keepdims=True)
+        return np.sum(a * b, axis=-1)
+
+    assert cos(img_fp, img_q).min() > 0.99, cos(img_fp, img_q)
+    assert cos(txt_fp, txt_q).min() > 0.99, cos(txt_fp, txt_q)
+
+
+def test_int8_retrieval_rank_agreement(small_cfg, small_params):
+    """Top-k over a synthetic frame set: int8 encode must agree with fp32 on
+    the clear winners (rank-1 identical, top-5 overlap >= 4/5)."""
+    rng = np.random.default_rng(2)
+    qp = quantize_clip_params(small_params)
+    frames = jnp.asarray(rng.normal(size=(64, 32, 32, 3)).astype(np.float32))
+    queries = jnp.asarray(rng.normal(size=(8, 32, 32, 3)).astype(np.float32))
+
+    def embed(params, x):
+        e = np.asarray(jclip.encode_image(params, small_cfg, x))
+        return e / np.linalg.norm(e, axis=-1, keepdims=True)
+
+    idx_fp, q_fp = embed(small_params, frames), embed(small_params, queries)
+    idx_q, q_q = embed(qp, frames), embed(qp, queries)
+    top_fp = np.argsort(-(q_fp @ idx_fp.T), axis=1)[:, :5]
+    top_q = np.argsort(-(q_q @ idx_q.T), axis=1)[:, :5]
+    assert (top_fp[:, 0] == top_q[:, 0]).mean() >= 0.875  # 7/8 rank-1 agreement
+    overlap = [len(set(a) & set(b)) for a, b in zip(top_fp, top_q)]
+    assert np.mean(overlap) >= 4.0, overlap
+
+
+def test_engine_int8_params_dtype(tmp_path):
+    from evr_tpu.index import EmbeddingEngine
+
+    cfg = jclip.CLIPConfig(
+        embed_dim=32,
+        vision=jclip.VisionConfig(image_size=32, patch_size=8, width=32, layers=1, heads=2),
+        text=jclip.TextConfig(context_length=16, vocab_size=49408, width=32, layers=1, heads=2),
+    )
+    eng = EmbeddingEngine(cfg=cfg, batch_size=4, params_dtype="int8")
+    blk = eng.params["visual"]["blocks"][0]
+    assert blk["attn"]["qkv"]["kernel_q"].dtype == jnp.int8
+    rng = np.random.default_rng(0)
+    staged = (rng.random((3, 32, 32, 3)) * 255).astype(np.uint8)
+    emb = eng.encode_staged_images(staged, normalise=True)
+    assert emb.shape == (3, 32)
+    assert np.isfinite(emb).all()
+    txt = eng.encode_texts(["a fight in the street"])
+    assert np.isfinite(txt).all()
+    # registered models inherit the engine's serving format
+    eng.register_model("second", jclip.init_clip_params(jax.random.PRNGKey(3), cfg))
+    assert eng.models["second"]["clip"]["visual"]["blocks"][0]["mlp"]["fc"]["kernel_q"].dtype == jnp.int8
