@@ -21,15 +21,40 @@ import jax.numpy as jnp
 from evr_tpu.models.clip import encode_text
 
 
-class TextSearcher:
-    """One-dispatch text search over a FrameIndex."""
+def _bucket(n: int, cap: int) -> int:
+    """Next power-of-two ≥ n (≤ cap): bounds the set of compiled programs
+    when micro-batching produces variable group sizes."""
+    b = 1
+    while b < n and b < cap:
+        b *= 2
+    return b
 
-    def __init__(self, engine, index, compute_dtype=None):
+
+class TextSearcher:
+    """One-dispatch text search over a FrameIndex.
+
+    ``batch_window_ms``: enable dynamic micro-batching — concurrent
+    single-query searches arriving within the window coalesce into ONE
+    device dispatch (serving/batcher.py). Off by default; zero-cost for
+    sequential callers beyond the window wait.
+    """
+
+    def __init__(self, engine, index, compute_dtype=None,
+                 batch_window_ms: float | None = None, max_batch: int = 16):
         self.engine = engine
         self.index = index
         self.dtype = compute_dtype or engine.compute_dtype
         self._fn_cache: dict[tuple, callable] = {}
         self._result_cache: dict[tuple, tuple] = {}
+        self._batcher = None
+        if batch_window_ms is not None:
+            from evr_tpu.serving.batcher import MicroBatcher
+
+            self.max_batch = max_batch
+            self._batcher = MicroBatcher(
+                self._search_group, max_batch=max_batch,
+                window_s=batch_window_ms / 1e3,
+            )
 
     def _fused_fn(self, k: int):
         if k in self._fn_cache:
@@ -53,6 +78,32 @@ class TextSearcher:
         self._fn_cache[k] = fused
         return fused
 
+    def _dispatch(
+        self, queries: list, k: int, device_index, start: int, end: int
+    ) -> tuple[np.ndarray, np.ndarray]:
+        tokens = self.engine.tokenizer(
+            list(queries), context_length=self.engine.cfg.text.context_length
+        )
+        fused = self._fused_fn(k)
+        scores, rows = fused(
+            self.engine.params,
+            device_index,
+            jnp.asarray(tokens),
+            jnp.int32(start),
+            jnp.int32(end),
+        )
+        return np.asarray(scores), np.asarray(rows)
+
+    def _search_group(self, key, items: list) -> list:
+        """MicroBatcher flush: run every coalesced query of a compatible
+        group (same model/index-version/k/scope) as ONE device dispatch."""
+        _model, _version, k, video_name = key
+        device_index, _, start, end, _ = self.index.snapshot(video_name)
+        b = _bucket(len(items), self.max_batch)
+        padded = list(items) + [items[0]] * (b - len(items))
+        scores, rows = self._dispatch(padded, k, device_index, start, end)
+        return [(scores[i], rows[i]) for i in range(len(items))]
+
     def search(
         self, queries, top_k: int, video_name: str | None = None
     ) -> tuple[np.ndarray, np.ndarray]:
@@ -72,18 +123,13 @@ class TextSearcher:
         if cache_key in self._result_cache:
             return self._result_cache[cache_key]
 
-        tokens = self.engine.tokenizer(
-            list(queries), context_length=self.engine.cfg.text.context_length
-        )
-        fused = self._fused_fn(k)
-        scores, rows = fused(
-            self.engine.params,
-            device_index,
-            jnp.asarray(tokens),
-            jnp.int32(start),
-            jnp.int32(end),
-        )
-        out = (np.asarray(scores), np.asarray(rows))
+        if self._batcher is not None and len(queries) == 1:
+            row = self._batcher.submit(
+                (self.engine.active_model, version, k, video_name), queries[0]
+            )
+            out = (row[0][None], row[1][None])
+        else:
+            out = self._dispatch(queries, k, device_index, start, end)
         self._result_cache[cache_key] = out
         if len(self._result_cache) > 4096:
             self._result_cache.clear()

@@ -58,6 +58,7 @@ class QueryEngine:
         index: FrameIndex,
         metadata: MetadataStore,
         preprocessor: QueryPreprocessor | None = None,
+        batch_window_ms: float | None = None,
     ):
         self.engine = embedding_engine
         self.index = index
@@ -65,12 +66,15 @@ class QueryEngine:
         self.preprocess = preprocessor or identity_preprocessor
         # Fused one-dispatch searcher (tokenize → encode → GEMM → top-k in a
         # single jitted call); falls back to the two-step path for engines
-        # without the full interface (e.g. test stubs).
+        # without the full interface (e.g. test stubs). batch_window_ms
+        # additionally coalesces concurrent queries into one dispatch.
         self._searcher = None
         if hasattr(embedding_engine, "tokenizer") and hasattr(embedding_engine, "params"):
             from evr_tpu.index.fused_search import TextSearcher
 
-            self._searcher = TextSearcher(embedding_engine, index)
+            self._searcher = TextSearcher(
+                embedding_engine, index, batch_window_ms=batch_window_ms
+            )
 
     # -- shared plumbing --------------------------------------------------
     def _candidates(

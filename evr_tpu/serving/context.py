@@ -34,6 +34,7 @@ class ServingContext:
         scene_threshold: float = 30.0,
         index_dtype: str = "float32",
         search_impl: str = "xla",
+        batch_window_ms: float | None = None,
     ):
         self.data_root = (
             data_root
@@ -58,6 +59,9 @@ class ServingContext:
         # see FrameIndex; applied to every per-model index
         self.index_dtype = index_dtype
         self.search_impl = search_impl
+        # coalesce concurrent semantic queries into one device dispatch
+        # (serving/batcher.py); None disables
+        self.batch_window_ms = batch_window_ms
 
     def resolve_path(self, p: str) -> pathlib.Path:
         """Registry paths may be data-root-relative (relocatable) or
@@ -86,7 +90,8 @@ class ServingContext:
         model = self.engine.active_model
         if model not in self._query_engines:
             self._query_engines[model] = QueryEngine(
-                self.engine, self.index_for(model), self.metadata
+                self.engine, self.index_for(model), self.metadata,
+                batch_window_ms=self.batch_window_ms,
             )
         return self._query_engines[model]
 

@@ -1,0 +1,184 @@
+"""Dynamic micro-batching (serving/batcher.py + TextSearcher batching).
+
+Concurrent single-query searches must coalesce into fewer device dispatches
+while returning exactly the results the unbatched path returns.
+"""
+
+import threading
+import time
+
+import numpy as np
+import pytest
+
+from evr_tpu.serving.batcher import MicroBatcher
+
+
+def test_microbatcher_coalesces_concurrent_submits():
+    calls = []
+
+    def batch_fn(key, items):
+        calls.append(list(items))
+        return [x * 10 for x in items]
+
+    mb = MicroBatcher(batch_fn, max_batch=8, window_s=0.05)
+    results = {}
+
+    def worker(i):
+        results[i] = mb.submit("k", i)
+
+    threads = [threading.Thread(target=worker, args=(i,)) for i in range(6)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert results == {i: i * 10 for i in range(6)}
+    # all 6 submissions landed in far fewer flushes than 6 (same key, one
+    # window) — typically 1, allow 2 for scheduling jitter
+    assert len(calls) <= 2, calls
+    assert sorted(sum(calls, [])) == list(range(6))
+
+
+def test_microbatcher_flushes_early_when_full():
+    calls = []
+
+    def batch_fn(key, items):
+        calls.append(list(items))
+        return items
+
+    mb = MicroBatcher(batch_fn, max_batch=2, window_s=5.0)  # long window
+    t0 = time.perf_counter()
+    results = {}
+
+    def worker(i):
+        results[i] = mb.submit("k", i)
+
+    threads = [threading.Thread(target=worker, args=(i,)) for i in range(2)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    # a full group must not wait out the 5 s window
+    assert time.perf_counter() - t0 < 2.0
+    assert results == {0: 0, 1: 1}
+
+
+def test_microbatcher_separate_keys_do_not_mix():
+    def batch_fn(key, items):
+        return [(key, x) for x in items]
+
+    mb = MicroBatcher(batch_fn, max_batch=4, window_s=0.01)
+    out = {}
+    threads = [
+        threading.Thread(target=lambda i=i: out.setdefault(i, mb.submit(i % 2, i)))
+        for i in range(4)
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    for i in range(4):
+        assert out[i] == (i % 2, i)
+
+
+def test_microbatcher_propagates_errors_to_all_waiters():
+    def batch_fn(key, items):
+        raise ValueError("boom")
+
+    mb = MicroBatcher(batch_fn, max_batch=4, window_s=0.01)
+    errs = []
+
+    def worker(i):
+        try:
+            mb.submit("k", i)
+        except ValueError as e:
+            errs.append(str(e))
+
+    threads = [threading.Thread(target=worker, args=(i,)) for i in range(3)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert errs == ["boom"] * 3
+
+
+def test_microbatcher_sequential_submits_still_work():
+    def batch_fn(key, items):
+        return [x + 1 for x in items]
+
+    mb = MicroBatcher(batch_fn, max_batch=4, window_s=0.001)
+    assert [mb.submit("k", i) for i in range(5)] == [1, 2, 3, 4, 5]
+
+
+@pytest.fixture(scope="module")
+def small_engine_index():
+    import jax
+
+    from evr_tpu.index import EmbeddingEngine, FrameIndex
+    from evr_tpu.models import clip as jclip
+
+    cfg = jclip.CLIPConfig(
+        embed_dim=32,
+        vision=jclip.VisionConfig(image_size=32, patch_size=8, width=32, layers=1, heads=2),
+        text=jclip.TextConfig(context_length=16, vocab_size=49408, width=32, layers=1, heads=2),
+    )
+    engine = EmbeddingEngine(cfg=cfg, batch_size=4)
+    rng = np.random.default_rng(0)
+    emb = rng.normal(size=(40, 32)).astype(np.float32)
+    emb /= np.linalg.norm(emb, axis=-1, keepdims=True)
+    index = FrameIndex(embed_dim=32, pad_multiple=64)
+    index.add_video("v", emb)
+    return engine, index
+
+
+def test_text_searcher_batched_matches_unbatched(small_engine_index):
+    from evr_tpu.index.fused_search import TextSearcher
+
+    engine, index = small_engine_index
+    plain = TextSearcher(engine, index)
+    batched = TextSearcher(engine, index, batch_window_ms=20.0, max_batch=8)
+
+    queries = [f"query number {i}" for i in range(6)]
+    expected = {q: plain.search(q, 5) for q in queries}
+
+    dispatches = []
+    orig = batched._dispatch
+
+    def counting_dispatch(qs, k, device_index, start, end):
+        dispatches.append(len(qs))
+        return orig(qs, k, device_index, start, end)
+
+    batched._dispatch = counting_dispatch
+
+    got = {}
+    lock = threading.Lock()
+
+    def worker(q):
+        r = batched.search(q, 5)
+        with lock:
+            got[q] = r
+
+    threads = [threading.Thread(target=worker, args=(q,)) for q in queries]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+
+    for q in queries:
+        np.testing.assert_array_equal(got[q][1], expected[q][1])
+        np.testing.assert_allclose(got[q][0], expected[q][0], rtol=1e-5, atol=1e-6)
+    # 6 concurrent queries must not cost 6 dispatches
+    assert len(dispatches) < 6, dispatches
+    # padded group sizes are power-of-two buckets (bounded compile cache)
+    assert all(d in (1, 2, 4, 8) for d in dispatches), dispatches
+
+
+def test_text_searcher_batched_single_caller_unharmed(small_engine_index):
+    from evr_tpu.index.fused_search import TextSearcher
+
+    engine, index = small_engine_index
+    plain = TextSearcher(engine, index)
+    batched = TextSearcher(engine, index, batch_window_ms=1.0)
+    s0, r0 = plain.search("a lone query", 4)
+    s1, r1 = batched.search("a lone query", 4)
+    np.testing.assert_array_equal(r0, r1)
+    np.testing.assert_allclose(s0, s1, rtol=1e-5, atol=1e-6)
