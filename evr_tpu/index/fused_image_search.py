@@ -17,14 +17,37 @@ import jax.numpy as jnp
 
 from evr_tpu.models.clip import encode_image
 from evr_tpu.ops.preprocess import CLIP_MEAN, CLIP_STD
+from evr_tpu.ops.topk import cosine_topk
 
 
 class ImageSearcher:
-    def __init__(self, engine, index, compute_dtype=None):
+    """``batch_window_ms``: coalesce concurrent single-image searches into
+    one dispatch (same leader/follower scheme as TextSearcher)."""
+
+    def __init__(self, engine, index, compute_dtype=None,
+                 batch_window_ms: float | None = None, max_batch: int = 8):
         self.engine = engine
         self.index = index
         self.dtype = compute_dtype or engine.compute_dtype
         self._fn_cache: dict[int, callable] = {}
+        self._batcher = None
+        if batch_window_ms is not None:
+            from evr_tpu.serving.batcher import MicroBatcher
+
+            self.max_batch = max_batch
+            self._batcher = MicroBatcher(
+                self._search_group, max_batch=max_batch,
+                window_s=batch_window_ms / 1e3,
+            )
+
+    def _search_group(self, key, items: list) -> list:
+        from evr_tpu.index.fused_search import _bucket
+
+        _model, _version, k, video_name = key
+        b = _bucket(len(items), self.max_batch)
+        batch = np.stack(items + [items[0]] * (b - len(items)))
+        scores, rows = self._search_now(batch, k, video_name)
+        return [(scores[i], rows[i]) for i in range(len(items))]
 
     def _fused_fn(self, k: int):
         if k in self._fn_cache:
@@ -35,18 +58,12 @@ class ImageSearcher:
         std = jnp.asarray(CLIP_STD, jnp.float32)
 
         @jax.jit
-        def fused(params, index_dev, staged_u8, start, end):
+        def fused(params, index_dev, row_scales, staged_u8, start, end):
             x = (staged_u8.astype(jnp.float32) / 255.0 - mean) / std
             img = encode_image(params, cfg, x, dtype=dtype)
-            q = img / jnp.maximum(jnp.linalg.norm(img, axis=-1, keepdims=True), 1e-12)
-            sims = jnp.dot(
-                q.astype(index_dev.dtype),
-                index_dev.T,
-                preferred_element_type=jnp.float32,
-            )
-            rows = jnp.arange(index_dev.shape[0])[None, :]
-            sims = jnp.where((rows >= start) & (rows < end), sims, -jnp.inf)
-            return jax.lax.top_k(sims, k)
+            # cosine_topk handles index storage dtypes (fp32/bf16/int8 with
+            # post-GEMM rescaling), masking, and query normalisation.
+            return cosine_topk(index_dev, img, start, end, k, row_scales)
 
         self._fn_cache[k] = fused
         return fused
@@ -55,12 +72,24 @@ class ImageSearcher:
         self, staged_u8: np.ndarray, top_k: int, video_name: str | None = None
     ) -> tuple[np.ndarray, np.ndarray]:
         """staged_u8: uint8 [Q, S, S, 3] (already resized/cropped)."""
-        device_index, _, start, end, _ = self.index.snapshot(video_name)
+        _, _, start, end, version = self.index.snapshot(video_name)
         k = max(1, min(top_k, end - start))
+        if self._batcher is not None and staged_u8.shape[0] == 1:
+            row = self._batcher.submit(
+                (self.engine.active_model, version, k, video_name), staged_u8[0]
+            )
+            return row[0][None], row[1][None]
+        return self._search_now(staged_u8, k, video_name)
+
+    def _search_now(
+        self, staged_u8: np.ndarray, k: int, video_name: str | None
+    ) -> tuple[np.ndarray, np.ndarray]:
+        device_index, row_scales, start, end, _ = self.index.snapshot(video_name)
         fused = self._fused_fn(k)
         scores, rows = fused(
             self.engine.params,
             device_index,
+            row_scales,
             jnp.asarray(staged_u8),
             jnp.int32(start),
             jnp.int32(end),

@@ -19,6 +19,7 @@ import jax
 import jax.numpy as jnp
 
 from evr_tpu.models.clip import encode_text
+from evr_tpu.ops.topk import cosine_topk
 
 
 def _bucket(n: int, cap: int) -> int:
@@ -63,23 +64,18 @@ class TextSearcher:
         dtype = self.dtype
 
         @jax.jit
-        def fused(params, index_dev, tokens, start, end):
+        def fused(params, index_dev, row_scales, tokens, start, end):
             txt = encode_text(params, cfg, tokens, dtype=dtype)
-            q = txt / jnp.maximum(jnp.linalg.norm(txt, axis=-1, keepdims=True), 1e-12)
-            sims = jnp.dot(
-                q.astype(index_dev.dtype),
-                index_dev.T,
-                preferred_element_type=jnp.float32,
-            )
-            rows = jnp.arange(index_dev.shape[0])[None, :]
-            sims = jnp.where((rows >= start) & (rows < end), sims, -jnp.inf)
-            return jax.lax.top_k(sims, k)
+            # cosine_topk handles index storage dtypes (fp32/bf16/int8 with
+            # post-GEMM rescaling) and row-range masking; it normalises the
+            # query itself.
+            return cosine_topk(index_dev, txt, start, end, k, row_scales)
 
         self._fn_cache[k] = fused
         return fused
 
     def _dispatch(
-        self, queries: list, k: int, device_index, start: int, end: int
+        self, queries: list, k: int, device_index, row_scales, start: int, end: int
     ) -> tuple[np.ndarray, np.ndarray]:
         tokens = self.engine.tokenizer(
             list(queries), context_length=self.engine.cfg.text.context_length
@@ -88,6 +84,7 @@ class TextSearcher:
         scores, rows = fused(
             self.engine.params,
             device_index,
+            row_scales,
             jnp.asarray(tokens),
             jnp.int32(start),
             jnp.int32(end),
@@ -98,10 +95,10 @@ class TextSearcher:
         """MicroBatcher flush: run every coalesced query of a compatible
         group (same model/index-version/k/scope) as ONE device dispatch."""
         _model, _version, k, video_name = key
-        device_index, _, start, end, _ = self.index.snapshot(video_name)
+        device_index, row_scales, start, end, _ = self.index.snapshot(video_name)
         b = _bucket(len(items), self.max_batch)
         padded = list(items) + [items[0]] * (b - len(items))
-        scores, rows = self._dispatch(padded, k, device_index, start, end)
+        scores, rows = self._dispatch(padded, k, device_index, row_scales, start, end)
         return [(scores[i], rows[i]) for i in range(len(items))]
 
     def search(
@@ -110,7 +107,7 @@ class TextSearcher:
         """(scores [Q, k], global rows [Q, k]) in one device call."""
         if isinstance(queries, str):
             queries = [queries]
-        device_index, _, start, end, version = self.index.snapshot(video_name)
+        device_index, row_scales, start, end, version = self.index.snapshot(video_name)
         k = max(1, min(top_k, end - start))
 
         cache_key = (
@@ -129,7 +126,7 @@ class TextSearcher:
             )
             out = (row[0][None], row[1][None])
         else:
-            out = self._dispatch(queries, k, device_index, start, end)
+            out = self._dispatch(queries, k, device_index, row_scales, start, end)
         self._result_cache[cache_key] = out
         if len(self._result_cache) > 4096:
             self._result_cache.clear()

@@ -251,7 +251,9 @@ class ServingContext:
             self._image_searchers = {}
         model = self.engine.active_model
         if model not in self._image_searchers:
-            self._image_searchers[model] = ImageSearcher(self.engine, self.index)
+            self._image_searchers[model] = ImageSearcher(
+                self.engine, self.index, batch_window_ms=self.batch_window_ms
+            )
         scores, rows = self._image_searchers[model].search(
             staged[None], top_k * 3, video_name
         )

@@ -143,9 +143,9 @@ def test_text_searcher_batched_matches_unbatched(small_engine_index):
     dispatches = []
     orig = batched._dispatch
 
-    def counting_dispatch(qs, k, device_index, start, end):
+    def counting_dispatch(qs, k, *args):
         dispatches.append(len(qs))
-        return orig(qs, k, device_index, start, end)
+        return orig(qs, k, *args)
 
     batched._dispatch = counting_dispatch
 
@@ -170,6 +170,31 @@ def test_text_searcher_batched_matches_unbatched(small_engine_index):
     assert len(dispatches) < 6, dispatches
     # padded group sizes are power-of-two buckets (bounded compile cache)
     assert all(d in (1, 2, 4, 8) for d in dispatches), dispatches
+
+
+def test_image_searcher_batched_matches_unbatched(small_engine_index):
+    from evr_tpu.index.fused_image_search import ImageSearcher
+
+    engine, index = small_engine_index
+    plain = ImageSearcher(engine, index)
+    batched = ImageSearcher(engine, index, batch_window_ms=20.0, max_batch=8)
+    rng = np.random.default_rng(3)
+    images = [(rng.random((32, 32, 3)) * 255).astype(np.uint8) for _ in range(5)]
+    expected = [plain.search(img[None], 4) for img in images]
+
+    got = [None] * len(images)
+
+    def worker(i):
+        got[i] = batched.search(images[i][None], 4)
+
+    threads = [threading.Thread(target=worker, args=(i,)) for i in range(len(images))]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    for (es, er), (gs, gr) in zip(expected, got):
+        np.testing.assert_array_equal(er, gr)
+        np.testing.assert_allclose(es, gs, rtol=1e-5, atol=1e-6)
 
 
 def test_text_searcher_batched_single_caller_unharmed(small_engine_index):

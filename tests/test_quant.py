@@ -117,6 +117,42 @@ def test_int8_retrieval_rank_agreement(small_cfg, small_params):
     assert np.mean(overlap) >= 4.0, overlap
 
 
+def test_fused_searchers_respect_index_storage_dtype(small_cfg):
+    """Regression: the fused text/image searchers must score a bf16/int8
+    index exactly like FrameIndex.search_raw does (an int8 index cast the
+    fp32 query to int8 before this fix, zeroing every score)."""
+    from evr_tpu.index import EmbeddingEngine, FrameIndex
+    from evr_tpu.index.fused_image_search import ImageSearcher
+    from evr_tpu.index.fused_search import TextSearcher
+
+    rng = np.random.default_rng(5)
+    eng = EmbeddingEngine(cfg=small_cfg, batch_size=4, rng_seed=0)
+    emb = rng.normal(size=(40, small_cfg.embed_dim)).astype(np.float32)
+    emb /= np.linalg.norm(emb, axis=-1, keepdims=True)
+
+    for dtype_name in ("float32", "bfloat16", "int8"):
+        idx = FrameIndex(
+            embed_dim=small_cfg.embed_dim, pad_multiple=64, device_dtype=dtype_name
+        )
+        idx.add_video("v", emb)
+
+        ts = TextSearcher(eng, idx)
+        q = "people running"
+        s_fused, r_fused = ts.search(q, 5)
+        vec = eng.encode_texts([q])
+        s_raw, r_raw = idx.search_raw(vec, 5)
+        np.testing.assert_array_equal(r_fused, r_raw, err_msg=dtype_name)
+        np.testing.assert_allclose(s_fused, s_raw, rtol=1e-4, atol=1e-5)
+
+        imgs = (rng.random((1, 32, 32, 3)) * 255).astype(np.uint8)
+        is_ = ImageSearcher(eng, idx)
+        s_img, r_img = is_.search(imgs, 5)
+        ivec = eng.encode_staged_images(imgs, normalise=True)
+        s_iraw, r_iraw = idx.search_raw(ivec, 5)
+        np.testing.assert_array_equal(r_img, r_iraw, err_msg=dtype_name)
+        np.testing.assert_allclose(s_img, s_iraw, rtol=1e-4, atol=1e-5)
+
+
 def test_engine_int8_params_dtype(tmp_path):
     from evr_tpu.index import EmbeddingEngine
 
@@ -138,3 +174,42 @@ def test_engine_int8_params_dtype(tmp_path):
     # registered models inherit the engine's serving format
     eng.register_model("second", jclip.init_clip_params(jax.random.PRNGKey(3), cfg))
     assert eng.models["second"]["clip"]["visual"]["blocks"][0]["mlp"]["fc"]["kernel_q"].dtype == jnp.int8
+
+
+def test_all_integer_serving_path(small_cfg):
+    """int8 towers + int8 index storage compose end-to-end: the fused
+    one-dispatch search over the quantized stack must reproduce the exact
+    cosine ranking of the embeddings it indexed (index quantization is
+    rescaled post-GEMM), with scores within the int8-storage envelope."""
+    from evr_tpu.index import EmbeddingEngine, FrameIndex
+    from evr_tpu.index.fused_search import TextSearcher
+
+    rng = np.random.default_rng(4)
+    staged = (rng.random((24, 32, 32, 3)) * 255).astype(np.uint8)
+
+    eng_q = EmbeddingEngine(cfg=small_cfg, batch_size=8, rng_seed=0, params_dtype="int8")
+    # int8 towers must produce finite, unit-norm embeddings end-to-end
+    emb_tower = eng_q.encode_staged_images(staged, normalise=True)
+    assert np.isfinite(emb_tower).all()
+    np.testing.assert_allclose(np.linalg.norm(emb_tower, axis=-1), 1.0, atol=1e-5)
+
+    # index rows: well-separated unit vectors (random-model embeddings of
+    # noise images are near-collinear, which makes rank assertions measure
+    # the degenerate data, not the pipeline)
+    emb_q = rng.normal(size=(24, small_cfg.embed_dim)).astype(np.float32)
+    emb_q /= np.linalg.norm(emb_q, axis=-1, keepdims=True)
+    idx_q = FrameIndex(embed_dim=small_cfg.embed_dim, pad_multiple=64, device_dtype="int8")
+    idx_q.add_video("v", emb_q)
+
+    searcher = TextSearcher(eng_q, idx_q)
+    for q in ["violent fight scene", "a calm beach", "city traffic at night"]:
+        scores, rows = searcher.search(q, 5)
+        assert np.isfinite(scores).all()
+        # ground truth: fp32 cosine of the same int8-tower embeddings
+        tq = eng_q.encode_texts([q])[0]
+        exact = emb_q @ tq
+        expect = np.argsort(-exact)[:5]
+        assert len(set(rows[0].tolist()) & set(expect.tolist())) >= 4
+        np.testing.assert_allclose(
+            scores[0], np.sort(exact)[::-1][:5], atol=0.02, rtol=0.05
+        )
