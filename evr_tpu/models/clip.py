@@ -165,12 +165,19 @@ def encode_image(
     cfg: CLIPConfig,
     pixels: jax.Array,
     dtype: jnp.dtype = jnp.float32,
+    patch_keep: jax.Array | None = None,
 ) -> jax.Array:
     """pixels [B, H, W, 3] (already preprocessed, NHWC) → [B, embed_dim].
 
     Output is the *unnormalised* embedding, matching ``model.encode_image``
     in the reference stack; retrieval normalises separately (as
     `embedding_service.py:176-179` does).
+
+    ``patch_keep`` [B, K] int32: indices of the patch tokens to KEEP
+    (FLIP-style random masking, "Scaling Language-Image Pre-training via
+    Masking" — training-time speedup: the transformer runs on K+1 tokens
+    instead of grid²+1; the class token is always kept). K is static, so
+    one compiled program per keep-count. None = full sequence (inference).
     """
     v = cfg.vision
     p = params["visual"]
@@ -191,6 +198,12 @@ def encode_image(
     cls = jnp.broadcast_to(p["class_embedding"].astype(dtype), (B, 1, v.width))
     x = jnp.concatenate([cls, x], axis=1)
     x = x + p["pos_embedding"].astype(dtype)
+
+    if patch_keep is not None:
+        # gather the kept patch tokens (after positional add, so every token
+        # keeps its original position information), class token first
+        kept = jnp.take_along_axis(x[:, 1:], patch_keep[:, :, None], axis=1)
+        x = jnp.concatenate([x[:, :1], kept], axis=1)
 
     x = layer_norm(x, p["ln_pre"])
     x = _run_blocks(x, p["blocks"], v.heads, False, cfg)

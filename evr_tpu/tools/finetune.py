@@ -28,6 +28,11 @@ def main(argv=None):
     parser.add_argument("--num-classes", type=int, default=3)
     parser.add_argument("--no-mesh", action="store_true", help="single-device run")
     parser.add_argument("--seed", type=int, default=42)
+    parser.add_argument(
+        "--patch-drop", type=float, default=0.0,
+        help="FLIP-style random patch masking fraction during training "
+        "(arxiv 2212.00794); 0.5 ≈ 1.7x faster steps at small quality cost",
+    )
     args = parser.parse_args(argv)
 
     import jax
@@ -68,6 +73,7 @@ def main(argv=None):
         lr=args.lr,
         freeze_layers=args.freeze_layers,
         save_dir=args.save_dir,
+        patch_drop=args.patch_drop,
     )
     trainer = Trainer(
         cfg, clip_params, tc, classifier_params=cls_params, mesh=mesh,

@@ -73,6 +73,12 @@ class TrainConfig:
     # accumulate gradients over N micro-batches before applying
     # (`training_CLIP_multimodal.py:404-487` grad_accumulation_steps=4)
     grad_accumulation_steps: int = 1
+    # FLIP-style random patch masking (arxiv 2212.00794): drop this fraction
+    # of image patch tokens per example during TRAINING only — the vision
+    # tower runs on (1-p)·grid²+1 tokens, a near-linear step speedup at
+    # small contrastive-quality cost. 0.0 disables (inference always runs
+    # the full sequence).
+    patch_drop: float = 0.0
 
 
 @chex.dataclass
@@ -147,10 +153,20 @@ def make_train_step(
     mean = jnp.asarray(CLIP_MEAN, jnp.float32)
     std = jnp.asarray(CLIP_STD, jnp.float32)
 
+    n_patches = model_cfg.vision.grid ** 2
+    n_keep = max(1, int(round(n_patches * (1.0 - cfg.patch_drop))))
+
     def loss_fn(params, batch, rng):
         x = batch["images"].astype(jnp.float32) / 255.0
         x = (x - mean) / std
-        img = encode_image(params["clip"], model_cfg, x, dtype=dtype)
+        patch_keep = None
+        if cfg.patch_drop > 0.0:
+            rng, drop_rng = jax.random.split(rng)
+            u = jax.random.uniform(drop_rng, (x.shape[0], n_patches))
+            patch_keep = jnp.argsort(u, axis=-1)[:, :n_keep].astype(jnp.int32)
+        img = encode_image(
+            params["clip"], model_cfg, x, dtype=dtype, patch_keep=patch_keep
+        )
         txt = encode_text(params["clip"], model_cfg, batch["tokens"], dtype=dtype)
         img_n = img / jnp.linalg.norm(img, axis=-1, keepdims=True)
         txt_n = txt / jnp.linalg.norm(txt, axis=-1, keepdims=True)
