@@ -41,13 +41,25 @@ class ImageSearcher:
             )
 
     def _search_group(self, key, items: list) -> list:
-        from evr_tpu.index.fused_search import _bucket
+        """Same flush contract as TextSearcher._search_group: params pinned
+        to the submit-time model, k clamped to the flush-time snapshot,
+        results padded back to the promised k."""
+        from evr_tpu.serving.batcher import flush_padded
 
-        _model, _version, k, video_name = key
-        b = _bucket(len(items), self.max_batch)
-        batch = np.stack(items + [items[0]] * (b - len(items)))
-        scores, rows = self._search_now(batch, k, video_name)
-        return [(scores[i], rows[i]) for i in range(len(items))]
+        model, _version, k, video_name = key
+        params = self.engine.models[model]["clip"]
+        snapshot = self.index.snapshot(video_name)
+        k_now = max(1, min(k, snapshot[3] - snapshot[2]))
+
+        def run(padded):
+            s, r = self._run_fused(np.stack(padded), k_now, snapshot, params)
+            if k_now < k:
+                pad = ((0, 0), (0, k - k_now))
+                s = np.pad(s, pad, constant_values=-np.inf)
+                r = np.pad(r, pad, constant_values=0)
+            return s, r
+
+        return flush_padded(items, self.max_batch, run)
 
     def _fused_fn(self, k: int):
         if k in self._fn_cache:
@@ -72,22 +84,23 @@ class ImageSearcher:
         self, staged_u8: np.ndarray, top_k: int, video_name: str | None = None
     ) -> tuple[np.ndarray, np.ndarray]:
         """staged_u8: uint8 [Q, S, S, 3] (already resized/cropped)."""
-        _, _, start, end, version = self.index.snapshot(video_name)
-        k = max(1, min(top_k, end - start))
+        snapshot = self.index.snapshot(video_name)
+        k = max(1, min(top_k, snapshot[3] - snapshot[2]))
         if self._batcher is not None and staged_u8.shape[0] == 1:
             row = self._batcher.submit(
-                (self.engine.active_model, version, k, video_name), staged_u8[0]
+                (self.engine.active_model, snapshot[4], k, video_name),
+                staged_u8[0],
             )
             return row[0][None], row[1][None]
-        return self._search_now(staged_u8, k, video_name)
+        return self._run_fused(staged_u8, k, snapshot, self.engine.params)
 
-    def _search_now(
-        self, staged_u8: np.ndarray, k: int, video_name: str | None
+    def _run_fused(
+        self, staged_u8: np.ndarray, k: int, snapshot, params
     ) -> tuple[np.ndarray, np.ndarray]:
-        device_index, row_scales, start, end, _ = self.index.snapshot(video_name)
+        device_index, row_scales, start, end, _ = snapshot
         fused = self._fused_fn(k)
         scores, rows = fused(
-            self.engine.params,
+            params,
             device_index,
             row_scales,
             jnp.asarray(staged_u8),

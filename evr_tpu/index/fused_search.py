@@ -22,15 +22,6 @@ from evr_tpu.models.clip import encode_text
 from evr_tpu.ops.topk import cosine_topk
 
 
-def _bucket(n: int, cap: int) -> int:
-    """Next power-of-two ≥ n (≤ cap): bounds the set of compiled programs
-    when micro-batching produces variable group sizes."""
-    b = 1
-    while b < n and b < cap:
-        b *= 2
-    return b
-
-
 class TextSearcher:
     """One-dispatch text search over a FrameIndex.
 
@@ -75,14 +66,15 @@ class TextSearcher:
         return fused
 
     def _dispatch(
-        self, queries: list, k: int, device_index, row_scales, start: int, end: int
+        self, queries: list, k: int, device_index, row_scales, start: int, end: int,
+        params=None,
     ) -> tuple[np.ndarray, np.ndarray]:
         tokens = self.engine.tokenizer(
             list(queries), context_length=self.engine.cfg.text.context_length
         )
         fused = self._fused_fn(k)
         scores, rows = fused(
-            self.engine.params,
+            self.engine.params if params is None else params,
             device_index,
             row_scales,
             jnp.asarray(tokens),
@@ -93,13 +85,29 @@ class TextSearcher:
 
     def _search_group(self, key, items: list) -> list:
         """MicroBatcher flush: run every coalesced query of a compatible
-        group (same model/index-version/k/scope) as ONE device dispatch."""
-        _model, _version, k, video_name = key
+        group as ONE device dispatch. The group key records the SUBMIT-time
+        (model, version, k, scope); the flush pins the params to that model
+        (a concurrent set_active_model must not contaminate the group) and
+        clamps k to the flush-time snapshot, padding results to the promised
+        k with -inf scores if the index shrank inside the window."""
+        from evr_tpu.serving.batcher import flush_padded
+
+        model, _version, k, video_name = key
+        params = self.engine.models[model]["clip"]
         device_index, row_scales, start, end, _ = self.index.snapshot(video_name)
-        b = _bucket(len(items), self.max_batch)
-        padded = list(items) + [items[0]] * (b - len(items))
-        scores, rows = self._dispatch(padded, k, device_index, row_scales, start, end)
-        return [(scores[i], rows[i]) for i in range(len(items))]
+        k_now = max(1, min(k, end - start))
+
+        def run(padded):
+            s, r = self._dispatch(
+                padded, k_now, device_index, row_scales, start, end, params=params
+            )
+            if k_now < k:  # index shrank mid-window: keep the promised shape
+                pad = ((0, 0), (0, k - k_now))
+                s = np.pad(s, pad, constant_values=-np.inf)
+                r = np.pad(r, pad, constant_values=0)
+            return s, r
+
+        return flush_padded(items, self.max_batch, run)
 
     def search(
         self, queries, top_k: int, video_name: str | None = None

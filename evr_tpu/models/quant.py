@@ -74,6 +74,8 @@ def is_quantized_linear(p: Params) -> bool:
 
 
 def _quantize_block(block: Params) -> Params:
+    if is_quantized_linear(block["attn"]["qkv"]):  # idempotent
+        return block
     out = dict(block)
     out["attn"] = {
         "qkv": quantize_linear_params(block["attn"]["qkv"]),

@@ -67,13 +67,11 @@ class MicroBatcher:
                 group.event.set()
 
         if leader:
-            if self.max_batch > 1:
-                group.event.wait(self.window_s)
-            with self._lock:
-                group.closed = True
-                if self._groups.get(key) is group:
-                    del self._groups[key]
             try:
+                if self.max_batch > 1:
+                    group.event.wait(self.window_s)
+                with self._lock:
+                    group.closed = True
                 results = self.batch_fn(key, group.items)
                 if len(results) != len(group.items):
                     raise RuntimeError(
@@ -84,6 +82,15 @@ class MicroBatcher:
             except BaseException as e:  # propagate to every waiter
                 group.error = e
             finally:
+                # Runs even if an async exception (KeyboardInterrupt, thread
+                # timeout) lands mid-wait: unregister the group and wake every
+                # follower so no submitter can wedge on a leaderless group.
+                with self._lock:
+                    group.closed = True
+                    if self._groups.get(key) is group:
+                        del self._groups[key]
+                if group.results is None and group.error is None:
+                    group.error = RuntimeError("batch leader aborted")
                 group.done.set()
         else:
             group.done.wait()
@@ -91,3 +98,23 @@ class MicroBatcher:
         if group.error is not None:
             raise group.error
         return group.results[pos]
+
+
+def bucket_size(n: int, cap: int) -> int:
+    """Smallest power-of-two ≥ n, or ``cap`` itself when that power would
+    exceed it — so padded group sizes come from the bounded set
+    {1, 2, 4, ..., cap} and never exceed the configured max batch."""
+    b = 1
+    while b < n and b * 2 <= cap:
+        b *= 2
+    return b if b >= n else cap
+
+
+def flush_padded(items: list, max_batch: int, run: Callable[[list], tuple]) -> list:
+    """Shared MicroBatcher flush scheme for the fused searchers: pad the
+    group to a bucket size, run ONE dispatch, slice per-item results.
+    ``run(padded_items) -> (scores [B, k], rows [B, k])``."""
+    b = bucket_size(len(items), max_batch)
+    padded = list(items) + [items[0]] * (b - len(items))
+    scores, rows = run(padded)
+    return [(scores[i], rows[i]) for i in range(len(items))]

@@ -156,11 +156,11 @@ def make_train_step(
     n_patches = model_cfg.vision.grid ** 2
     n_keep = max(1, int(round(n_patches * (1.0 - cfg.patch_drop))))
 
-    def loss_fn(params, batch, rng):
+    def loss_fn(params, batch, rng, train: bool = True):
         x = batch["images"].astype(jnp.float32) / 255.0
         x = (x - mean) / std
         patch_keep = None
-        if cfg.patch_drop > 0.0:
+        if train and cfg.patch_drop > 0.0:
             rng, drop_rng = jax.random.split(rng)
             u = jax.random.uniform(drop_rng, (x.shape[0], n_patches))
             patch_keep = jnp.argsort(u, axis=-1)[:, :n_keep].astype(jnp.int32)
@@ -173,7 +173,8 @@ def make_train_step(
         cls_logits = None
         if cls_cfg is not None and params.get("classifier") is not None:
             cls_logits = classifier_forward(
-                params["classifier"], cls_cfg, img_n, deterministic=False, rng=rng
+                params["classifier"], cls_cfg, img_n,
+                deterministic=not train, rng=rng,
             )
         loss, metrics = combined_clip_loss(
             img_n,
@@ -200,7 +201,9 @@ def make_train_step(
         )
 
     def eval_step(state: TrainState, batch):
-        _, metrics = loss_fn(state.params, batch, jax.random.PRNGKey(0))
+        # full sequence, no patch masking, deterministic classifier head —
+        # validation measures the model that will actually serve
+        _, metrics = loss_fn(state.params, batch, jax.random.PRNGKey(0), train=False)
         return metrics
 
     if mesh is not None:

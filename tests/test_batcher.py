@@ -101,6 +101,47 @@ def test_microbatcher_propagates_errors_to_all_waiters():
     assert errs == ["boom"] * 3
 
 
+def test_bucket_size_never_exceeds_cap():
+    from evr_tpu.serving.batcher import bucket_size
+
+    assert bucket_size(1, 16) == 1
+    assert bucket_size(3, 16) == 4
+    assert bucket_size(5, 6) == 6  # next pow2 (8) would exceed the cap
+    assert bucket_size(12, 12) == 12
+    assert bucket_size(8, 8) == 8
+    for n in range(1, 13):
+        assert n <= bucket_size(n, 12) <= 12
+
+
+def test_microbatcher_leader_abort_unblocks_followers():
+    """A leader that dies without producing results must still wake every
+    follower with an error instead of wedging the key forever."""
+    import evr_tpu.serving.batcher as B
+
+    def bad_batch_fn(key, items):
+        raise SystemExit("async-style abort")  # BaseException, not Exception
+
+    mb = B.MicroBatcher(bad_batch_fn, max_batch=4, window_s=0.01)
+    errs = []
+
+    def worker(i):
+        try:
+            mb.submit("k", i)
+        except BaseException as e:
+            errs.append(type(e).__name__)
+
+    threads = [threading.Thread(target=worker, args=(i,)) for i in range(3)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=10)
+    assert not any(t.is_alive() for t in threads)
+    assert len(errs) == 3
+    # the group must be unregistered so the key is reusable
+    mb.batch_fn = lambda key, items: items
+    assert mb.submit("k", 42) == 42
+
+
 def test_microbatcher_sequential_submits_still_work():
     def batch_fn(key, items):
         return [x + 1 for x in items]
@@ -143,9 +184,9 @@ def test_text_searcher_batched_matches_unbatched(small_engine_index):
     dispatches = []
     orig = batched._dispatch
 
-    def counting_dispatch(qs, k, *args):
+    def counting_dispatch(qs, k, *args, **kwargs):
         dispatches.append(len(qs))
-        return orig(qs, k, *args)
+        return orig(qs, k, *args, **kwargs)
 
     batched._dispatch = counting_dispatch
 

@@ -93,3 +93,44 @@ def test_train_step_with_patch_drop_trains(cfg):
     assert not np.allclose(before, after)  # params actually moved
     # different rng keys -> different masks -> the two losses differ
     assert losses[0] != losses[1]
+
+
+def test_eval_step_ignores_patch_drop(cfg):
+    """Validation must run the FULL sequence (and a deterministic classifier
+    head) even when training uses patch_drop — early stopping and best-model
+    selection measure the model that serves."""
+    from evr_tpu.models import ClassifierConfig, init_classifier_params
+    from evr_tpu.training import TrainConfig, make_optimizer, make_train_step
+    from evr_tpu.training.finetune import TrainState
+
+    rng = np.random.default_rng(3)
+    params = {
+        "clip": jclip.init_clip_params(jax.random.PRNGKey(0), cfg),
+        "classifier": init_classifier_params(
+            jax.random.PRNGKey(1), ClassifierConfig(embed_dim=32)
+        ),
+    }
+    tokens = np.zeros((4, 16), np.int32)
+    tokens[:, 0] = 1
+    tokens[:, 1] = 511
+    batch = {
+        "images": jnp.asarray((rng.random((4, 32, 32, 3)) * 255).astype(np.uint8)),
+        "tokens": jnp.asarray(tokens),
+        "labels": jnp.asarray(rng.integers(0, 3, size=4).astype(np.int32)),
+    }
+
+    def eval_loss(patch_drop):
+        tc = TrainConfig(
+            freeze_layers=0, batch_size=4, compute_dtype="float32",
+            patch_drop=patch_drop,
+        )
+        opt = make_optimizer(tc, params)
+        _, eval_step = make_train_step(cfg, ClassifierConfig(embed_dim=32), tc, opt)
+        state = TrainState(
+            params=jax.tree.map(jnp.asarray, params),
+            opt_state=opt.init(params),
+            step=jnp.zeros((), jnp.int32),
+        )
+        return float(eval_step(state, batch)["total_loss"])
+
+    assert eval_loss(0.9) == pytest.approx(eval_loss(0.0), rel=1e-6)

@@ -56,6 +56,14 @@ def test_linear_dispatches_on_quantized_structure():
     assert np.allclose(np.asarray(linear(x, pq)), np.asarray(quantized_linear(x, pq)))
 
 
+def test_quantize_clip_params_idempotent(small_params):
+    qp = quantize_clip_params(small_params)
+    qp2 = quantize_clip_params(qp)  # no KeyError, structurally identical
+    b1 = qp["visual"]["blocks"][0]["attn"]["qkv"]
+    b2 = qp2["visual"]["blocks"][0]["attn"]["qkv"]
+    np.testing.assert_array_equal(np.asarray(b1["kernel_q"]), np.asarray(b2["kernel_q"]))
+
+
 def test_quantize_clip_params_structure(small_params):
     qp = quantize_clip_params(small_params)
     for tower in ("visual", "text"):
