@@ -65,6 +65,52 @@ def global_infonce_loss(
     return jax.lax.pmean(local, axis)
 
 
+def siglip_loss_single(
+    image_features: jax.Array,
+    text_features: jax.Array,
+    logit_scale: jax.Array,
+    logit_bias: jax.Array,
+) -> jax.Array:
+    """SigLIP pairwise sigmoid loss (arxiv 2303.15343), single device.
+
+    L = -1/|B| Σ_i Σ_j log σ(z_ij · (t·x_i·y_j + b)), z=+1 on the diagonal.
+    Unlike InfoNCE there is no softmax over the global batch, so the loss
+    decomposes over pairs — the TPU-friendly property that lets the global
+    version below stay exact with only a feature all-gather.
+    """
+    logits = jnp.exp(logit_scale) * image_features @ text_features.T + logit_bias
+    n = logits.shape[0]
+    z = 2.0 * jnp.eye(n, dtype=jnp.float32) - 1.0
+    return -jnp.mean(
+        jnp.sum(jax.nn.log_sigmoid(z * logits.astype(jnp.float32)), axis=-1)
+    )
+
+
+def global_siglip_loss(
+    image_features: jax.Array,  # [b_local, D], L2-normalised
+    text_features: jax.Array,  # [b_local, D], L2-normalised
+    logit_scale: jax.Array,
+    logit_bias: jax.Array,
+    axis: str = "data",
+) -> jax.Array:
+    """SigLIP loss over the global batch inside shard_map/pjit.
+
+    Every (i, j) pair appears exactly once in the image-rows × all-texts
+    matrix, so gathering text features and pmean-ing the local row means
+    reproduces the single-device loss bit-for-bit at equal global batch.
+    """
+    all_txt = jax.lax.all_gather(text_features, axis, tiled=True)  # [B, D]
+    b = image_features.shape[0]
+    shard = jax.lax.axis_index(axis)
+    logits = jnp.exp(logit_scale) * image_features @ all_txt.T + logit_bias
+    pos = jnp.arange(all_txt.shape[0])[None, :] == (shard * b + jnp.arange(b))[:, None]
+    z = jnp.where(pos, 1.0, -1.0)
+    local = -jnp.mean(
+        jnp.sum(jax.nn.log_sigmoid(z * logits.astype(jnp.float32)), axis=-1)
+    )
+    return jax.lax.pmean(local, axis)
+
+
 def make_sharded_infonce(mesh: Mesh, axis: str = "data"):
     """Wrap global_infonce_loss as a top-level sharded function (for tests
     and for serving-time loss evaluation; training uses it inline inside its

@@ -29,6 +29,11 @@ def main(argv=None):
     parser.add_argument("--no-mesh", action="store_true", help="single-device run")
     parser.add_argument("--seed", type=int, default=42)
     parser.add_argument(
+        "--loss", choices=["infonce", "siglip"], default="infonce",
+        help="contrastive objective: reference-parity InfoNCE or SigLIP "
+        "pairwise sigmoid (arxiv 2303.15343)",
+    )
+    parser.add_argument(
         "--patch-drop", type=float, default=0.0,
         help="FLIP-style random patch masking fraction during training "
         "(arxiv 2212.00794); 0.5 ≈ 1.7x faster steps at small quality cost",
@@ -74,6 +79,7 @@ def main(argv=None):
         freeze_layers=args.freeze_layers,
         save_dir=args.save_dir,
         patch_drop=args.patch_drop,
+        contrastive_loss=args.loss,
     )
     trainer = Trainer(
         cfg, clip_params, tc, classifier_params=cls_params, mesh=mesh,

@@ -73,6 +73,10 @@ class TrainConfig:
     # accumulate gradients over N micro-batches before applying
     # (`training_CLIP_multimodal.py:404-487` grad_accumulation_steps=4)
     grad_accumulation_steps: int = 1
+    # contrastive objective: 'infonce' (reference parity) or 'siglip'
+    # (pairwise sigmoid, arxiv 2303.15343 — adds a learnable logit_bias to
+    # params['clip'], no global softmax; Trainer inits the bias to -10)
+    contrastive_loss: str = "infonce"
     # FLIP-style random patch masking (arxiv 2212.00794): drop this fraction
     # of image patch tokens per example during TRAINING only — the vision
     # tower runs on (1-p)·grid²+1 tokens, a near-linear step speedup at
@@ -185,6 +189,8 @@ def make_train_step(
             contrastive_weight=cfg.contrastive_weight,
             classification_weight=cfg.classification_weight,
             label_smoothing=cfg.label_smoothing,
+            contrastive_impl=cfg.contrastive_loss,
+            logit_bias=params["clip"].get("logit_bias"),
         )
         return loss, metrics
 
@@ -253,6 +259,10 @@ class Trainer:
         params = {"clip": clip_params}
         if classifier_params is not None:
             params["classifier"] = classifier_params
+        if self.cfg.contrastive_loss == "siglip" and "logit_bias" not in params["clip"]:
+            # SigLIP's learnable bias, init -10 (keeps early sigmoid targets
+            # mostly-negative-pair calibrated — arxiv 2303.15343 §3)
+            params = {**params, "clip": {**params["clip"], "logit_bias": jnp.float32(-10.0)}}
         params = jax.tree.map(jnp.asarray, params)
         self.optimizer = make_optimizer(self.cfg, params, steps_per_epoch)
         self.state = TrainState(

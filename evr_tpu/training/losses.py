@@ -13,7 +13,12 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from evr_tpu.parallel.contrastive import global_infonce_loss, infonce_loss_single
+from evr_tpu.parallel.contrastive import (
+    global_infonce_loss,
+    global_siglip_loss,
+    infonce_loss_single,
+    siglip_loss_single,
+)
 
 
 def softmax_cross_entropy(
@@ -39,14 +44,30 @@ def combined_clip_loss(
     classification_weight: float = 0.2,
     label_smoothing: float = 0.0,
     axis: str | None = None,
+    contrastive_impl: str = "infonce",
+    logit_bias: jax.Array | None = None,
 ) -> tuple[jax.Array, dict[str, jax.Array]]:
     """Joint contrastive + classification loss.
 
     With ``axis`` set (inside shard_map/pjit over a named axis) the
     contrastive term uses the *global* batch via feature all-gather; the
     classification term is a local mean pmean-ed across devices.
+
+    ``contrastive_impl``: 'infonce' (reference parity) or 'siglip'
+    (pairwise sigmoid, arxiv 2303.15343 — no global softmax; pass the
+    learnable ``logit_bias``).
     """
-    if axis is None:
+    if contrastive_impl == "siglip":
+        bias = jnp.float32(-10.0) if logit_bias is None else logit_bias
+        if axis is None:
+            contrastive = siglip_loss_single(
+                image_features, text_features, logit_scale, bias
+            )
+        else:
+            contrastive = global_siglip_loss(
+                image_features, text_features, logit_scale, bias, axis
+            )
+    elif axis is None:
         contrastive = infonce_loss_single(image_features, text_features, logit_scale)
     else:
         contrastive = global_infonce_loss(
