@@ -66,8 +66,12 @@ class CLIPConfig:
     embed_dim: int = 512
     vision: VisionConfig = VisionConfig()
     text: TextConfig = TextConfig()
-    # "xla" | "flash" — which attention implementation the towers use.
-    attn_impl: str = "xla"
+    # "xla" | "flash" | "auto" — which attention implementation the towers
+    # use. "auto" picks the Pallas fused kernel on TPU at T ≥ 512 (where it
+    # measures ~23% faster, PERF.md) and the XLA einsum path otherwise;
+    # the kernel carries a custom VJP (XLA-recompute backward) so training
+    # composes with it.
+    attn_impl: str = "auto"
     # "quick_gelu" (OpenAI CLIP) | "gelu" (OpenCLIP laion towers)
     activation: str = "quick_gelu"
     # rematerialise each transformer block (memory ↔ FLOPs trade for training)

@@ -84,8 +84,11 @@ def attention(
 ) -> jax.Array:
     """Multi-head self-attention over [B, T, W].
 
-    ``impl``: "xla" (einsum softmax path, XLA-fused) or "flash"
-    (Pallas flash-attention kernel, TPU only — see evr_tpu.ops.attention).
+    ``impl``: "xla" (einsum softmax path, XLA-fused), "flash" (Pallas
+    fused-attention kernel, TPU only — see evr_tpu.ops.attention), or
+    "auto" (flash on TPU when T ≥ 512, where the kernel measures faster
+    than the XLA path — PERF.md; XLA otherwise: at shorter lengths the
+    128-row tile padding makes the kernel lose, e.g. 257→384 at L/14).
     """
     B, T, W = x.shape
     head_dim = W // n_heads
@@ -97,6 +100,9 @@ def attention(
         return t.reshape(B, T, n_heads, head_dim).transpose(0, 2, 1, 3)
 
     q, k, v = to_heads(q), to_heads(k), to_heads(v)
+
+    if impl == "auto":
+        impl = "flash" if (T >= 512 and jax.default_backend() == "tpu") else "xla"
 
     if impl == "flash":
         from evr_tpu.ops.attention import flash_attention

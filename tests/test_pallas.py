@@ -34,6 +34,53 @@ def test_flash_attention_matches_xla(rng, T, causal):
     np.testing.assert_allclose(ours, ref, rtol=2e-4, atol=2e-5)
 
 
+@pytest.mark.parametrize("T", [50, 577])
+def test_flash_attention_nopad_path_matches_xla(rng, T):
+    """The whole-sequence single-block path (no host padding) is exact."""
+    B, H, d = 1, 2, 64
+    q = jnp.asarray(rng.normal(size=(B, H, T, d)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(B, H, T, d)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(B, H, T, d)).astype(np.float32))
+    ours = np.asarray(flash_attention(q, k, v, causal=False))
+    ref = np.asarray(_xla_attention(q, k, v, False))
+    np.testing.assert_allclose(ours, ref, rtol=2e-4, atol=2e-5)
+    # forcing the padded multi-block path agrees too
+    blocked = np.asarray(flash_attention(q, k, v, causal=False, block_q=128))
+    np.testing.assert_allclose(blocked, ref, rtol=2e-4, atol=2e-5)
+
+
+@pytest.mark.parametrize("causal", [False, True])
+def test_flash_attention_grad_matches_xla(rng, causal):
+    """custom_vjp backward (XLA recompute) matches grads of the XLA path."""
+    B, H, T, d = 1, 2, 77, 64
+    q = jnp.asarray(rng.normal(size=(B, H, T, d)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(B, H, T, d)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(B, H, T, d)).astype(np.float32))
+
+    def loss_flash(q, k, v):
+        return jnp.sum(flash_attention(q, k, v, causal=causal) ** 2)
+
+    def loss_xla(q, k, v):
+        return jnp.sum(_xla_attention(q, k, v, causal) ** 2)
+
+    gf = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    gx = jax.grad(loss_xla, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(gf, gx):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=5e-3, atol=5e-4)
+
+
+def test_attention_auto_impl_dispatch(rng):
+    """impl='auto' on CPU resolves to the XLA path at every length."""
+    from evr_tpu.models.layers import attention, init_attention
+
+    width, heads = 128, 2
+    p = init_attention(jax.random.PRNGKey(0), width)
+    x = jnp.asarray(rng.normal(size=(2, 600, width)).astype(np.float32))
+    auto = np.asarray(attention(x, p, heads, impl="auto"))
+    xla = np.asarray(attention(x, p, heads, impl="xla"))
+    np.testing.assert_allclose(auto, xla, rtol=1e-5, atol=1e-5)
+
+
 def test_flash_attention_in_model(rng):
     """attn_impl='flash' through the full tower matches the XLA tower."""
     import dataclasses
