@@ -67,8 +67,9 @@ class CLIPConfig:
     vision: VisionConfig = VisionConfig()
     text: TextConfig = TextConfig()
     # "xla" | "flash" | "auto" — which attention implementation the towers
-    # use. "auto" picks the Pallas fused kernel on TPU at T ≥ 512 (where it
-    # measures ~23% faster, PERF.md) and the XLA einsum path otherwise;
+    # use. "auto" picks the Pallas fused kernel on TPU at T ≥ 256 (where it
+    # measures faster — up to −32% at T=577, PERF.md) and the XLA einsum
+    # path otherwise;
     # the kernel carries a custom VJP (XLA-recompute backward) so training
     # composes with it.
     attn_impl: str = "auto"

@@ -86,9 +86,10 @@ def attention(
 
     ``impl``: "xla" (einsum softmax path, XLA-fused), "flash" (Pallas
     fused-attention kernel, TPU only — see evr_tpu.ops.attention), or
-    "auto" (flash on TPU when T ≥ 512, where the kernel measures faster
-    than the XLA path — PERF.md; XLA otherwise: at shorter lengths the
-    128-row tile padding makes the kernel lose, e.g. 257→384 at L/14).
+    "auto" (flash on TPU when T ≥ 256, where the whole-sequence kernel
+    measures faster than the XLA path — PERF.md; XLA otherwise: at short
+    lengths the 128-wide tile underfill makes the kernel lose even with
+    sequence packing).
     """
     B, T, W = x.shape
     head_dim = W // n_heads
@@ -102,7 +103,7 @@ def attention(
     q, k, v = to_heads(q), to_heads(k), to_heads(v)
 
     if impl == "auto":
-        impl = "flash" if (T >= 512 and jax.default_backend() == "tpu") else "xla"
+        impl = "flash" if (T >= 256 and jax.default_backend() == "tpu") else "xla"
 
     if impl == "flash":
         from evr_tpu.ops.attention import flash_attention
