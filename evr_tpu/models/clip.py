@@ -189,7 +189,10 @@ def encode_image(
     x = pixels.astype(dtype)
 
     # Patch embedding: stride-P conv == unfold-into-patches matmul; XLA maps
-    # this onto the MXU directly.
+    # this onto the MXU directly. (An explicit unfold+GEMM wins standalone —
+    # 1.2 vs 1.6 ms at B=128 — but measures ~0.3 ms SLOWER inside the full
+    # encode, where XLA fuses the cast/concat/pos-add into the conv; the
+    # conv stays by end-to-end measurement.)
     x = jax.lax.conv_general_dilated(
         x,
         p["patch_embed"]["kernel"].astype(dtype),
