@@ -1,0 +1,276 @@
+"""Fused residual-MLP half-block as a Pallas TPU kernel.
+
+One kernel computes ``x + proj(quick_gelu(fc(layer_norm(x))))`` — the
+second half of a pre-LN transformer block — per row-block, with both MLP
+weight matrices resident in VMEM across the whole grid (their index maps
+are constant, so Mosaic loads them once). This removes the LN round-trip
+and the [rows, 4W] hidden activation from HBM; LN statistics and both GEMM
+accumulations stay fp32 (parity with `models.layers.block_apply`, tested in
+tests/test_pallas.py).
+
+Measured on a v5e chip against the XLA path at ViT-B/32 shapes before
+being wired anywhere — see PERF.md; XLA fuses this chain well, so the
+kernel only replaces it where the measurement says so.
+
+Reference behavior being reproduced: the MLP half of CLIP's residual
+blocks (`Backend/clip_finetune_correct.py:155-185` forward through the pip
+``clip`` towers).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+LN_EPS = 1e-5
+
+
+def _mlp_block_kernel(
+    x_ref, ln_scale_ref, ln_bias_ref, fc_k_ref, fc_b_ref, pr_k_ref, pr_b_ref, o_ref,
+    *, activation,
+):
+    x = x_ref[:]  # [R, W] model dtype
+    x32 = x.astype(jnp.float32)
+    mean = jnp.mean(x32, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x32 - mean), axis=-1, keepdims=True)
+    y = (x32 - mean) * jax.lax.rsqrt(var + LN_EPS)
+    y = y * ln_scale_ref[:].astype(jnp.float32) + ln_bias_ref[:].astype(jnp.float32)
+    y = y.astype(x.dtype)
+
+    h = jax.lax.dot_general(
+        y, fc_k_ref[:], (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    ) + fc_b_ref[:].astype(jnp.float32)
+    if activation == "quick_gelu":
+        h = h * jax.nn.sigmoid(1.702 * h)
+    else:  # exact gelu
+        h = jax.nn.gelu(h, approximate=False)
+    h = h.astype(x.dtype)
+
+    o = jax.lax.dot_general(
+        h, pr_k_ref[:], (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    ) + pr_b_ref[:].astype(jnp.float32)
+    o_ref[:] = x32.astype(jnp.float32).astype(o_ref.dtype) + o.astype(o_ref.dtype)
+
+
+def _attn_block_kernel(
+    x_ref, ln_scale_ref, ln_bias_ref, qkv_k_ref, qkv_b_ref, out_k_ref, out_b_ref, o_ref,
+    *, n_heads, t_seq, group,
+):
+    """LN1 + fused-QKV + (packed) softmax attention + out-proj + residual.
+
+    The row block holds ``group`` whole sequences ([G·T, W]); heads are an
+    unrolled static loop (static column slices keep Mosaic happy), each
+    head's score tile carries the block-diagonal sequence mask when G > 1.
+    """
+    x = x_ref[0]  # [G*T, W]
+    x32 = x.astype(jnp.float32)
+    mean = jnp.mean(x32, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x32 - mean), axis=-1, keepdims=True)
+    y = (x32 - mean) * jax.lax.rsqrt(var + LN_EPS)
+    y = y * ln_scale_ref[:].astype(jnp.float32) + ln_bias_ref[:].astype(jnp.float32)
+    y = y.astype(x.dtype)
+
+    qkv = jax.lax.dot_general(
+        y, qkv_k_ref[:], (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    ) + qkv_b_ref[:].astype(jnp.float32)  # [G*T, 3W]
+    qkv = qkv.astype(x.dtype)
+
+    n = x.shape[0]
+    w = x.shape[1]
+    d = w // n_heads
+    scale = 1.0 / (d ** 0.5)
+    if group > 1:
+        row = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0) // t_seq
+        col = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1) // t_seq
+        same = row == col
+    heads_out = []
+    for h in range(n_heads):
+        q = qkv[:, h * d:(h + 1) * d] * jnp.asarray(scale, x.dtype)
+        k = qkv[:, w + h * d:w + (h + 1) * d]
+        v = qkv[:, 2 * w + h * d:2 * w + (h + 1) * d]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        if group > 1:
+            s = jnp.where(same, s, jnp.float32(-1e30))
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s - m)
+        denom = jnp.sum(p, axis=-1, keepdims=True)
+        o_h = jax.lax.dot_general(
+            p.astype(x.dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        heads_out.append((o_h / denom).astype(x.dtype))
+    o = jnp.concatenate(heads_out, axis=-1)  # [G*T, W]
+
+    proj = jax.lax.dot_general(
+        o, out_k_ref[:], (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    ) + out_b_ref[:].astype(jnp.float32)
+    o_ref[0] = (x32 + proj).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("n_heads", "interpret", "group"))
+def fused_attn_block(
+    x: jax.Array,  # [B, T, W]
+    ln_scale: jax.Array,
+    ln_bias: jax.Array,
+    qkv_kernel: jax.Array,  # [W, 3W]
+    qkv_bias: jax.Array,
+    out_kernel: jax.Array,  # [W, W]
+    out_bias: jax.Array,
+    n_heads: int,
+    interpret: bool | None = None,
+    group: int | None = None,
+) -> jax.Array:
+    """x + out(attention(LN(x))) in one dispatch (non-causal)."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    B, T, W = x.shape
+    if group is None:
+        group = 1
+        if T < 128:
+            for g in (8, 4, 2):
+                if T * g <= 512 and B % g == 0:
+                    group = g
+                    break
+
+    dt = x.dtype
+    x2 = x.reshape(B // group, group * T, W)
+    out = pl.pallas_call(
+        functools.partial(
+            _attn_block_kernel, n_heads=n_heads, t_seq=T, group=group
+        ),
+        grid=(B // group,),
+        in_specs=[
+            pl.BlockSpec((1, group * T, W), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((W,), lambda i: (0,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((W,), lambda i: (0,), memory_space=pltpu.VMEM),
+            pl.BlockSpec(qkv_kernel.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(qkv_bias.shape, lambda i: (0,), memory_space=pltpu.VMEM),
+            pl.BlockSpec(out_kernel.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(out_bias.shape, lambda i: (0,), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, group * T, W), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct(x2.shape, dt),
+        interpret=interpret,
+    )(
+        x2,
+        ln_scale.astype(dt),
+        ln_bias.astype(dt),
+        qkv_kernel.astype(dt),
+        qkv_bias.astype(dt),
+        out_kernel.astype(dt),
+        out_bias.astype(dt),
+    )
+    return out.reshape(B, T, W)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def fused_block_apply(
+    x: jax.Array,  # [B, T, W]
+    p: dict,  # one residual block's params (layers.init_block layout)
+    n_heads: int,
+    activation: str = "quick_gelu",
+    interpret: bool | None = None,
+) -> jax.Array:
+    """One full pre-LN residual block (non-causal) as two fused kernels.
+
+    Differentiable: backward recomputes through the XLA composition
+    (`models.layers.block_apply` with attn_impl='xla') and differentiates
+    that — training pays the standard XLA backward while the forward runs
+    the fused kernels.
+    """
+    return _fused_block_forward(x, p, n_heads, activation, interpret)
+
+
+def _fused_block_forward(x, p, n_heads, activation, interpret):
+    x = fused_attn_block(
+        x,
+        p["ln_1"]["scale"], p["ln_1"]["bias"],
+        p["attn"]["qkv"]["kernel"], p["attn"]["qkv"]["bias"],
+        p["attn"]["out"]["kernel"], p["attn"]["out"]["bias"],
+        n_heads=n_heads, interpret=interpret,
+    )
+    return fused_mlp_block(
+        x,
+        p["ln_2"]["scale"], p["ln_2"]["bias"],
+        p["mlp"]["fc"]["kernel"], p["mlp"]["fc"]["bias"],
+        p["mlp"]["proj"]["kernel"], p["mlp"]["proj"]["bias"],
+        activation=activation, interpret=interpret,
+    )
+
+
+def _fused_block_fwd(x, p, n_heads, activation, interpret):
+    return _fused_block_forward(x, p, n_heads, activation, interpret), (x, p)
+
+
+def _fused_block_bwd(n_heads, activation, interpret, res, g):
+    from evr_tpu.models.layers import block_apply
+
+    x, p = res
+    _, vjp = jax.vjp(
+        lambda x_, p_: block_apply(x_, p_, n_heads, False, "xla", activation), x, p
+    )
+    return vjp(g)
+
+
+fused_block_apply.defvjp(_fused_block_fwd, _fused_block_bwd)
+
+
+@functools.partial(jax.jit, static_argnames=("activation", "interpret", "block_rows"))
+def fused_mlp_block(
+    x: jax.Array,  # [..., W]
+    ln_scale: jax.Array,
+    ln_bias: jax.Array,
+    fc_kernel: jax.Array,  # [W, 4W]
+    fc_bias: jax.Array,
+    proj_kernel: jax.Array,  # [4W, W]
+    proj_bias: jax.Array,
+    activation: str = "quick_gelu",
+    interpret: bool | None = None,
+    block_rows: int = 512,
+) -> jax.Array:
+    """x + proj(act(fc(LN(x)))) in one dispatch. Returns x's shape/dtype."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    orig_shape = x.shape
+    w = orig_shape[-1]
+    rows = 1
+    for s in orig_shape[:-1]:
+        rows *= s
+    x2 = x.reshape(rows, w)
+    block_rows = min(block_rows, rows)
+    pad = (-rows) % block_rows
+    if pad:
+        x2 = jnp.pad(x2, ((0, pad), (0, 0)))
+
+    dt = x.dtype
+    out = pl.pallas_call(
+        functools.partial(_mlp_block_kernel, activation=activation),
+        grid=((rows + pad) // block_rows,),
+        in_specs=[
+            pl.BlockSpec((block_rows, w), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((w,), lambda i: (0,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((w,), lambda i: (0,), memory_space=pltpu.VMEM),
+            pl.BlockSpec(fc_kernel.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(fc_bias.shape, lambda i: (0,), memory_space=pltpu.VMEM),
+            pl.BlockSpec(proj_kernel.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(proj_bias.shape, lambda i: (0,), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((block_rows, w), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct(((rows + pad), w), dt),
+        interpret=interpret,
+    )(
+        x2,
+        ln_scale.astype(dt),
+        ln_bias.astype(dt),
+        fc_kernel.astype(dt),
+        fc_bias.astype(dt),
+        proj_kernel.astype(dt),
+        proj_bias.astype(dt),
+    )
+    return out[:rows].reshape(orig_shape)

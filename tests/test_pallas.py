@@ -81,6 +81,82 @@ def test_attention_auto_impl_dispatch(rng):
     np.testing.assert_allclose(auto, xla, rtol=1e-5, atol=1e-5)
 
 
+def test_fused_block_matches_xla_composition(rng):
+    """Both fused half-block kernels and their composition are exact."""
+    from evr_tpu.models.layers import block_apply, init_block
+    from evr_tpu.ops.block_fused import fused_attn_block, fused_block_apply, fused_mlp_block
+
+    W, H = 128, 2
+    p = init_block(jax.random.PRNGKey(0), W, 12)
+    x = jnp.asarray(rng.normal(size=(8, 10, W)).astype(np.float32))
+    ref = np.asarray(block_apply(x, p, H, False, "xla"))
+    got = np.asarray(fused_block_apply(x, p, H))
+    np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-4)
+    # attention half alone, at every packing group
+    from evr_tpu.models.layers import attention, layer_norm
+
+    attn_ref = np.asarray(x + attention(layer_norm(x, p["ln_1"]), p["attn"], H, False, "xla"))
+    for g in (1, 2, 4):
+        got_g = np.asarray(
+            fused_attn_block(
+                x, p["ln_1"]["scale"], p["ln_1"]["bias"],
+                p["attn"]["qkv"]["kernel"], p["attn"]["qkv"]["bias"],
+                p["attn"]["out"]["kernel"], p["attn"]["out"]["bias"],
+                n_heads=H, group=g,
+            )
+        )
+        np.testing.assert_allclose(got_g, attn_ref, rtol=2e-4, atol=2e-4)
+    # mlp half alone, including the row-padding path
+    from evr_tpu.models.layers import linear, quick_gelu
+
+    mlp_ref = np.asarray(
+        x + linear(quick_gelu(linear(layer_norm(x, p["ln_2"]), p["mlp"]["fc"])), p["mlp"]["proj"])
+    )
+    got_m = np.asarray(
+        fused_mlp_block(
+            x, p["ln_2"]["scale"], p["ln_2"]["bias"],
+            p["mlp"]["fc"]["kernel"], p["mlp"]["fc"]["bias"],
+            p["mlp"]["proj"]["kernel"], p["mlp"]["proj"]["bias"],
+            block_rows=16,
+        )
+    )
+    np.testing.assert_allclose(got_m, mlp_ref, rtol=2e-4, atol=2e-4)
+
+
+def test_fused_block_grad_matches_xla(rng):
+    """custom_vjp backward (XLA recompute) matches the XLA block's grads."""
+    from evr_tpu.models.layers import block_apply, init_block
+    from evr_tpu.ops.block_fused import fused_block_apply
+
+    W, H = 128, 2
+    p = init_block(jax.random.PRNGKey(1), W, 12)
+    x = jnp.asarray(rng.normal(size=(4, 10, W)).astype(np.float32))
+    gf = jax.grad(lambda x_, p_: jnp.sum(fused_block_apply(x_, p_, H) ** 2), argnums=(0, 1))(x, p)
+    gx = jax.grad(
+        lambda x_, p_: jnp.sum(block_apply(x_, p_, H, False, "xla") ** 2), argnums=(0, 1)
+    )(x, p)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=5e-3, atol=5e-4
+        ),
+        gf,
+        gx,
+    )
+
+
+def test_fused_block_gelu_activation(rng):
+    """The exact-GELU (OpenCLIP tower) activation variant is exact too."""
+    from evr_tpu.models.layers import block_apply, init_block
+    from evr_tpu.ops.block_fused import fused_block_apply
+
+    W, H = 128, 2
+    p = init_block(jax.random.PRNGKey(2), W, 12)
+    x = jnp.asarray(rng.normal(size=(2, 10, W)).astype(np.float32))
+    ref = np.asarray(block_apply(x, p, H, False, "xla", "gelu"))
+    got = np.asarray(fused_block_apply(x, p, H, "gelu"))
+    np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-4)
+
+
 def test_flash_attention_in_model(rng):
     """attn_impl='flash' through the full tower matches the XLA tower."""
     import dataclasses
