@@ -164,23 +164,23 @@ def block_apply(
     attn_impl: str = "xla",
     activation: str = "quick_gelu",
 ) -> jax.Array:
-    # "auto" on TPU routes short non-causal (vision) blocks through the
-    # fully fused Pallas block (two kernels: LN1+QKV+attention+proj+res and
+    # "auto" on TPU routes short-sequence blocks through the fully fused
+    # Pallas block (two kernels: LN1+QKV+attention+proj+res and
     # LN2+MLP+res, weights VMEM-resident) — measured −22% per block vs the
-    # XLA composition at ViT-B/32 shapes (PERF.md). Long sequences use the
-    # flash-attention kernel via attention() below; causal (text) and int8
-    # (quantized linears) stay on the XLA path. Grad-safe: the fused block
-    # carries a custom VJP (XLA-recompute backward).
+    # XLA composition at ViT-B/32 vision shapes and −12% at text-tower
+    # shapes (PERF.md). Long sequences use the flash-attention kernel via
+    # attention() below; int8 (quantized linears) stays on the XLA path.
+    # Grad-safe: the fused block carries a custom VJP (XLA-recompute
+    # backward).
     if (
         attn_impl == "auto"
-        and not causal
         and x.shape[1] < 256
         and "kernel_q" not in p["attn"]["qkv"]
         and jax.default_backend() == "tpu"
     ):
         from evr_tpu.ops.block_fused import fused_block_apply
 
-        return fused_block_apply(x, p, n_heads, activation)
+        return fused_block_apply(x, p, n_heads, activation, causal)
 
     x = x + attention(layer_norm(x, p["ln_1"]), p["attn"], n_heads, causal, attn_impl)
     h = linear(layer_norm(x, p["ln_2"]), p["mlp"]["fc"])

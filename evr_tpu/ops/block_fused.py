@@ -58,13 +58,14 @@ def _mlp_block_kernel(
 
 def _attn_block_kernel(
     x_ref, ln_scale_ref, ln_bias_ref, qkv_k_ref, qkv_b_ref, out_k_ref, out_b_ref, o_ref,
-    *, n_heads, t_seq, group,
+    *, n_heads, t_seq, group, causal,
 ):
     """LN1 + fused-QKV + (packed) softmax attention + out-proj + residual.
 
     The row block holds ``group`` whole sequences ([G·T, W]); heads are an
     unrolled static loop (static column slices keep Mosaic happy), each
-    head's score tile carries the block-diagonal sequence mask when G > 1.
+    head's score tile carries the block-diagonal sequence mask when G > 1
+    and the per-sequence causal mask (text tower) when ``causal``.
     """
     x = x_ref[0]  # [G*T, W]
     x32 = x.astype(jnp.float32)
@@ -83,10 +84,16 @@ def _attn_block_kernel(
     w = x.shape[1]
     d = w // n_heads
     scale = 1.0 / (d ** 0.5)
-    if group > 1:
-        row = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0) // t_seq
-        col = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1) // t_seq
-        same = row == col
+    mask = None
+    if group > 1 or causal:
+        row = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
+        col = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
+        if group > 1:
+            mask = (row // t_seq) == (col // t_seq)
+            if causal:
+                mask = jnp.logical_and(mask, (col % t_seq) <= (row % t_seq))
+        else:
+            mask = col <= row
     heads_out = []
     for h in range(n_heads):
         q = qkv[:, h * d:(h + 1) * d] * jnp.asarray(scale, x.dtype)
@@ -95,8 +102,8 @@ def _attn_block_kernel(
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )
-        if group > 1:
-            s = jnp.where(same, s, jnp.float32(-1e30))
+        if mask is not None:
+            s = jnp.where(mask, s, jnp.float32(-1e30))
         m = jnp.max(s, axis=-1, keepdims=True)
         p = jnp.exp(s - m)
         denom = jnp.sum(p, axis=-1, keepdims=True)
@@ -113,7 +120,7 @@ def _attn_block_kernel(
     o_ref[0] = (x32 + proj).astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("n_heads", "interpret", "group"))
+@functools.partial(jax.jit, static_argnames=("n_heads", "interpret", "group", "causal"))
 def fused_attn_block(
     x: jax.Array,  # [B, T, W]
     ln_scale: jax.Array,
@@ -125,8 +132,9 @@ def fused_attn_block(
     n_heads: int,
     interpret: bool | None = None,
     group: int | None = None,
+    causal: bool = False,
 ) -> jax.Array:
-    """x + out(attention(LN(x))) in one dispatch (non-causal)."""
+    """x + out(attention(LN(x))) in one dispatch."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     B, T, W = x.shape
@@ -142,7 +150,7 @@ def fused_attn_block(
     x2 = x.reshape(B // group, group * T, W)
     out = pl.pallas_call(
         functools.partial(
-            _attn_block_kernel, n_heads=n_heads, t_seq=T, group=group
+            _attn_block_kernel, n_heads=n_heads, t_seq=T, group=group, causal=causal
         ),
         grid=(B // group,),
         in_specs=[
@@ -169,31 +177,32 @@ def fused_attn_block(
     return out.reshape(B, T, W)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
 def fused_block_apply(
     x: jax.Array,  # [B, T, W]
     p: dict,  # one residual block's params (layers.init_block layout)
     n_heads: int,
     activation: str = "quick_gelu",
+    causal: bool = False,
     interpret: bool | None = None,
 ) -> jax.Array:
-    """One full pre-LN residual block (non-causal) as two fused kernels.
+    """One full pre-LN residual block as two fused kernels.
 
     Differentiable: backward recomputes through the XLA composition
     (`models.layers.block_apply` with attn_impl='xla') and differentiates
     that — training pays the standard XLA backward while the forward runs
     the fused kernels.
     """
-    return _fused_block_forward(x, p, n_heads, activation, interpret)
+    return _fused_block_forward(x, p, n_heads, activation, causal, interpret)
 
 
-def _fused_block_forward(x, p, n_heads, activation, interpret):
+def _fused_block_forward(x, p, n_heads, activation, causal, interpret):
     x = fused_attn_block(
         x,
         p["ln_1"]["scale"], p["ln_1"]["bias"],
         p["attn"]["qkv"]["kernel"], p["attn"]["qkv"]["bias"],
         p["attn"]["out"]["kernel"], p["attn"]["out"]["bias"],
-        n_heads=n_heads, interpret=interpret,
+        n_heads=n_heads, causal=causal, interpret=interpret,
     )
     return fused_mlp_block(
         x,
@@ -204,16 +213,16 @@ def _fused_block_forward(x, p, n_heads, activation, interpret):
     )
 
 
-def _fused_block_fwd(x, p, n_heads, activation, interpret):
-    return _fused_block_forward(x, p, n_heads, activation, interpret), (x, p)
+def _fused_block_fwd(x, p, n_heads, activation, causal, interpret):
+    return _fused_block_forward(x, p, n_heads, activation, causal, interpret), (x, p)
 
 
-def _fused_block_bwd(n_heads, activation, interpret, res, g):
+def _fused_block_bwd(n_heads, activation, causal, interpret, res, g):
     from evr_tpu.models.layers import block_apply
 
     x, p = res
     _, vjp = jax.vjp(
-        lambda x_, p_: block_apply(x_, p_, n_heads, False, "xla", activation), x, p
+        lambda x_, p_: block_apply(x_, p_, n_heads, causal, "xla", activation), x, p
     )
     return vjp(g)
 

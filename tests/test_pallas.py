@@ -144,6 +144,20 @@ def test_fused_block_grad_matches_xla(rng):
     )
 
 
+@pytest.mark.parametrize("B", [3, 8])  # G=1 and G=4 packing
+def test_fused_block_causal_matches_xla(rng, B):
+    """Causal (text-tower) fused block, packed and unpacked."""
+    from evr_tpu.models.layers import block_apply, init_block
+    from evr_tpu.ops.block_fused import fused_block_apply
+
+    W, H = 128, 2
+    p = init_block(jax.random.PRNGKey(3), W, 12)
+    x = jnp.asarray(rng.normal(size=(B, 10, W)).astype(np.float32))
+    ref = np.asarray(block_apply(x, p, H, True, "xla"))
+    got = np.asarray(fused_block_apply(x, p, H, "quick_gelu", True))
+    np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-4)
+
+
 def test_fused_block_gelu_activation(rng):
     """The exact-GELU (OpenCLIP tower) activation variant is exact too."""
     from evr_tpu.models.layers import block_apply, init_block
