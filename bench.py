@@ -245,12 +245,13 @@ def main() -> None:
     # -- HEADLINE: sustained device throughput — a lax.scan chain of encode
     # steps inside one dispatch, one sync at the end. Two distinct input
     # buffers gathered by step index keep the loop body non-invariant (XLA
-    # would hoist a constant-input encode out of the scan). B=128 measured
-    # fastest on v5e for ViT-B/32's T=50 (B=64..160 within 2%; larger
-    # batches lose ~20% — see PERF.md).
+    # would hoist a constant-input encode out of the scan). With the fused
+    # Pallas block kernels, larger batches win (B=512 15.7k vs B=128 14.0k
+    # on v5e — the kernels scale with rows; under the old XLA path small
+    # batches won instead, B=128 10.3k vs B=512 8.2k — see PERF.md).
     # (on CPU the per-dispatch overhead the chain amortises doesn't exist;
     # keep the chain short so the bench stays runnable on a dev box)
-    SUS_BATCH, SUS_STEPS = 128, (32 if backend == "tpu" else 2)
+    SUS_BATCH, SUS_STEPS = (512, 32) if backend == "tpu" else (128, 2)
     sus = jnp.asarray(
         (rng.random((2, SUS_BATCH, 224, 224, 3)) * 255).astype(np.uint8)
     )

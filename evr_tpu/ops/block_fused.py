@@ -164,6 +164,7 @@ def fused_attn_block(
         ],
         out_specs=pl.BlockSpec((1, group * T, W), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct(x2.shape, dt),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(
         x2,
@@ -272,6 +273,7 @@ def fused_mlp_block(
         ],
         out_specs=pl.BlockSpec((block_rows, w), lambda i: (i, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct(((rows + pad), w), dt),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(
         x2,
