@@ -167,16 +167,17 @@ def block_apply(
     # "auto" on TPU routes blocks through the fully fused Pallas block (two
     # kernels: LN1+QKV+attention+proj+res and LN2+MLP+res, weights
     # VMEM-resident) — measured −22% per block vs the XLA composition at
-    # both ViT-B/32 (T=50, W=768) and ViT-L/14@336 (T=577, W=1024) shapes,
-    # −12% at text-tower shapes (PERF.md). Gated to W ≤ 1024: wider towers
-    # (ViT-H-14's W=1280 → 26 MB of MLP weights per kernel) are unmeasured,
-    # so they take the flash-attention kernel via attention() below at
+    # ViT-B/32 (T=50, W=768) and ViT-L/14@336 (T=577, W=1024) shapes, −13%
+    # at ViT-H-14 (T=257, W=1280, exact GELU), −12% at text-tower shapes
+    # (PERF.md). Gated to W ≤ 1280 (the widest tower measured; wider would
+    # need re-measuring VMEM residency of the MLP weights). Unrouted
+    # shapes take the flash-attention kernel via attention() below at
     # T ≥ 256 and plain XLA otherwise. int8 (quantized linears) stays on
     # the XLA path. Grad-safe: the fused block carries a custom VJP
     # (XLA-recompute backward).
     if (
         attn_impl == "auto"
-        and x.shape[2] <= 1024
+        and x.shape[2] <= 1280
         and "kernel_q" not in p["attn"]["qkv"]
         and jax.default_backend() == "tpu"
     ):

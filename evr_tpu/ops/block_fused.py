@@ -29,6 +29,23 @@ from jax.experimental.pallas import tpu as pltpu
 LN_EPS = 1e-5
 
 
+def _erf(x):
+    """erf via Abramowitz–Stegun 7.1.26 (|err| ≤ 1.5e-7) — Mosaic has no
+    erf/erfc lowering, so the exact-GELU (OpenCLIP towers) activation
+    implements it from exp, which is supported."""
+    a1, a2, a3, a4, a5 = 0.254829592, -0.284496736, 1.421413741, -1.453152027, 1.061405429
+    p_c = 0.3275911
+    sign = jnp.sign(x)
+    ax = jnp.abs(x)
+    t = 1.0 / (1.0 + p_c * ax)
+    poly = t * (a1 + t * (a2 + t * (a3 + t * (a4 + t * a5))))
+    return sign * (1.0 - poly * jnp.exp(-ax * ax))
+
+
+def _gelu_exact(x):
+    return 0.5 * x * (1.0 + _erf(x * 0.7071067811865476))
+
+
 def _mlp_block_kernel(
     x_ref, ln_scale_ref, ln_bias_ref, fc_k_ref, fc_b_ref, pr_k_ref, pr_b_ref, o_ref,
     *, activation,
@@ -46,8 +63,8 @@ def _mlp_block_kernel(
     ) + fc_b_ref[:].astype(jnp.float32)
     if activation == "quick_gelu":
         h = h * jax.nn.sigmoid(1.702 * h)
-    else:  # exact gelu
-        h = jax.nn.gelu(h, approximate=False)
+    else:  # exact gelu (in-kernel erf — Mosaic has no erf primitive)
+        h = _gelu_exact(h)
     h = h.astype(x.dtype)
 
     o = jax.lax.dot_general(
