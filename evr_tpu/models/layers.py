@@ -178,9 +178,14 @@ def block_apply(
     if (
         attn_impl == "auto"
         and x.shape[2] <= 1280
-        and "kernel_q" not in p["attn"]["qkv"]
         and jax.default_backend() == "tpu"
     ):
+        if "kernel_q" in p["attn"]["qkv"]:
+            # int8 weights (models.quant, inference-only): fused variant
+            # with resident int8 weights + in-kernel per-token quant.
+            from evr_tpu.ops.block_fused import fused_quant_block_apply
+
+            return fused_quant_block_apply(x, p, n_heads, activation, causal)
         from evr_tpu.ops.block_fused import fused_block_apply
 
         return fused_block_apply(x, p, n_heads, activation, causal)

@@ -195,6 +195,189 @@ def fused_attn_block(
     return out.reshape(B, T, W)
 
 
+# -- int8 variant ---------------------------------------------------------
+#
+# Same two-kernel structure with the models.quant scheme fused in: int8
+# weights (per-output-channel scales) stay VMEM-resident at half the bf16
+# footprint, activations quantize per token (symmetric absmax) in-kernel,
+# GEMMs run int8×int8→int32 on the MXU's double-rate int8 path, and the
+# dequant epilogue (x_scale ⊗ kernel_scale, + bias) never leaves VMEM.
+# Inference-only, like the quantized params themselves.
+
+
+def _quant_rows(y32):
+    """fp32 [R, C] → (int8 [R, C], fp32 [R, 1] scale): symmetric absmax."""
+    amax = jnp.max(jnp.abs(y32), axis=-1, keepdims=True)
+    scale = jnp.maximum(amax / 127.0, 1e-12)
+    return jnp.round(y32 / scale).astype(jnp.int8), scale
+
+
+def _quant_dot(y32, kq_ref, ks_ref, b_ref):
+    """fp32 activations × resident int8 weights → fp32, all in VMEM."""
+    x_q, x_scale = _quant_rows(y32)
+    acc = jax.lax.dot_general(
+        x_q, kq_ref[:], (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32
+    )
+    y = acc.astype(jnp.float32) * x_scale * ks_ref[:]
+    if b_ref is not None:
+        y = y + b_ref[:].astype(jnp.float32)
+    return y
+
+
+def _ln32(x32, scale_ref, bias_ref):
+    mean = jnp.mean(x32, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x32 - mean), axis=-1, keepdims=True)
+    y = (x32 - mean) * jax.lax.rsqrt(var + LN_EPS)
+    return y * scale_ref[:].astype(jnp.float32) + bias_ref[:].astype(jnp.float32)
+
+
+def _attn_block_kernel_q(
+    x_ref, ln_scale_ref, ln_bias_ref,
+    qkv_kq_ref, qkv_ks_ref, qkv_b_ref,
+    out_kq_ref, out_ks_ref, out_b_ref,
+    o_ref, *, n_heads, t_seq, group, causal,
+):
+    x = x_ref[0]
+    x32 = x.astype(jnp.float32)
+    y = _ln32(x32, ln_scale_ref, ln_bias_ref)
+    qkv = _quant_dot(y, qkv_kq_ref, qkv_ks_ref, qkv_b_ref).astype(x.dtype)
+
+    n, w = x.shape
+    d = w // n_heads
+    scale = 1.0 / (d ** 0.5)
+    mask = None
+    if group > 1 or causal:
+        row = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
+        col = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
+        if group > 1:
+            mask = (row // t_seq) == (col // t_seq)
+            if causal:
+                mask = jnp.logical_and(mask, (col % t_seq) <= (row % t_seq))
+        else:
+            mask = col <= row
+    heads_out = []
+    for h in range(n_heads):
+        q = qkv[:, h * d:(h + 1) * d] * jnp.asarray(scale, x.dtype)
+        k = qkv[:, w + h * d:w + (h + 1) * d]
+        v = qkv[:, 2 * w + h * d:2 * w + (h + 1) * d]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        if mask is not None:
+            s = jnp.where(mask, s, jnp.float32(-1e30))
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s - m)
+        denom = jnp.sum(p, axis=-1, keepdims=True)
+        o_h = jax.lax.dot_general(
+            p.astype(x.dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        heads_out.append((o_h / denom).astype(x.dtype))
+    o = jnp.concatenate(heads_out, axis=-1).astype(jnp.float32)
+
+    proj = _quant_dot(o, out_kq_ref, out_ks_ref, out_b_ref)
+    o_ref[0] = (x32 + proj).astype(o_ref.dtype)
+
+
+def _mlp_block_kernel_q(
+    x_ref, ln_scale_ref, ln_bias_ref,
+    fc_kq_ref, fc_ks_ref, fc_b_ref,
+    pr_kq_ref, pr_ks_ref, pr_b_ref,
+    o_ref, *, activation,
+):
+    x = x_ref[:]
+    x32 = x.astype(jnp.float32)
+    y = _ln32(x32, ln_scale_ref, ln_bias_ref)
+    h = _quant_dot(y, fc_kq_ref, fc_ks_ref, fc_b_ref)
+    if activation == "quick_gelu":
+        h = h * jax.nn.sigmoid(1.702 * h)
+    else:
+        h = _gelu_exact(h)
+    o = _quant_dot(h, pr_kq_ref, pr_ks_ref, pr_b_ref)
+    o_ref[:] = (x32 + o).astype(o_ref.dtype)
+
+
+def fused_quant_block_apply(
+    x: jax.Array,  # [B, T, W]
+    p: dict,  # quantized block params (models.quant layout: kernel_q/kernel_scale)
+    n_heads: int,
+    activation: str = "quick_gelu",
+    causal: bool = False,
+    interpret: bool | None = None,
+) -> jax.Array:
+    """One full residual block over int8-quantized weights, fused.
+
+    Numerics match `models.quant.quantized_linear` composed the XLA way
+    (same per-token absmax quant, same int32 accumulation); inference-only.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    B, T, W = x.shape
+    group = 1
+    if T < 128:
+        for g in (8, 4, 2):
+            if T * g <= 512 and B % g == 0:
+                group = g
+                break
+    dt = x.dtype
+    vmem = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
+
+    def vec(a):
+        return pl.BlockSpec(a.shape, lambda i: (0,) * a.ndim, memory_space=pltpu.VMEM)
+
+    x2 = x.reshape(B // group, group * T, W)
+    attn = p["attn"]
+    x2 = pl.pallas_call(
+        functools.partial(
+            _attn_block_kernel_q, n_heads=n_heads, t_seq=T, group=group, causal=causal
+        ),
+        grid=(B // group,),
+        in_specs=[
+            pl.BlockSpec((1, group * T, W), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            vec(p["ln_1"]["scale"]), vec(p["ln_1"]["bias"]),
+            vec(attn["qkv"]["kernel_q"]), vec(attn["qkv"]["kernel_scale"]), vec(attn["qkv"]["bias"]),
+            vec(attn["out"]["kernel_q"]), vec(attn["out"]["kernel_scale"]), vec(attn["out"]["bias"]),
+        ],
+        out_specs=pl.BlockSpec((1, group * T, W), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct(x2.shape, dt),
+        compiler_params=vmem,
+        interpret=interpret,
+    )(
+        x2,
+        p["ln_1"]["scale"].astype(dt), p["ln_1"]["bias"].astype(dt),
+        attn["qkv"]["kernel_q"], attn["qkv"]["kernel_scale"].astype(jnp.float32), attn["qkv"]["bias"].astype(jnp.float32),
+        attn["out"]["kernel_q"], attn["out"]["kernel_scale"].astype(jnp.float32), attn["out"]["bias"].astype(jnp.float32),
+    )
+
+    rows = B * T
+    x3 = x2.reshape(rows, W)
+    block_rows = min(512, rows)
+    pad = (-rows) % block_rows
+    if pad:
+        x3 = jnp.pad(x3, ((0, pad), (0, 0)))
+    mlp = p["mlp"]
+    out = pl.pallas_call(
+        functools.partial(_mlp_block_kernel_q, activation=activation),
+        grid=((rows + pad) // block_rows,),
+        in_specs=[
+            pl.BlockSpec((block_rows, W), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            vec(p["ln_2"]["scale"]), vec(p["ln_2"]["bias"]),
+            vec(mlp["fc"]["kernel_q"]), vec(mlp["fc"]["kernel_scale"]), vec(mlp["fc"]["bias"]),
+            vec(mlp["proj"]["kernel_q"]), vec(mlp["proj"]["kernel_scale"]), vec(mlp["proj"]["bias"]),
+        ],
+        out_specs=pl.BlockSpec((block_rows, W), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((rows + pad, W), dt),
+        compiler_params=vmem,
+        interpret=interpret,
+    )(
+        x3,
+        p["ln_2"]["scale"].astype(dt), p["ln_2"]["bias"].astype(dt),
+        mlp["fc"]["kernel_q"], mlp["fc"]["kernel_scale"].astype(jnp.float32), mlp["fc"]["bias"].astype(jnp.float32),
+        mlp["proj"]["kernel_q"], mlp["proj"]["kernel_scale"].astype(jnp.float32), mlp["proj"]["bias"].astype(jnp.float32),
+    )
+    return out[:rows].reshape(B, T, W)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
 def fused_block_apply(
     x: jax.Array,  # [B, T, W]

@@ -158,6 +158,26 @@ def test_fused_block_causal_matches_xla(rng, B):
     np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-4)
 
 
+@pytest.mark.parametrize("causal", [False, True])
+def test_fused_quant_block_matches_xla_quant(rng, causal):
+    """int8 fused block == the XLA quantized_linear composition."""
+    from evr_tpu.models.layers import attention, init_block, layer_norm, linear, quick_gelu
+    from evr_tpu.models.quant import _quantize_block
+    from evr_tpu.ops.block_fused import fused_quant_block_apply
+
+    W, H = 128, 2
+    p = init_block(jax.random.PRNGKey(4), W, 12)
+    pq = _quantize_block(p)
+    pq["ln_1"], pq["ln_2"] = p["ln_1"], p["ln_2"]
+    x = jnp.asarray(rng.normal(size=(8, 10, W)).astype(np.float32))
+
+    y = x + attention(layer_norm(x, pq["ln_1"]), pq["attn"], H, causal, "xla")
+    h = quick_gelu(linear(layer_norm(y, pq["ln_2"]), pq["mlp"]["fc"]))
+    ref = np.asarray(y + linear(h, pq["mlp"]["proj"]))
+    got = np.asarray(fused_quant_block_apply(x, pq, H, "quick_gelu", causal))
+    np.testing.assert_allclose(got, ref, rtol=5e-3, atol=5e-3)
+
+
 def test_fused_block_gelu_activation(rng):
     """The exact-GELU (OpenCLIP tower) activation variant is exact too."""
     from evr_tpu.models.layers import block_apply, init_block
