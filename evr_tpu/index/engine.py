@@ -125,14 +125,34 @@ class EmbeddingEngine:
             return encode_text(params_, cfg_, tokens, dtype=dtype)
 
         if mesh is not None:
-            from jax.sharding import NamedSharding, PartitionSpec as P
+            # shard_map, not GSPMD shardings: encode is purely data-parallel,
+            # and inside shard_map each device traces its LOCAL batch shard —
+            # which is what lets the Pallas fused-block kernels (custom
+            # calls GSPMD cannot partition) run per-chip on a real mesh.
+            from jax.experimental.shard_map import shard_map
+            from jax.sharding import PartitionSpec as P
 
-            repl = NamedSharding(mesh, P())
-            batch_sh = NamedSharding(mesh, P(mesh_axis))
-            jit_kw = dict(in_shardings=(repl, batch_sh), out_shardings=batch_sh)
-            self._encode_staged = jax.jit(_encode_staged, **jit_kw)
-            self._encode_pixels = jax.jit(_encode_pixels, **jit_kw)
-            self._encode_tokens = jax.jit(_encode_tokens, **jit_kw)
+            n_shards = mesh.shape[mesh_axis]
+            if batch_size % n_shards != 0:
+                raise ValueError(
+                    f"batch_size {batch_size} must divide evenly over the "
+                    f"{n_shards}-way '{mesh_axis}' mesh axis"
+                )
+
+            def sharded(fn):
+                return jax.jit(
+                    shard_map(
+                        fn,
+                        mesh=mesh,
+                        in_specs=(P(), P(mesh_axis)),
+                        out_specs=P(mesh_axis),
+                        check_rep=False,
+                    )
+                )
+
+            self._encode_staged = sharded(_encode_staged)
+            self._encode_pixels = sharded(_encode_pixels)
+            self._encode_tokens = sharded(_encode_tokens)
         else:
             self._encode_staged = jax.jit(_encode_staged)
             self._encode_pixels = jax.jit(_encode_pixels)
