@@ -180,6 +180,12 @@ class ProjectionTrainer:
         rng: jax.Array | None = None,
         mesh=None,
     ):
+        # Same policy as make_train_step: gradient steps pin the XLA block
+        # path (the fused Pallas blocks' recompute-backward VJP measures
+        # slower for training, and the pin also keeps Pallas custom calls
+        # out of any auto-sharded step program — PERF.md).
+        if model_cfg.attn_impl == "auto":
+            model_cfg = dataclasses.replace(model_cfg, attn_impl="xla")
         self.model_cfg = (
             dataclasses.replace(model_cfg, remat=True)
             if not (cfg or ProjectionTrainConfig()).freeze_clip
@@ -348,6 +354,8 @@ class ProgressiveTrainer:
         cfg: ProgressiveTrainConfig | None = None,
         rng: jax.Array | None = None,
     ):
+        if model_cfg.attn_impl == "auto":  # training pin — see ProjectionTrainer
+            model_cfg = dataclasses.replace(model_cfg, attn_impl="xla")
         self.model_cfg = model_cfg
         self.cfg = cfg or ProgressiveTrainConfig()
         rng = rng if rng is not None else jax.random.PRNGKey(0)
