@@ -158,6 +158,23 @@ def test_fused_block_causal_matches_xla(rng, B):
     np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-4)
 
 
+@pytest.mark.parametrize(
+    "B,T,causal",
+    [(1, 3, False), (5, 13, True), (8, 64, False), (2, 130, True), (3, 50, False)],
+)
+def test_fused_block_shape_fuzz(rng, B, T, causal):
+    """Odd batch/length combinations: packing, padding, causal all agree."""
+    from evr_tpu.models.layers import block_apply, init_block
+    from evr_tpu.ops.block_fused import fused_block_apply
+
+    W, H = 128, 2
+    p = init_block(jax.random.PRNGKey(B * 100 + T), W, 12)
+    x = jnp.asarray(rng.normal(size=(B, T, W)).astype(np.float32))
+    ref = np.asarray(block_apply(x, p, H, causal, "xla"))
+    got = np.asarray(fused_block_apply(x, p, H, "quick_gelu", causal))
+    np.testing.assert_allclose(got, ref, rtol=3e-4, atol=3e-4)
+
+
 @pytest.mark.parametrize("causal", [False, True])
 def test_fused_quant_block_matches_xla_quant(rng, causal):
     """int8 fused block == the XLA quantized_linear composition."""
