@@ -184,6 +184,7 @@ class ProjectionTrainer:
         # path (the fused Pallas blocks' recompute-backward VJP measures
         # slower for training, and the pin also keeps Pallas custom calls
         # out of any auto-sharded step program — PERF.md).
+        self._infer_cfg = model_cfg  # forward-only paths keep fused kernels
         if model_cfg.attn_impl == "auto":
             model_cfg = dataclasses.replace(model_cfg, attn_impl="xla")
         self.model_cfg = (
@@ -286,10 +287,10 @@ class ProjectionTrainer:
         img = txt = None
         if staged_images is not None:
             x = (jnp.asarray(staged_images).astype(jnp.float32) / 255.0 - mean) / std
-            img = encode_image(self.params["clip"], self.model_cfg, x, dtype=dtype)
+            img = encode_image(self.params["clip"], self._infer_cfg, x, dtype=dtype)
             img = img / jnp.linalg.norm(img, axis=-1, keepdims=True)
         if tokens is not None:
-            txt = encode_text(self.params["clip"], self.model_cfg, jnp.asarray(tokens), dtype=dtype)
+            txt = encode_text(self.params["clip"], self._infer_cfg, jnp.asarray(tokens), dtype=dtype)
             txt = txt / jnp.linalg.norm(txt, axis=-1, keepdims=True)
         img_p, txt_p = project_features(self.params["heads"], img, txt)
         out = tuple(
