@@ -195,6 +195,389 @@ def fused_attn_block(
     return out.reshape(B, T, W)
 
 
+# -- fused backward kernels ----------------------------------------------
+#
+# Flash-style backward: each half-block's backward is ONE kernel that
+# recomputes the forward internals in VMEM (cheap — they never hit HBM)
+# and produces dx plus the parameter grads. Weight/bias grads accumulate
+# across the row-block grid into outputs with constant index maps (Mosaic
+# keeps a revisited output block resident between consecutive grid steps),
+# initialised at cell 0. All accumulation is fp32.
+
+
+def _ln_fwd_bwd(x32, scale_ref, dy32):
+    """Recompute LN(x) and return (y, dx, dscale_partial, dbias_partial)."""
+    mean = jnp.mean(x32, axis=-1, keepdims=True)
+    xc = x32 - mean
+    var = jnp.mean(jnp.square(xc), axis=-1, keepdims=True)
+    inv = jax.lax.rsqrt(var + LN_EPS)
+    xhat = xc * inv
+    s32 = scale_ref[:].astype(jnp.float32)
+    dscale = jnp.sum(dy32 * xhat, axis=0)
+    dbias = jnp.sum(dy32, axis=0)
+    dxhat = dy32 * s32
+    w = x32.shape[-1]
+    dx = inv * (
+        dxhat
+        - jnp.mean(dxhat, axis=-1, keepdims=True)
+        - xhat * jnp.mean(dxhat * xhat, axis=-1, keepdims=True)
+    )
+    return xhat, dx, dscale, dbias
+
+
+def _acc(ref, val, first):
+    @pl.when(first)
+    def _():
+        ref[:] = val.astype(ref.dtype)
+
+    @pl.when(jnp.logical_not(first))
+    def _():
+        ref[:] = ref[:] + val.astype(ref.dtype)
+
+
+def _mlp_block_bwd_kernel(
+    x_ref, ln_scale_ref, ln_bias_ref, fc_k_ref, fc_b_ref, pr_k_ref, pr_b_ref,
+    g_ref,
+    dx_ref, dls_ref, dlb_ref, dfck_ref, dfcb_ref, dprk_ref, dprb_ref,
+    *, activation,
+):
+    first = pl.program_id(0) == 0
+    x = x_ref[:]
+    g32 = g_ref[:].astype(jnp.float32)
+    x32 = x.astype(jnp.float32)
+
+    # --- recompute forward internals (never left VMEM in the fwd) ---
+    mean = jnp.mean(x32, axis=-1, keepdims=True)
+    xc = x32 - mean
+    var = jnp.mean(jnp.square(xc), axis=-1, keepdims=True)
+    inv = jax.lax.rsqrt(var + LN_EPS)
+    xhat = xc * inv
+    y32 = xhat * ln_scale_ref[:].astype(jnp.float32) + ln_bias_ref[:].astype(jnp.float32)
+    y = y32.astype(x.dtype)
+    h_pre = jax.lax.dot_general(
+        y, fc_k_ref[:], (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    ) + fc_b_ref[:].astype(jnp.float32)
+    if activation == "quick_gelu":
+        sig = jax.nn.sigmoid(1.702 * h_pre)
+        h_act = h_pre * sig
+        dact = sig * (1.0 + 1.702 * h_pre * (1.0 - sig))
+    else:
+        erf_v = _erf(h_pre * 0.7071067811865476)
+        h_act = 0.5 * h_pre * (1.0 + erf_v)
+        # d/dx [x Φ(x)] = Φ(x) + x φ(x); Φ = 0.5(1+erf(x/√2))
+        pdf = 0.3989422804014327 * jnp.exp(-0.5 * h_pre * h_pre)
+        dact = 0.5 * (1.0 + erf_v) + h_pre * pdf
+    h = h_act.astype(x.dtype)
+
+    # --- backward ---
+    # out = x + proj(h): dL/dh = g @ proj_kᵀ · act'; dproj_k = hᵀ g
+    dprk = jax.lax.dot_general(
+        h, g32.astype(x.dtype), (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [4W, W]
+    _acc(dprk_ref, dprk, first)
+    _acc(dprb_ref, jnp.sum(g32, axis=0), first)
+    dh = jax.lax.dot_general(
+        g32.astype(x.dtype), pr_k_ref[:], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [R, 4W]
+    dh_pre = dh * dact
+    dhp = dh_pre.astype(x.dtype)
+    dfck = jax.lax.dot_general(
+        y, dhp, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )  # [W, 4W]
+    _acc(dfck_ref, dfck, first)
+    _acc(dfcb_ref, jnp.sum(dh_pre, axis=0), first)
+    dy = jax.lax.dot_general(
+        dhp, fc_k_ref[:], (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )  # [R, W]
+
+    # LN backward
+    s32 = ln_scale_ref[:].astype(jnp.float32)
+    _acc(dls_ref, jnp.sum(dy * xhat, axis=0), first)
+    _acc(dlb_ref, jnp.sum(dy, axis=0), first)
+    dxhat = dy * s32
+    dx_ln = inv * (
+        dxhat
+        - jnp.mean(dxhat, axis=-1, keepdims=True)
+        - xhat * jnp.mean(dxhat * xhat, axis=-1, keepdims=True)
+    )
+    dx_ref[:] = (g32 + dx_ln).astype(dx_ref.dtype)
+
+
+def _attn_block_bwd_kernel(
+    x_ref, ln_scale_ref, ln_bias_ref, qkv_k_ref, qkv_b_ref, out_k_ref, out_b_ref,
+    g_ref,
+    dx_ref, dls_ref, dlb_ref, dqkvk_ref, dqkvb_ref, doutk_ref, doutb_ref,
+    *, n_heads, t_seq, group, causal,
+):
+    first = pl.program_id(0) == 0
+    x = x_ref[0]
+    g32 = g_ref[0].astype(jnp.float32)
+    x32 = x.astype(jnp.float32)
+    dt = x.dtype
+
+    # --- recompute forward internals ---
+    mean = jnp.mean(x32, axis=-1, keepdims=True)
+    xc = x32 - mean
+    var = jnp.mean(jnp.square(xc), axis=-1, keepdims=True)
+    inv = jax.lax.rsqrt(var + LN_EPS)
+    xhat = xc * inv
+    y32 = xhat * ln_scale_ref[:].astype(jnp.float32) + ln_bias_ref[:].astype(jnp.float32)
+    y = y32.astype(dt)
+    qkv = (
+        jax.lax.dot_general(
+            y, qkv_k_ref[:], (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        + qkv_b_ref[:].astype(jnp.float32)
+    ).astype(dt)
+
+    n, w = x.shape
+    d = w // n_heads
+    scale = 1.0 / (d ** 0.5)
+    mask = None
+    if group > 1 or causal:
+        row = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
+        col = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
+        if group > 1:
+            mask = (row // t_seq) == (col // t_seq)
+            if causal:
+                mask = jnp.logical_and(mask, (col % t_seq) <= (row % t_seq))
+        else:
+            mask = col <= row
+
+    # dL/do (pre out-proj) and the out-proj grads need o — rebuild per head
+    do = jax.lax.dot_general(
+        g32.astype(dt), out_k_ref[:], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [n, W]
+    heads_o = []
+    dq_parts, dk_parts, dv_parts = [], [], []
+    for h in range(n_heads):
+        q = qkv[:, h * d:(h + 1) * d] * jnp.asarray(scale, dt)
+        k = qkv[:, w + h * d:w + (h + 1) * d]
+        v = qkv[:, 2 * w + h * d:2 * w + (h + 1) * d]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        if mask is not None:
+            s = jnp.where(mask, s, jnp.float32(-1e30))
+        m = jnp.max(s, axis=-1, keepdims=True)
+        e = jnp.exp(s - m)
+        pn = e / jnp.sum(e, axis=-1, keepdims=True)  # [n, n] fp32
+        pn_dt = pn.astype(dt)
+        o_h = jax.lax.dot_general(
+            pn_dt, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        heads_o.append(o_h.astype(dt))
+
+        do_h = do[:, h * d:(h + 1) * d].astype(dt)
+        dv_h = jax.lax.dot_general(
+            pn_dt, do_h, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )  # [n, d]
+        dpn = jax.lax.dot_general(
+            do_h, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )  # [n, n]
+        ds = pn * (dpn - jnp.sum(dpn * pn, axis=-1, keepdims=True))
+        ds_dt = ds.astype(dt)
+        dq_h = jax.lax.dot_general(
+            ds_dt, k, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        ) * scale  # grad wrt the UNscaled qkv q-slice
+        dk_h = jax.lax.dot_general(
+            ds_dt, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )  # q already carries the scale
+        dq_parts.append(dq_h)
+        dk_parts.append(dk_h)
+        dv_parts.append(dv_h)
+
+    o = jnp.concatenate(heads_o, axis=-1)  # [n, W]
+    doutk = jax.lax.dot_general(
+        o, g32.astype(dt), (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    _acc(doutk_ref, doutk, first)
+    _acc(doutb_ref, jnp.sum(g32, axis=0), first)
+
+    dqkv = jnp.concatenate(
+        [jnp.concatenate(parts, axis=-1) for parts in (dq_parts, dk_parts, dv_parts)],
+        axis=-1,
+    )  # [n, 3W] fp32
+    dqkv_dt = dqkv.astype(dt)
+    dqkvk = jax.lax.dot_general(
+        y, dqkv_dt, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )  # [W, 3W]
+    _acc(dqkvk_ref, dqkvk, first)
+    _acc(dqkvb_ref, jnp.sum(dqkv, axis=0), first)
+    dy = jax.lax.dot_general(
+        dqkv_dt, qkv_k_ref[:], (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )  # [n, W]
+
+    s32 = ln_scale_ref[:].astype(jnp.float32)
+    _acc(dls_ref, jnp.sum(dy * xhat, axis=0), first)
+    _acc(dlb_ref, jnp.sum(dy, axis=0), first)
+    dxhat = dy * s32
+    dx_ln = inv * (
+        dxhat
+        - jnp.mean(dxhat, axis=-1, keepdims=True)
+        - xhat * jnp.mean(dxhat * xhat, axis=-1, keepdims=True)
+    )
+    dx_ref[0] = (g32 + dx_ln).astype(dx_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("n_heads", "interpret", "group", "causal"))
+def fused_attn_block_bwd(
+    x: jax.Array,  # [B, T, W] forward input
+    g: jax.Array,  # [B, T, W] output cotangent
+    ln_scale: jax.Array,
+    ln_bias: jax.Array,
+    qkv_kernel: jax.Array,
+    qkv_bias: jax.Array,
+    out_kernel: jax.Array,
+    out_bias: jax.Array,
+    n_heads: int,
+    interpret: bool | None = None,
+    group: int | None = None,
+    causal: bool = False,
+):
+    """Backward of ``x + out(attention(LN(x)))`` in one dispatch.
+
+    Returns (dx, dln_scale, dln_bias, dqkv_kernel, dqkv_bias, dout_kernel,
+    dout_bias).
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    B, T, W = x.shape
+    if group is None:
+        group = 1
+        if T < 128:
+            for gr in (8, 4, 2):
+                if T * gr <= 512 and B % gr == 0:
+                    group = gr
+                    break
+    dt = x.dtype
+    f32 = jnp.float32
+    n = group * T
+    x2 = x.reshape(B // group, n, W)
+    g2 = g.reshape(B // group, n, W)
+    vmem = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
+
+    def const_spec(shape):
+        return pl.BlockSpec(shape, (lambda i, m=len(shape): (0,) * m), memory_space=pltpu.VMEM)
+
+    out = pl.pallas_call(
+        functools.partial(
+            _attn_block_bwd_kernel,
+            n_heads=n_heads, t_seq=T, group=group, causal=causal,
+        ),
+        grid=(B // group,),
+        in_specs=[
+            pl.BlockSpec((1, n, W), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            const_spec((W,)), const_spec((W,)),
+            const_spec((W, 3 * W)), const_spec((3 * W,)),
+            const_spec((W, W)), const_spec((W,)),
+            pl.BlockSpec((1, n, W), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, n, W), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            const_spec((W,)), const_spec((W,)),
+            const_spec((W, 3 * W)), const_spec((3 * W,)),
+            const_spec((W, W)), const_spec((W,)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct(x2.shape, dt),
+            jax.ShapeDtypeStruct((W,), f32), jax.ShapeDtypeStruct((W,), f32),
+            jax.ShapeDtypeStruct((W, 3 * W), f32), jax.ShapeDtypeStruct((3 * W,), f32),
+            jax.ShapeDtypeStruct((W, W), f32), jax.ShapeDtypeStruct((W,), f32),
+        ],
+        compiler_params=vmem,
+        interpret=interpret,
+    )(
+        x2,
+        ln_scale.astype(dt), ln_bias.astype(dt),
+        qkv_kernel.astype(dt), qkv_bias.astype(dt),
+        out_kernel.astype(dt), out_bias.astype(dt),
+        g2,
+    )
+    dx = out[0].reshape(B, T, W)
+    return (dx,) + tuple(out[1:])
+
+
+@functools.partial(jax.jit, static_argnames=("activation", "interpret", "block_rows"))
+def fused_mlp_block_bwd(
+    x: jax.Array,  # [..., W] forward input (residual stream)
+    g: jax.Array,  # [..., W] output cotangent
+    ln_scale: jax.Array,
+    ln_bias: jax.Array,
+    fc_kernel: jax.Array,
+    fc_bias: jax.Array,
+    proj_kernel: jax.Array,
+    proj_bias: jax.Array,
+    activation: str = "quick_gelu",
+    interpret: bool | None = None,
+    block_rows: int = 512,
+):
+    """Backward of ``x + proj(act(fc(LN(x))))`` in one dispatch.
+
+    Returns (dx, dln_scale, dln_bias, dfc_kernel, dfc_bias, dproj_kernel,
+    dproj_bias) — grads in fp32 except dx (x's dtype).
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    orig_shape = x.shape
+    w = orig_shape[-1]
+    hid = fc_kernel.shape[1]
+    rows = 1
+    for s in orig_shape[:-1]:
+        rows *= s
+    x2 = x.reshape(rows, w)
+    g2 = g.reshape(rows, w)
+    block_rows = min(block_rows, rows)
+    pad = (-rows) % block_rows
+    if pad:
+        x2 = jnp.pad(x2, ((0, pad), (0, 0)))
+        g2 = jnp.pad(g2, ((0, pad), (0, 0)))
+
+    dt = x.dtype
+    f32 = jnp.float32
+    vmem = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
+
+    def const_spec(shape):
+        return pl.BlockSpec(shape, (lambda i, n=len(shape): (0,) * n), memory_space=pltpu.VMEM)
+
+    out = pl.pallas_call(
+        functools.partial(_mlp_block_bwd_kernel, activation=activation),
+        grid=((rows + pad) // block_rows,),
+        in_specs=[
+            pl.BlockSpec((block_rows, w), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            const_spec((w,)), const_spec((w,)),
+            const_spec((w, hid)), const_spec((hid,)),
+            const_spec((hid, w)), const_spec((w,)),
+            pl.BlockSpec((block_rows, w), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((block_rows, w), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            const_spec((w,)), const_spec((w,)),
+            const_spec((w, hid)), const_spec((hid,)),
+            const_spec((hid, w)), const_spec((w,)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((rows + pad, w), dt),
+            jax.ShapeDtypeStruct((w,), f32), jax.ShapeDtypeStruct((w,), f32),
+            jax.ShapeDtypeStruct((w, hid), f32), jax.ShapeDtypeStruct((hid,), f32),
+            jax.ShapeDtypeStruct((hid, w), f32), jax.ShapeDtypeStruct((w,), f32),
+        ],
+        compiler_params=vmem,
+        interpret=interpret,
+    )(
+        x2,
+        ln_scale.astype(dt), ln_bias.astype(dt),
+        fc_kernel.astype(dt), fc_bias.astype(dt),
+        proj_kernel.astype(dt), proj_bias.astype(dt),
+        g2,
+    )
+    dx = out[0][:rows].reshape(orig_shape)
+    return (dx,) + tuple(out[1:])
+
+
 # -- int8 variant ---------------------------------------------------------
 #
 # Same two-kernel structure with the models.quant scheme fused in: int8
@@ -415,17 +798,56 @@ def _fused_block_forward(x, p, n_heads, activation, causal, interpret):
 
 
 def _fused_block_fwd(x, p, n_heads, activation, causal, interpret):
-    return _fused_block_forward(x, p, n_heads, activation, causal, interpret), (x, p)
+    x_mid = fused_attn_block(
+        x,
+        p["ln_1"]["scale"], p["ln_1"]["bias"],
+        p["attn"]["qkv"]["kernel"], p["attn"]["qkv"]["bias"],
+        p["attn"]["out"]["kernel"], p["attn"]["out"]["bias"],
+        n_heads=n_heads, causal=causal, interpret=interpret,
+    )
+    out = fused_mlp_block(
+        x_mid,
+        p["ln_2"]["scale"], p["ln_2"]["bias"],
+        p["mlp"]["fc"]["kernel"], p["mlp"]["fc"]["bias"],
+        p["mlp"]["proj"]["kernel"], p["mlp"]["proj"]["bias"],
+        activation=activation, interpret=interpret,
+    )
+    # Only the two residual-stream activations are saved; each backward
+    # kernel recomputes its half's internals in VMEM (flash-style).
+    return out, (x, x_mid, p)
 
 
 def _fused_block_bwd(n_heads, activation, causal, interpret, res, g):
-    from evr_tpu.models.layers import block_apply
-
-    x, p = res
-    _, vjp = jax.vjp(
-        lambda x_, p_: block_apply(x_, p_, n_heads, causal, "xla", activation), x, p
+    x, x_mid, p = res
+    dmid, dls2, dlb2, dfck, dfcb, dprk, dprb = fused_mlp_block_bwd(
+        x_mid, g,
+        p["ln_2"]["scale"], p["ln_2"]["bias"],
+        p["mlp"]["fc"]["kernel"], p["mlp"]["fc"]["bias"],
+        p["mlp"]["proj"]["kernel"], p["mlp"]["proj"]["bias"],
+        activation=activation, interpret=interpret,
     )
-    return vjp(g)
+    dx, dls1, dlb1, dqkvk, dqkvb, doutk, doutb = fused_attn_block_bwd(
+        x, dmid,
+        p["ln_1"]["scale"], p["ln_1"]["bias"],
+        p["attn"]["qkv"]["kernel"], p["attn"]["qkv"]["bias"],
+        p["attn"]["out"]["kernel"], p["attn"]["out"]["bias"],
+        n_heads=n_heads, causal=causal, interpret=interpret,
+    )
+    dp = {
+        "ln_1": {"scale": dls1, "bias": dlb1},
+        "attn": {
+            "qkv": {"kernel": dqkvk, "bias": dqkvb},
+            "out": {"kernel": doutk, "bias": doutb},
+        },
+        "ln_2": {"scale": dls2, "bias": dlb2},
+        "mlp": {
+            "fc": {"kernel": dfck, "bias": dfcb},
+            "proj": {"kernel": dprk, "bias": dprb},
+        },
+    }
+    # cotangent dtypes must match the primals'
+    dp = jax.tree.map(lambda gr, pr: gr.astype(pr.dtype), dp, p)
+    return dx, dp
 
 
 fused_block_apply.defvjp(_fused_block_fwd, _fused_block_bwd)
