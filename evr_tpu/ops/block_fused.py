@@ -1,20 +1,37 @@
-"""Fused residual-MLP half-block as a Pallas TPU kernel.
+"""Fully fused pre-LN transformer blocks as Pallas TPU kernels.
 
-One kernel computes ``x + proj(quick_gelu(fc(layer_norm(x))))`` — the
-second half of a pre-LN transformer block — per row-block, with both MLP
-weight matrices resident in VMEM across the whole grid (their index maps
-are constant, so Mosaic loads them once). This removes the LN round-trip
-and the [rows, 4W] hidden activation from HBM; LN statistics and both GEMM
-accumulations stay fp32 (parity with `models.layers.block_apply`, tested in
-tests/test_pallas.py).
+Each residual block runs as TWO kernels with the block's weights
+VMEM-resident across the whole grid (constant index maps → Mosaic loads
+them once):
 
-Measured on a v5e chip against the XLA path at ViT-B/32 shapes before
-being wired anywhere — see PERF.md; XLA fuses this chain well, so the
-kernel only replaces it where the measurement says so.
+- attention half: LN1 + fused-QKV GEMM + softmax attention + out-proj +
+  residual, with G whole sequences packed per score tile (the
+  [B,H,T,d] → [B·H/G, G·T, d] regroup is a free contiguous reshape; a
+  block-diagonal mask keeps sequences independent, composed with a
+  per-sequence causal mask for the text tower);
+- MLP half: LN2 + fc + quickGELU/exact-GELU + proj + residual, row-blocked.
 
-Reference behavior being reproduced: the MLP half of CLIP's residual
-blocks (`Backend/clip_finetune_correct.py:155-185` forward through the pip
-``clip`` towers).
+Variants in this module: bf16/fp32 forward (`fused_attn_block`,
+`fused_mlp_block`, composed by `fused_block_apply`), flash-style backward
+kernels (`fused_attn_block_bwd`, `fused_mlp_block_bwd` — recompute the
+half's internals in VMEM, emit dx + parameter grads, weight grads
+accumulated across the row grid), and an int8 forward
+(`fused_quant_block_apply` — resident int8 weights, in-kernel per-token
+absmax quant, MXU double-rate int8 GEMMs, models.quant numerics).
+
+All intermediates (qkv, score tiles, MLP hidden) live and die in VMEM;
+LN statistics, softmax, and every GEMM accumulation stay fp32. Exact-GELU
+computes erf in-kernel (Abramowitz–Stegun 7.1.26) since Mosaic has no
+erf lowering. Dispatched by `models.layers.block_apply` under
+``attn_impl="auto"`` for W ≤ 1280 towers on TPU — measured −13..−22% per
+block vs the XLA composition at every registry tower (PERF.md); gradient
+steps still pin XLA (stored-activation backward measured faster than the
+recompute-style one at training shapes). Numerics and grads are tested
+against the XLA composition in tests/test_pallas.py.
+
+Reference behavior being reproduced: the residual blocks of CLIP's towers
+(`Backend/clip_finetune_correct.py:155-185` forward through the pip
+``clip`` package).
 """
 
 from __future__ import annotations
@@ -203,26 +220,6 @@ def fused_attn_block(
 # across the row-block grid into outputs with constant index maps (Mosaic
 # keeps a revisited output block resident between consecutive grid steps),
 # initialised at cell 0. All accumulation is fp32.
-
-
-def _ln_fwd_bwd(x32, scale_ref, dy32):
-    """Recompute LN(x) and return (y, dx, dscale_partial, dbias_partial)."""
-    mean = jnp.mean(x32, axis=-1, keepdims=True)
-    xc = x32 - mean
-    var = jnp.mean(jnp.square(xc), axis=-1, keepdims=True)
-    inv = jax.lax.rsqrt(var + LN_EPS)
-    xhat = xc * inv
-    s32 = scale_ref[:].astype(jnp.float32)
-    dscale = jnp.sum(dy32 * xhat, axis=0)
-    dbias = jnp.sum(dy32, axis=0)
-    dxhat = dy32 * s32
-    w = x32.shape[-1]
-    dx = inv * (
-        dxhat
-        - jnp.mean(dxhat, axis=-1, keepdims=True)
-        - xhat * jnp.mean(dxhat * xhat, axis=-1, keepdims=True)
-    )
-    return xhat, dx, dscale, dbias
 
 
 def _acc(ref, val, first):
