@@ -175,6 +175,14 @@ def block_apply(
     # T ≥ 256 and plain XLA otherwise. int8 (quantized linears) stays on
     # the XLA path. Grad-safe: the fused block carries a custom VJP
     # (XLA-recompute backward).
+    if attn_impl == "auto_grad":
+        # Training resolution: fused kernels only where fused fwd+bwd beats
+        # XLA's stored-activation fwd+bwd — measured: XLA wins at T ≤ 257
+        # (1.84 vs 2.47 ms/block at B=64/T=50; 5.7 vs 7.2 at T=257), the
+        # fused flash-style backward wins at T=577 (14.3 vs 16.3 ms,
+        # PERF.md) where XLA's [T,T] probability round-trips dominate.
+        attn_impl = "auto" if x.shape[1] >= 512 else "xla"
+
     if (
         attn_impl == "auto"
         and x.shape[2] <= 1280

@@ -157,13 +157,12 @@ def make_train_step(
     mean = jnp.asarray(CLIP_MEAN, jnp.float32)
     std = jnp.asarray(CLIP_STD, jnp.float32)
 
-    # Gradient steps pin the XLA block path: the fused Pallas blocks' custom
-    # VJP recomputes the forward in backward (full-remat cost), which
-    # measures slower end-to-end for training than letting XLA schedule
-    # fwd+bwd itself (1.35k vs 1.45k ex/s at ViT-B/32 b64, PERF.md). All
-    # forward-only paths (serving encode, eval) keep the fused kernels.
+    # Gradient steps resolve "auto" per-shape ("auto_grad"): XLA's
+    # stored-activation fwd+bwd wins at short sequences, the fused
+    # flash-style backward wins at T ≥ 512 (ViT-L/14@336) — measured,
+    # PERF.md. Forward-only paths (serving encode, eval) keep "auto".
     if model_cfg.attn_impl == "auto":
-        model_cfg = dataclasses.replace(model_cfg, attn_impl="xla")
+        model_cfg = dataclasses.replace(model_cfg, attn_impl="auto_grad")
 
     n_patches = model_cfg.vision.grid ** 2
     n_keep = max(1, int(round(n_patches * (1.0 - cfg.patch_drop))))

@@ -180,13 +180,12 @@ class ProjectionTrainer:
         rng: jax.Array | None = None,
         mesh=None,
     ):
-        # Same policy as make_train_step: gradient steps pin the XLA block
-        # path (the fused Pallas blocks' recompute-backward VJP measures
-        # slower for training, and the pin also keeps Pallas custom calls
-        # out of any auto-sharded step program — PERF.md).
+        # Same policy as make_train_step: gradient steps resolve "auto"
+        # per-shape ("auto_grad" — XLA below T=512, fused flash-style
+        # backward above; measured, PERF.md).
         self._infer_cfg = model_cfg  # forward-only paths keep fused kernels
         if model_cfg.attn_impl == "auto":
-            model_cfg = dataclasses.replace(model_cfg, attn_impl="xla")
+            model_cfg = dataclasses.replace(model_cfg, attn_impl="auto_grad")
         self.model_cfg = (
             dataclasses.replace(model_cfg, remat=True)
             if not (cfg or ProjectionTrainConfig()).freeze_clip
@@ -356,7 +355,7 @@ class ProgressiveTrainer:
         rng: jax.Array | None = None,
     ):
         if model_cfg.attn_impl == "auto":  # training pin — see ProjectionTrainer
-            model_cfg = dataclasses.replace(model_cfg, attn_impl="xla")
+            model_cfg = dataclasses.replace(model_cfg, attn_impl="auto_grad")
         self.model_cfg = model_cfg
         self.cfg = cfg or ProgressiveTrainConfig()
         rng = rng if rng is not None else jax.random.PRNGKey(0)
