@@ -20,9 +20,15 @@ Kernel-economy choices, each measured on a v5e chip (PERF.md):
 - probabilities are cast back to the model dtype for the p@V GEMM
   (standard flash-attention practice; accumulation is still fp32).
 
-Used by the towers when ``CLIPConfig.attn_impl == "flash"``; numerics are
+Used by the towers when ``CLIPConfig.attn_impl`` resolves to "flash"
+(via "auto" for W > 1280 towers at T ≥ 256, or explicitly); numerics are
 validated against the XLA einsum path in tests/test_pallas.py (interpret
 mode on CPU, compiled on TPU).
+
+Reference behavior being reproduced: the multi-head attention inside the
+pip ``clip`` towers the reference serves and fine-tunes
+(`Backend/services/embedding_service.py:70-120`,
+`Backend/clip_finetune_correct.py:155-185`).
 """
 
 from __future__ import annotations
