@@ -176,7 +176,7 @@ def fused_attn_block(
         group = 1
         if T < 128:
             for g in (8, 4, 2):
-                if T * g <= 512 and B % g == 0:
+                if T * g <= 256 and B % g == 0:
                     group = g
                     break
 
@@ -447,7 +447,7 @@ def fused_attn_block_bwd(
         group = 1
         if T < 128:
             for gr in (8, 4, 2):
-                if T * gr <= 512 and B % gr == 0:
+                if T * gr <= 256 and B % gr == 0:
                     group = gr
                     break
     dt = x.dtype
@@ -696,7 +696,7 @@ def fused_quant_block_apply(
     group = 1
     if T < 128:
         for g in (8, 4, 2):
-            if T * g <= 512 and B % g == 0:
+            if T * g <= 256 and B % g == 0:
                 group = g
                 break
     dt = x.dtype
