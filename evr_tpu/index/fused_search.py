@@ -133,8 +133,11 @@ class TextSearcher:
                 (self.engine.active_model, version, k, video_name), queries[0]
             )
             out = (row[0][None], row[1][None])
-        else:
-            out = self._dispatch(queries, k, device_index, row_scales, start, end)
+            # Not cached: _search_group re-snapshots at flush time, so if the
+            # index version advances inside the batching window the result
+            # would be keyed to a version it does not reflect.
+            return out
+        out = self._dispatch(queries, k, device_index, row_scales, start, end)
         self._result_cache[cache_key] = out
         if len(self._result_cache) > 4096:
             self._result_cache.clear()

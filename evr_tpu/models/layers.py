@@ -172,9 +172,11 @@ def block_apply(
     # (PERF.md). Gated to W ≤ 1280 (the widest tower measured; wider would
     # need re-measuring VMEM residency of the MLP weights). Unrouted
     # shapes take the flash-attention kernel via attention() below at
-    # T ≥ 256 and plain XLA otherwise. int8 (quantized linears) stays on
-    # the XLA path. Grad-safe: the fused block carries a custom VJP
-    # (XLA-recompute backward).
+    # T ≥ 256 and plain XLA otherwise. int8 (quantized linears) routes to
+    # the fused quantized block kernels on TPU (resident int8 weights,
+    # in-kernel per-token activation quant). Grad-safe: the fused block
+    # carries a custom VJP backed by the fused flash-style Pallas backward
+    # kernels (ops.block_fused fused_*_block_bwd).
     if attn_impl == "auto_grad":
         # Training resolution: fused kernels only where fused fwd+bwd beats
         # XLA's stored-activation fwd+bwd — measured: XLA wins at T ≤ 257

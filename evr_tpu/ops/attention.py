@@ -172,10 +172,15 @@ def _flash_forward_impl(
         # measured on chip; the regroup reshape below is contiguous/free).
         # Pack only when one sequence badly underfills a 128-wide tile; at
         # T ≥ 128 packing measured slower (cross-block mask + wasted MACs).
+        # Cap T·G at 256 — the same packing rule measured for the fused
+        # block kernels (PERF.md): beyond 256 packed rows the cross-sequence
+        # mask work outweighs the tile-fill win. (This branch only runs when
+        # impl='flash' is forced at short T; 'auto' routes short T to the
+        # fused block kernels, which share this rule.)
         group = 1
         if T < 128:
-            for g in (8, 4, 2):
-                if T * g <= 512 and (B * H) % g == 0:
+            for g in (4, 2):
+                if T * g <= 256 and (B * H) % g == 0:
                     group = g
                     break
         q = q * jnp.asarray(1.0 / math.sqrt(d), q.dtype)
