@@ -17,7 +17,7 @@ native:
 	    -o evr_tpu/native/libevr_native.so -ljpeg
 
 test:
-	python -m pytest tests/ -q
+	python -m pytest tests/ -q -rs
 
 bench:
 	python bench.py

@@ -15,9 +15,12 @@ package — `Backend/services/embedding_service.py:151-184` calls
 
 Vocabulary assets: the real OpenAI merge table (``bpe_simple_vocab_16e6.
 txt.gz``) or a HuggingFace ``vocab.json``+``merges.txt`` pair can be loaded
-when available (``ClipTokenizer(vocab_path=...)``, env ``EVR_TPU_BPE_VOCAB``).
-When no asset exists (zero-egress environments) a deterministic byte-level
-fallback vocabulary with no merges is built; ids are stable across runs but
+when available — vendor it as a repo asset with ``tools/vendor_bpe.py``
+(validated, then auto-loaded by ``ClipTokenizer()`` with zero config), or
+point at it via ``ClipTokenizer(vocab_path=...)`` / env ``EVR_TPU_BPE_VOCAB``.
+When no asset exists (zero-egress environments — the table is absent from
+this build image and cannot be fetched) a deterministic byte-level fallback
+vocabulary with no merges is built; ids are stable across runs but
 intentionally NOT OpenAI-compatible — rank-parity evaluations must supply the
 real merge table, exactly as the reference must install ``clip``.
 """
@@ -39,8 +42,16 @@ CONTEXT_LENGTH = 77
 SOT_TOKEN = "<|startoftext|>"
 EOT_TOKEN = "<|endoftext|>"
 
+# Vendored-asset directory: `tools/vendor_bpe.py` installs a validated copy
+# of the OpenAI merge table here, making real CLIP ids the zero-config
+# default. (The table itself cannot be fetched in a zero-egress build
+# environment, so the directory ships empty until vendored.)
+_ASSETS_DIR = pathlib.Path(__file__).parent / "assets"
+
 # Candidate locations for the OpenAI merge table, probed in order.
 _VOCAB_SEARCH_PATHS = (
+    str(_ASSETS_DIR / "bpe_simple_vocab_16e6.txt.gz"),
+    str(_ASSETS_DIR / "merges.txt"),
     "~/.cache/clip/bpe_simple_vocab_16e6.txt.gz",
     "~/.cache/evr_tpu/bpe_simple_vocab_16e6.txt.gz",
 )
