@@ -7,9 +7,13 @@
 // Staged output feeds the device in one contiguous uint8 batch; the
 // mean/std normalisation runs fused on-device (evr_tpu.ops.preprocess).
 //
-// Resize semantics: box-filter area averaging on downscale (matches
-// antialiased bicubic closely for photographic frames and cv2.INTER_AREA
-// exactly in spirit), bilinear on upscale.
+// Resize semantics: PIL-equivalent bicubic (Catmull-Rom a=-0.5), separable
+// two-pass with antialias support scaling on downscale and a uint8
+// intermediate buffer between the horizontal and vertical passes — the same
+// structure as Pillow's Resample.c, so the staged pixels match the PIL
+// golden-parity path (`ops.preprocess.load_image_host`) to within one gray
+// level and retrieval ranks agree across the two staging paths
+// (tests/test_native.py).
 
 #include <cstddef>
 #include <cstdio>
@@ -76,60 +80,105 @@ bool decode_jpeg(const char* path, std::vector<uint8_t>* pixels, int* width,
   return true;
 }
 
-// Area-average (downscale) or bilinear (upscale) resize, RGB uint8.
+// Catmull-Rom bicubic kernel (a = -0.5), support 2.0 — Pillow's BICUBIC.
+inline double bicubic_kernel(double x) {
+  constexpr double a = -0.5;
+  x = std::abs(x);
+  if (x < 1.0) return ((a + 2.0) * x - (a + 3.0)) * x * x + 1.0;
+  if (x < 2.0) return (((x - 5.0) * x + 8.0) * x - 4.0) * a;
+  return 0.0;
+}
+
+// Precomputed filter taps for one output axis, PIL Resample.c semantics:
+// filterscale = max(in/out, 1) gives antialiasing on downscale; weights are
+// normalised per output pixel.
+struct FilterTaps {
+  std::vector<int> bounds;      // per out pixel: first source index
+  std::vector<int> counts;      // per out pixel: number of taps
+  std::vector<double> weights;  // taps, ksize per out pixel
+  int ksize = 0;
+};
+
+FilterTaps compute_taps(int in_size, int out_size) {
+  FilterTaps taps;
+  const double scale = static_cast<double>(in_size) / out_size;
+  const double filterscale = std::max(scale, 1.0);
+  const double support = 2.0 * filterscale;  // bicubic support
+  taps.ksize = static_cast<int>(std::ceil(support)) * 2 + 1;
+  taps.bounds.resize(out_size);
+  taps.counts.resize(out_size);
+  taps.weights.assign(static_cast<size_t>(out_size) * taps.ksize, 0.0);
+
+  for (int xx = 0; xx < out_size; ++xx) {
+    const double center = (xx + 0.5) * scale;
+    int xmin = static_cast<int>(center - support + 0.5);
+    if (xmin < 0) xmin = 0;
+    int xmax = static_cast<int>(center + support + 0.5);
+    if (xmax > in_size) xmax = in_size;
+    double* k = taps.weights.data() + static_cast<size_t>(xx) * taps.ksize;
+    double ww = 0.0;
+    for (int x = xmin; x < xmax; ++x) {
+      const double w = bicubic_kernel((x - center + 0.5) / filterscale);
+      k[x - xmin] = w;
+      ww += w;
+    }
+    if (ww != 0.0) {
+      for (int x = 0; x < xmax - xmin; ++x) k[x] /= ww;
+    }
+    taps.bounds[xx] = xmin;
+    taps.counts[xx] = xmax - xmin;
+  }
+  return taps;
+}
+
+inline uint8_t clip8(double v) {
+  return static_cast<uint8_t>(std::clamp(std::lround(v), 0L, 255L));
+}
+
+// Separable PIL-style bicubic resize, RGB uint8. Horizontal pass into a
+// uint8 intermediate (matching Pillow's two-pass structure and its
+// per-pass rounding), then vertical.
 void resize_rgb(const uint8_t* src, int sw, int sh, uint8_t* dst, int dw,
                 int dh) {
-  const double sx = static_cast<double>(sw) / dw;
-  const double sy = static_cast<double>(sh) / dh;
-  const bool down = sx >= 1.0 && sy >= 1.0;
+  const FilterTaps hx = compute_taps(sw, dw);
+  const FilterTaps vy = compute_taps(sh, dh);
 
-  if (down) {
-    for (int y = 0; y < dh; ++y) {
-      const int y0 = static_cast<int>(y * sy);
-      int y1 = static_cast<int>((y + 1) * sy);
-      y1 = std::min(std::max(y1, y0 + 1), sh);
-      for (int x = 0; x < dw; ++x) {
-        const int x0 = static_cast<int>(x * sx);
-        int x1 = static_cast<int>((x + 1) * sx);
-        x1 = std::min(std::max(x1, x0 + 1), sw);
-        int acc[3] = {0, 0, 0};
-        const int count = (y1 - y0) * (x1 - x0);
-        for (int yy = y0; yy < y1; ++yy) {
-          const uint8_t* row = src + (static_cast<size_t>(yy) * sw + x0) * 3;
-          for (int xx = 0; xx < x1 - x0; ++xx) {
-            acc[0] += row[xx * 3];
-            acc[1] += row[xx * 3 + 1];
-            acc[2] += row[xx * 3 + 2];
-          }
-        }
-        uint8_t* out = dst + (static_cast<size_t>(y) * dw + x) * 3;
-        out[0] = static_cast<uint8_t>(acc[0] / count);
-        out[1] = static_cast<uint8_t>(acc[1] / count);
-        out[2] = static_cast<uint8_t>(acc[2] / count);
+  std::vector<uint8_t> tmp(static_cast<size_t>(dw) * sh * 3);
+  for (int y = 0; y < sh; ++y) {
+    const uint8_t* row = src + static_cast<size_t>(y) * sw * 3;
+    uint8_t* out_row = tmp.data() + static_cast<size_t>(y) * dw * 3;
+    for (int x = 0; x < dw; ++x) {
+      const double* k = hx.weights.data() + static_cast<size_t>(x) * hx.ksize;
+      const int x0 = hx.bounds[x];
+      double acc[3] = {0.0, 0.0, 0.0};
+      for (int t = 0; t < hx.counts[x]; ++t) {
+        const uint8_t* p = row + (static_cast<size_t>(x0) + t) * 3;
+        acc[0] += p[0] * k[t];
+        acc[1] += p[1] * k[t];
+        acc[2] += p[2] * k[t];
       }
+      out_row[x * 3] = clip8(acc[0]);
+      out_row[x * 3 + 1] = clip8(acc[1]);
+      out_row[x * 3 + 2] = clip8(acc[2]);
     }
-  } else {
-    for (int y = 0; y < dh; ++y) {
-      const double fy = (y + 0.5) * sy - 0.5;
-      const int y0 = std::clamp(static_cast<int>(std::floor(fy)), 0, sh - 1);
-      const int y1 = std::min(y0 + 1, sh - 1);
-      const double wy = fy - y0;
-      for (int x = 0; x < dw; ++x) {
-        const double fx = (x + 0.5) * sx - 0.5;
-        const int x0 = std::clamp(static_cast<int>(std::floor(fx)), 0, sw - 1);
-        const int x1 = std::min(x0 + 1, sw - 1);
-        const double wx = fx - x0;
-        uint8_t* out = dst + (static_cast<size_t>(y) * dw + x) * 3;
-        for (int c = 0; c < 3; ++c) {
-          const double v00 = src[(static_cast<size_t>(y0) * sw + x0) * 3 + c];
-          const double v01 = src[(static_cast<size_t>(y0) * sw + x1) * 3 + c];
-          const double v10 = src[(static_cast<size_t>(y1) * sw + x0) * 3 + c];
-          const double v11 = src[(static_cast<size_t>(y1) * sw + x1) * 3 + c];
-          out[c] = static_cast<uint8_t>(
-              std::lround((1 - wy) * ((1 - wx) * v00 + wx * v01) +
-                          wy * ((1 - wx) * v10 + wx * v11)));
-        }
+  }
+
+  for (int y = 0; y < dh; ++y) {
+    const double* k = vy.weights.data() + static_cast<size_t>(y) * vy.ksize;
+    const int y0 = vy.bounds[y];
+    uint8_t* out_row = dst + static_cast<size_t>(y) * dw * 3;
+    for (int x = 0; x < dw; ++x) {
+      double acc[3] = {0.0, 0.0, 0.0};
+      for (int t = 0; t < vy.counts[y]; ++t) {
+        const uint8_t* p =
+            tmp.data() + ((static_cast<size_t>(y0) + t) * dw + x) * 3;
+        acc[0] += p[0] * k[t];
+        acc[1] += p[1] * k[t];
+        acc[2] += p[2] * k[t];
       }
+      out_row[x * 3] = clip8(acc[0]);
+      out_row[x * 3 + 1] = clip8(acc[1]);
+      out_row[x * 3 + 2] = clip8(acc[2]);
     }
   }
 }
