@@ -1,10 +1,12 @@
-from .scene import detect_scenes, ContentDetectorConfig
+from .scene import detect_scenes, content_curve, cuts_from_curve, ContentDetectorConfig
 from .frames import extract_scene_frames, extract_uniform_frames
 from .annotate import build_frame_record, Annotator, NullAnnotator, annotate_folder
 from .pipeline import ingest_video, IngestResult
 
 __all__ = [
     "detect_scenes",
+    "content_curve",
+    "cuts_from_curve",
     "ContentDetectorConfig",
     "extract_scene_frames",
     "extract_uniform_frames",

@@ -36,11 +36,16 @@ def _auto_downscale(width: int) -> int:
     return max(1, width // 256)
 
 
-def detect_scenes(
+def content_curve(
     video_path,
     config: ContentDetectorConfig | None = None,
-) -> list[tuple[int, int]]:
-    """Return [(start_frame, end_frame), ...) scene spans (end exclusive)."""
+) -> np.ndarray:
+    """Per-frame content values (frame 0 has no predecessor → 0.0).
+
+    This is the detector's raw signal — the golden scene fixtures
+    (`tests/golden/scenes/`) record it so the segmentation semantics are
+    frozen under refactor; `detect_scenes` is a pure threshold/min-length
+    walk over this curve (see ``cuts_from_curve``)."""
     import cv2
 
     cfg = config or ContentDetectorConfig()
@@ -48,10 +53,8 @@ def detect_scenes(
     if not cap.isOpened():
         raise IOError(f"cannot open video: {video_path}")
 
-    cuts: list[int] = []
+    values: list[float] = [0.0]
     prev_hsv = None
-    frame_idx = 0
-    last_cut = 0
     factor = cfg.downscale
     try:
         while True:
@@ -64,17 +67,38 @@ def detect_scenes(
                 frame = frame[::factor, ::factor]
             hsv = cv2.cvtColor(frame, cv2.COLOR_BGR2HSV)
             if prev_hsv is not None:
-                score = _content_val(prev_hsv, hsv)
-                if score >= cfg.threshold and frame_idx - last_cut >= cfg.min_scene_len:
-                    cuts.append(frame_idx)
-                    last_cut = frame_idx
+                values.append(_content_val(prev_hsv, hsv))
             prev_hsv = hsv
-            frame_idx = frame_idx + 1
     finally:
         cap.release()
+    if prev_hsv is None:
+        return np.zeros((0,), np.float64)
+    return np.asarray(values, np.float64)
 
-    total = frame_idx
+
+def cuts_from_curve(
+    values: np.ndarray, threshold: float, min_scene_len: int
+) -> list[int]:
+    """Threshold walk: cut at frame i when values[i] >= threshold and the
+    previous cut (or start) is at least ``min_scene_len`` frames back."""
+    cuts: list[int] = []
+    last_cut = 0
+    for i in range(1, len(values)):
+        if values[i] >= threshold and i - last_cut >= min_scene_len:
+            cuts.append(i)
+            last_cut = i
+    return cuts
+
+
+def detect_scenes(
+    video_path,
+    config: ContentDetectorConfig | None = None,
+) -> list[tuple[int, int]]:
+    """Return [(start_frame, end_frame), ...) scene spans (end exclusive)."""
+    cfg = config or ContentDetectorConfig()
+    values = content_curve(video_path, cfg)
+    total = len(values)
     if total == 0:
         return []
-    bounds = [0] + cuts + [total]
+    bounds = [0] + cuts_from_curve(values, cfg.threshold, cfg.min_scene_len) + [total]
     return [(bounds[i], bounds[i + 1]) for i in range(len(bounds) - 1)]
