@@ -156,6 +156,11 @@ def generate_visualization(
                 ),
                 "original_filepath": filepath,
                 "frame_id": len(metas),
+                # always present (empty when undetected): the frontend reads
+                # point.metadata.text/.object unconditionally
+                # (VisualizationPanel.tsx:688-696)
+                "text": "",
+                "object": "",
             }
             text_dets = (raw.get("text_detections") or {}).get("detections") or []
             if text_dets:
