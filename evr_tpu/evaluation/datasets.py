@@ -81,7 +81,16 @@ def load_excel_testset(path, images_root) -> CaptionsTable:
     path = pathlib.Path(path)
     images_root = pathlib.Path(images_root)
     if path.suffix.lower() in (".xlsx", ".xls"):
-        df = pd.read_excel(path)
+        try:
+            df = pd.read_excel(path)
+        except (ImportError, ValueError) as e:
+            # pandas raises ImportError (engine missing) or ValueError
+            # (cannot determine format without an engine) depending on version
+            raise ImportError(
+                f"no Excel engine available to read {path.name} "
+                "(openpyxl not installed); export the 3-column sheet to .csv "
+                "— load_excel_testset reads it identically"
+            ) from e
     else:
         df = pd.read_csv(path)
     cols = {c.lower().strip(): c for c in df.columns}

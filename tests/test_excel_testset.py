@@ -1,0 +1,94 @@
+"""Excel/CSV 3-column test-set loader (E1 input format).
+
+The reference's Excel test sets have 3 columns — folder, caption, image
+with ';'-separated multi-ground-truth (`/root/reference/README.md:153-158`,
+consumed by `compare_models.py --test_file`). openpyxl is absent here, so
+the loader reads the identical schema from .csv; these tests pin that
+behaviour on a committed fixture file."""
+
+import pathlib
+import shutil
+
+import numpy as np
+import pytest
+
+from evr_tpu.evaluation.datasets import load_excel_testset
+
+FIXTURE = pathlib.Path(__file__).parent / "golden" / "testset_3col.csv"
+
+
+@pytest.fixture()
+def images_root(tmp_path):
+    from PIL import Image
+
+    for folder, names in {"vidA": ["10.jpg", "25.jpg", "40.jpg"],
+                          "vidB": ["5.jpg"]}.items():
+        d = tmp_path / folder
+        d.mkdir()
+        for n in names:
+            Image.fromarray(np.zeros((8, 8, 3), np.uint8)).save(d / n)
+    return tmp_path
+
+
+def test_loads_multi_ground_truth(images_root):
+    table = load_excel_testset(FIXTURE, images_root)
+    # caption 4 has no existing GT → dropped; caption 3 keeps only 5.jpg
+    assert table.captions == [
+        "a man fighting in the street",
+        "a red car driving",
+        "two people talking",
+    ]
+    assert table.caption_gt_ids == [
+        ["vidA/10.jpg", "vidA/25.jpg"],
+        ["vidA/40.jpg"],
+        ["vidB/5.jpg"],
+    ]
+    # image table holds each referenced-and-existing image exactly once
+    assert sorted(table.image_ids) == [
+        "vidA/10.jpg", "vidA/25.jpg", "vidA/40.jpg", "vidB/5.jpg"
+    ]
+    for p in table.ordered_paths:
+        assert pathlib.Path(p).exists()
+
+
+def test_column_names_case_insensitive(images_root, tmp_path):
+    shuffled = tmp_path / "cols.csv"
+    # different case + surrounding whitespace in the header
+    text = FIXTURE.read_text().replace("Folder,Caption,Image", " FOLDER , caption ,IMAGE")
+    shuffled.write_text(text)
+    table = load_excel_testset(shuffled, images_root)
+    assert len(table.captions) == 3
+
+
+def test_xlsx_without_engine_gives_actionable_error(images_root, tmp_path):
+    pytest.importorskip("pandas")
+    try:
+        import openpyxl  # noqa: F401
+
+        pytest.skip("openpyxl installed; the fallback error path is moot")
+    except ImportError:
+        pass
+    fake = tmp_path / "testset.xlsx"
+    shutil.copy(FIXTURE, fake)
+    with pytest.raises(ImportError, match="csv"):
+        load_excel_testset(fake, images_root)
+
+
+def test_eval_consumes_multi_gt(images_root):
+    """Multi-GT rank semantics: best (lowest) rank across the GT set, the
+    reference's ';'-separated answer behaviour."""
+    from evr_tpu.evaluation.retrieval import calculate_metrics
+
+    table = load_excel_testset(FIXTURE, images_root)
+    n = len(table.image_ids)
+    id_to_row = {iid: i for i, iid in enumerate(table.image_ids)}
+    rng = np.random.default_rng(0)
+    sims = rng.random((len(table.captions), n))
+    # make caption 0's SECOND gt the global argmax: with multi-GT the rank
+    # must be 1 even though gt[0] ranks worse
+    sims[0] = 0.0
+    sims[0, id_to_row["vidA/25.jpg"]] = 1.0
+    gt_rows = [[id_to_row[i] for i in ids] for ids in table.caption_gt_ids]
+    m, ranks = calculate_metrics(sims, gt_rows)
+    assert ranks[0] == 1  # best-of-GT-set rank semantics
+    assert m["R@1"] > 0
