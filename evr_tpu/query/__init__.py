@@ -1,6 +1,7 @@
 from .metadata import MetadataStore
 from .events import format_event_for_frontend
 from .strategies import QueryEngine, SEARCH_METHODS
+from .translate import DictionaryTranslator, VI_EN_PHRASES
 from .text import (
     DEFAULT_EN_STOPWORDS,
     QueryPreprocessor,
@@ -18,6 +19,8 @@ __all__ = [
     "fold_accents",
     "QueryPreprocessor",
     "VietnamesePreprocessor",
+    "DictionaryTranslator",
+    "VI_EN_PHRASES",
     "DEFAULT_EN_STOPWORDS",
     "load_stopwords",
     "segment_sentences",

@@ -35,6 +35,7 @@ class ServingContext:
         index_dtype: str = "float32",
         search_impl: str = "xla",
         batch_window_ms: float | None = None,
+        preprocessor=None,
     ):
         self.data_root = (
             data_root
@@ -54,6 +55,16 @@ class ServingContext:
         self.search_cache = TTLCache(default_ttl=3600.0)
         self.viz_cache = TTLCache(default_ttl=24 * 3600.0)
         self.transcriber = transcriber
+        # Query preprocessing: local-first Vietnamese pipeline with the
+        # zero-egress dictionary translator by default (the reference calls
+        # GoogleTranslator on the hot path, word_processing.py:22-27; a
+        # network provider can be injected here instead).
+        if preprocessor is None:
+            from evr_tpu.query import VietnamesePreprocessor
+            from evr_tpu.query.translate import DictionaryTranslator
+
+            preprocessor = VietnamesePreprocessor(translator=DictionaryTranslator())
+        self.preprocessor = preprocessor
         self.scene_threshold = scene_threshold
         # index storage dtype (fp32/bf16/int8) + scoring impl (xla/pallas) —
         # see FrameIndex; applied to every per-model index
@@ -92,6 +103,7 @@ class ServingContext:
             self._query_engines[model] = QueryEngine(
                 self.engine, self.index_for(model), self.metadata,
                 batch_window_ms=self.batch_window_ms,
+                preprocessor=self.preprocessor,
             )
         return self._query_engines[model]
 

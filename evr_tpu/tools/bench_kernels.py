@@ -162,9 +162,103 @@ def bench_sweep(reps: int) -> None:
         print(f"B={B:4d}: {fps:9.0f} frames/s sustained")
 
 
+def bench_roofline(reps: int) -> None:
+    """Decompose the headline ViT-B/32 encode (B=512, bf16, fused blocks)
+    into stages, each timed with the chained methodology, against its MXU
+    GEMM floor at v5e bf16 peak (197 TFLOP/s). Quantifies PERF.md's ~73%
+    MFU residue term by term (VERDICT r1 #7)."""
+    import jax
+    import jax.numpy as jnp
+
+    from evr_tpu.models import get_model_config, init_clip_params
+    from evr_tpu.models.clip import encode_image
+    from evr_tpu.models.layers import layer_norm
+    from evr_tpu.ops.block_fused import fused_attn_block, fused_mlp_block
+
+    PEAK = 197e12  # v5e bf16
+    B, T, W, H = 512, 50, 768, 12
+    cfg = get_model_config("ViT-B/32")
+    params = init_clip_params(jax.random.PRNGKey(0), cfg)
+    v = params["visual"]
+    rng = np.random.default_rng(0)
+    timeit = _chained_timer(reps)
+
+    pix = jnp.asarray(rng.normal(size=(B, 224, 224, 3)).astype(np.float32))
+    x_tok = jnp.asarray(rng.normal(size=(B, T, W)) * 0.1, jnp.bfloat16)
+
+    # GEMM FLOPs (fwd, 2·MACs), per batch of B frames
+    f_stem = 2 * B * 49 * (32 * 32 * 3) * W
+    f_attn = B * (2 * T * W * 3 * W + 2 * T * T * W * 2 + 2 * T * W * W)
+    f_mlp = B * (2 * T * W * 4 * W * 2)
+    f_blocks = 12 * (f_attn + f_mlp)
+    f_tail = 2 * B * W * cfg.embed_dim
+    f_total = f_stem + f_blocks + f_tail
+
+    def stem(px):
+        h = jax.lax.conv_general_dilated(
+            px.astype(jnp.bfloat16),
+            v["patch_embed"]["kernel"].astype(jnp.bfloat16),
+            window_strides=(32, 32), padding="VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        ).reshape(B, 49, W)
+        cls = jnp.broadcast_to(v["class_embedding"].astype(jnp.bfloat16), (B, 1, W))
+        h = jnp.concatenate([cls, h], axis=1) + v["pos_embedding"].astype(jnp.bfloat16)
+        h = layer_norm(h, v["ln_pre"])
+        # mix back to pixel shape so the chained scan can carry it
+        return px + jnp.sum(h.astype(jnp.float32)) * 1e-9
+
+    p0 = v["blocks"][0]
+    attn_fn = lambda y: fused_attn_block(
+        y, p0["ln_1"]["scale"], p0["ln_1"]["bias"],
+        p0["attn"]["qkv"]["kernel"], p0["attn"]["qkv"]["bias"],
+        p0["attn"]["out"]["kernel"], p0["attn"]["out"]["bias"],
+        n_heads=H, causal=False,
+    )
+    mlp_fn = lambda y: fused_mlp_block(
+        y, p0["ln_2"]["scale"], p0["ln_2"]["bias"],
+        p0["mlp"]["fc"]["kernel"], p0["mlp"]["fc"]["bias"],
+        p0["mlp"]["proj"]["kernel"], p0["mlp"]["proj"]["bias"],
+        activation="quick_gelu",
+    )
+
+    def tail(y):
+        h = layer_norm(y[:, 0], v["ln_post"])
+        out = h @ v["proj"].astype(h.dtype)
+        return y + jnp.sum(out.astype(jnp.float32)) * 1e-9
+
+    print(f"ViT-B/32 fused encode decomposition, B={B} bf16 "
+          f"(floors at v5e {PEAK / 1e12:.0f} TFLOP/s peak)")
+    rows = []
+    t_full = timeit(lambda px: encode_image(params, cfg, px, dtype=jnp.bfloat16)
+                    .sum() * 1e-9 + px, pix, "full encode_image")
+    t_stem = timeit(stem, pix, "stem (patch conv+pos+ln_pre)")
+    t_attn = timeit(attn_fn, x_tok, "one fused attn block")
+    t_mlp = timeit(mlp_fn, x_tok, "one fused MLP block")
+    t_tail = timeit(tail, x_tok, "tail (ln_post+proj)")
+    rows = [
+        ("stem", t_stem, f_stem),
+        ("12x attn blocks", 12 * t_attn, 12 * f_attn),
+        ("12x MLP blocks", 12 * t_mlp, 12 * f_mlp),
+        ("tail", t_tail, f_tail),
+    ]
+    print(f"{'stage':22s} {'meas ms':>9s} {'floor ms':>9s} {'MFU':>6s} {'share':>6s}")
+    t_sum = sum(t for _, t, _ in rows)
+    for name, t_ms, fl in rows:
+        floor = fl / PEAK * 1e3
+        print(f"{name:22s} {t_ms:9.3f} {floor:9.3f} {100 * floor / t_ms:5.0f}% "
+              f"{100 * t_ms / t_sum:5.1f}%")
+    floor_full = f_total / PEAK * 1e3
+    print(f"{'sum of stages':22s} {t_sum:9.3f} {floor_full:9.3f} "
+          f"{100 * floor_full / t_sum:5.0f}%")
+    print(f"{'whole-program':22s} {t_full:9.3f} {floor_full:9.3f} "
+          f"{100 * floor_full / t_full:5.0f}%  "
+          f"({B / t_full * 1e3:.0f} frames/s)")
+    print(f"scheduling gap (whole - sum): {t_full - t_sum:+.3f} ms")
+
+
 def main() -> None:
     ap = argparse.ArgumentParser(description=__doc__)
-    ap.add_argument("what", choices=["block", "attention", "encode", "int8", "sweep", "all"])
+    ap.add_argument("what", choices=["block", "attention", "encode", "int8", "sweep", "roofline", "all"])
     ap.add_argument("--reps", type=int, default=20, help="chained applications per dispatch")
     args = ap.parse_args()
 
@@ -183,6 +277,7 @@ def main() -> None:
         "encode": bench_encode,
         "int8": bench_int8,
         "sweep": bench_sweep,
+        "roofline": bench_roofline,
     }
     for name, fn in runs.items():
         if args.what in (name, "all"):
