@@ -92,3 +92,36 @@ def test_eval_consumes_multi_gt(images_root):
     m, ranks = calculate_metrics(sims, gt_rows)
     assert ranks[0] == 1  # best-of-GT-set rank semantics
     assert m["R@1"] > 0
+
+
+def test_translate_testset_csv(tmp_path):
+    """vi→en test-set translation with the bundled local translator
+    (reference: Translate_file_test_caption/translate.py)."""
+    from evr_tpu.data_prep.translate_testset import translate_testset_csv
+
+    src = tmp_path / "testset_vi.csv"
+    src.write_text(
+        "Folder,Caption,Image\n"
+        "vidA,hai người đánh nhau trong phòng,10.jpg;25.jpg\n"
+        "vidA,a caption already in english,40.jpg\n",
+        encoding="utf-8",
+    )
+    out = tmp_path / "testset_en.csv"
+    n = translate_testset_csv(src, out)
+    assert n == 2
+    rows = out.read_text(encoding="utf-8").strip().splitlines()
+    assert rows[0] == "Folder,Caption,Image"
+    assert "two people fighting in a room" in rows[1]
+    assert rows[1].endswith("10.jpg;25.jpg")
+    assert "a caption already in english" in rows[2]
+
+
+def test_translate_testset_missing_column(tmp_path):
+    from evr_tpu.data_prep.translate_testset import translate_testset_csv
+
+    src = tmp_path / "bad.csv"
+    src.write_text("a,b\n1,2\n")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="caption"):
+        translate_testset_csv(src, tmp_path / "out.csv")
