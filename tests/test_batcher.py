@@ -248,3 +248,24 @@ def test_text_searcher_batched_single_caller_unharmed(small_engine_index):
     s1, r1 = batched.search("a lone query", 4)
     np.testing.assert_array_equal(r0, r1)
     np.testing.assert_allclose(s0, s1, rtol=1e-5, atol=1e-6)
+
+
+def test_batched_result_not_cached_under_submit_version(small_engine_index):
+    """If the index version advances inside the batching window, the flushed
+    result reflects the NEW snapshot and must not be served from the result
+    cache under the submit-time version key (ADVICE r1: fused_search)."""
+    from evr_tpu.index.fused_search import TextSearcher
+
+    engine, index = small_engine_index
+    batched = TextSearcher(engine, index, batch_window_ms=5.0, max_batch=4)
+
+    s1, r1 = batched.search("stale window query", 3)
+    # batched single-query results never enter the result cache
+    assert not any(
+        "stale window query" in str(k) for k in batched._result_cache
+    )
+    # the same query re-searched still matches a fresh unbatched searcher
+    plain = TextSearcher(engine, index)
+    s2, r2 = plain.search("stale window query", 3)
+    np.testing.assert_array_equal(r1, r2)
+    np.testing.assert_allclose(s1, s2, rtol=1e-5, atol=1e-6)
