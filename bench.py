@@ -388,6 +388,8 @@ def main() -> None:
         import gc
 
         del idx, searcher, dev_batch, sus, engine
+        del device_index, row_scales, qvecs, toks, resident
+        del chained_vec_search, chained_text_search
         gc.collect()
         extras = _full_extras(rng)
     else:
