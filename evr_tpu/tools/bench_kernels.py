@@ -29,23 +29,30 @@ def _chained_timer(reps: int):
     import jax
     import jax.numpy as jnp
 
-    def timeit(fn, x, label):
-        def chained(x_):
+    def timeit(fn, x, label, params=None):
+        """Time ``fn`` chained ``reps`` times in one dispatch.
+
+        ``params``: optional pytree threaded through jit as an ARGUMENT —
+        closing over large param pytrees turns them into jaxpr constants,
+        which wedges this environment's remote compiler (CLAUDE.md); when
+        given, ``fn`` is called as ``fn(params, x)``.
+        """
+        def chained(params_, x_):
             def body(c, _):
-                o = fn(c)
+                o = fn(params_, c) if params_ is not None else fn(c)
                 return (0.98 * c + 0.02 * o.astype(c.dtype)).astype(c.dtype), ()
 
             out, _ = jax.lax.scan(body, x_, None, length=reps)
             return jnp.sum(out.astype(jnp.float32))
 
         run = jax.jit(chained)
-        float(run(x))  # compile + warm
+        float(run(params, x))  # compile + warm
         best = float("inf")
         for _ in range(3):
             t0 = time.perf_counter()
-            float(run(x))
+            float(run(params, x))
             best = min(best, (time.perf_counter() - t0) / reps * 1000)
-        print(f"{label:42s}: {best:8.4f} ms")
+        print(f"{label:42s}: {best:8.4f} ms", flush=True)
         return best
 
     return timeit
@@ -74,10 +81,10 @@ def bench_block(reps: int) -> None:
         p = init_block(jax.random.PRNGKey(0), W, 12)
         x = jnp.asarray(rng.normal(size=(B, T, W)) * 0.1, jnp.bfloat16)
         print(f"-- {name}  [B={B} T={T} W={W} causal={causal}]")
-        a = timeit(lambda y: block_apply(y, p, H, causal, "xla", act), x, "  XLA composition")
-        b = timeit(
-            lambda y: fused_block_apply(y, p, H, act, causal), x, "  fused Pallas block"
-        )
+        a = timeit(lambda p_, y: block_apply(y, p_, H, causal, "xla", act), x,
+                   "  XLA composition", params=p)
+        b = timeit(lambda p_, y: fused_block_apply(y, p_, H, act, causal), x,
+                   "  fused Pallas block", params=p)
         print(f"  -> fused is {100 * (1 - b / a):+.1f}%")
 
 
@@ -194,47 +201,48 @@ def bench_roofline(reps: int) -> None:
     f_tail = 2 * B * W * cfg.embed_dim
     f_total = f_stem + f_blocks + f_tail
 
-    def stem(px):
+    def stem(v_, px):
         h = jax.lax.conv_general_dilated(
             px.astype(jnp.bfloat16),
-            v["patch_embed"]["kernel"].astype(jnp.bfloat16),
+            v_["patch_embed"]["kernel"].astype(jnp.bfloat16),
             window_strides=(32, 32), padding="VALID",
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
         ).reshape(B, 49, W)
-        cls = jnp.broadcast_to(v["class_embedding"].astype(jnp.bfloat16), (B, 1, W))
-        h = jnp.concatenate([cls, h], axis=1) + v["pos_embedding"].astype(jnp.bfloat16)
-        h = layer_norm(h, v["ln_pre"])
+        cls = jnp.broadcast_to(v_["class_embedding"].astype(jnp.bfloat16), (B, 1, W))
+        h = jnp.concatenate([cls, h], axis=1) + v_["pos_embedding"].astype(jnp.bfloat16)
+        h = layer_norm(h, v_["ln_pre"])
         # mix back to pixel shape so the chained scan can carry it
         return px + jnp.sum(h.astype(jnp.float32)) * 1e-9
 
     p0 = v["blocks"][0]
-    attn_fn = lambda y: fused_attn_block(
-        y, p0["ln_1"]["scale"], p0["ln_1"]["bias"],
-        p0["attn"]["qkv"]["kernel"], p0["attn"]["qkv"]["bias"],
-        p0["attn"]["out"]["kernel"], p0["attn"]["out"]["bias"],
+    attn_fn = lambda p_, y: fused_attn_block(
+        y, p_["ln_1"]["scale"], p_["ln_1"]["bias"],
+        p_["attn"]["qkv"]["kernel"], p_["attn"]["qkv"]["bias"],
+        p_["attn"]["out"]["kernel"], p_["attn"]["out"]["bias"],
         n_heads=H, causal=False,
     )
-    mlp_fn = lambda y: fused_mlp_block(
-        y, p0["ln_2"]["scale"], p0["ln_2"]["bias"],
-        p0["mlp"]["fc"]["kernel"], p0["mlp"]["fc"]["bias"],
-        p0["mlp"]["proj"]["kernel"], p0["mlp"]["proj"]["bias"],
+    mlp_fn = lambda p_, y: fused_mlp_block(
+        y, p_["ln_2"]["scale"], p_["ln_2"]["bias"],
+        p_["mlp"]["fc"]["kernel"], p_["mlp"]["fc"]["bias"],
+        p_["mlp"]["proj"]["kernel"], p_["mlp"]["proj"]["bias"],
         activation="quick_gelu",
     )
 
-    def tail(y):
-        h = layer_norm(y[:, 0], v["ln_post"])
-        out = h @ v["proj"].astype(h.dtype)
+    def tail(v_, y):
+        h = layer_norm(y[:, 0], v_["ln_post"])
+        out = h @ v_["proj"].astype(h.dtype)
         return y + jnp.sum(out.astype(jnp.float32)) * 1e-9
 
     print(f"ViT-B/32 fused encode decomposition, B={B} bf16 "
           f"(floors at v5e {PEAK / 1e12:.0f} TFLOP/s peak)")
     rows = []
-    t_full = timeit(lambda px: encode_image(params, cfg, px, dtype=jnp.bfloat16)
-                    .sum() * 1e-9 + px, pix, "full encode_image")
-    t_stem = timeit(stem, pix, "stem (patch conv+pos+ln_pre)")
-    t_attn = timeit(attn_fn, x_tok, "one fused attn block")
-    t_mlp = timeit(mlp_fn, x_tok, "one fused MLP block")
-    t_tail = timeit(tail, x_tok, "tail (ln_post+proj)")
+    t_full = timeit(
+        lambda ps, px: encode_image(ps, cfg, px, dtype=jnp.bfloat16).sum() * 1e-9 + px,
+        pix, "full encode_image", params=params)
+    t_stem = timeit(stem, pix, "stem (patch conv+pos+ln_pre)", params=v)
+    t_attn = timeit(attn_fn, x_tok, "one fused attn block", params=p0)
+    t_mlp = timeit(mlp_fn, x_tok, "one fused MLP block", params=p0)
+    t_tail = timeit(tail, x_tok, "tail (ln_post+proj)", params=v)
     rows = [
         ("stem", t_stem, f_stem),
         ("12x attn blocks", 12 * t_attn, 12 * f_attn),

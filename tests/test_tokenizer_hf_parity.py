@@ -86,8 +86,14 @@ def test_specials_and_batch_format(tokenizers):
     assert (batch[0, len(hf_ids) :] == 0).all()
 
 
-def test_vocab_source_recorded(asset_pair):
+def test_vocab_source_recorded(asset_pair, monkeypatch):
     tok = ClipTokenizer(vocab_path=asset_pair / "merges.txt")
     assert tok.vocab_source.endswith("merges.txt")
+    # force the no-assets environment so this stays correct after a real
+    # table is vendored into evr_tpu/tokenizer/assets/
+    import evr_tpu.tokenizer.bpe as bpe
+
+    monkeypatch.delenv("EVR_TPU_BPE_VOCAB", raising=False)
+    monkeypatch.setattr(bpe, "_VOCAB_SEARCH_PATHS", ())
     fallback = ClipTokenizer()
     assert fallback.vocab_source == "fallback"
