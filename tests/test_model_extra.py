@@ -106,3 +106,46 @@ def test_config_json_roundtrip(tmp_path):
     assert loaded.name == "b" and loaded.inner.x == 5 and loaded.values == [1, 2]
     with pytest.raises(KeyError):
         cfgmod.from_dict(Outer, {"nope": 1})
+
+
+def test_encode_staged_u8_matches_normalise_then_encode():
+    """Folded-stem serving path (uint8 unfold + normalisation baked into the
+    patch GEMM) is numerically equivalent to (x/255-mean)/std → encode_image."""
+    import jax
+    import jax.numpy as jnp
+
+    from evr_tpu.models.clip import (
+        CLIPConfig,
+        TextConfig,
+        VisionConfig,
+        encode_image,
+        encode_staged_u8,
+        init_clip_params,
+    )
+    from evr_tpu.ops.preprocess import CLIP_MEAN, CLIP_STD
+
+    cfg = CLIPConfig(
+        embed_dim=64,
+        vision=VisionConfig(image_size=64, patch_size=16, width=128, layers=2, heads=4),
+        text=TextConfig(width=64, layers=2, heads=4),
+    )
+    params = init_clip_params(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(0)
+    u8 = (rng.random((3, 64, 64, 3)) * 255).astype(np.uint8)
+    x = u8.astype(np.float32) / 255.0
+    x = (x - np.asarray(CLIP_MEAN, np.float32)) / np.asarray(CLIP_STD, np.float32)
+
+    ref = np.asarray(encode_image(params, cfg, jnp.asarray(x), dtype=jnp.float32))
+    got = np.asarray(encode_staged_u8(params, cfg, jnp.asarray(u8), dtype=jnp.float32))
+    np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-5 * np.abs(ref).max())
+
+    # bf16 path tracks the fp32 reference closely enough for retrieval
+    got16 = np.asarray(encode_staged_u8(params, cfg, jnp.asarray(u8), dtype=jnp.bfloat16))
+    n = lambda a: a / np.linalg.norm(a, axis=-1, keepdims=True)
+    assert (n(got16) * n(ref)).sum(-1).min() > 0.99
+
+    # wrong staging resolution is rejected
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="staged batch"):
+        encode_staged_u8(params, cfg, jnp.asarray(u8[:, :32]), dtype=jnp.float32)
