@@ -55,10 +55,16 @@ def translate_testset_csv(
             if not row:
                 continue
             row = list(row)
+            if len(row) <= ci:
+                raise ValueError(
+                    f"{in_path.name}: row {n + 2} has {len(row)} columns, "
+                    f"caption column is #{ci + 1}: {row!r}"
+                )
             try:
                 row[ci] = translator(row[ci])
             except Exception:
-                pass  # keep the untranslated caption, as the reference does
+                pass  # translator failure keeps the untranslated caption,
+                # as the reference does; structural errors raise above
             writer.writerow(row)
             n += 1
     return n

@@ -94,7 +94,9 @@ class TextSearcher:
 
         model, _version, k, video_name = key
         params = self.engine.models[model]["clip"]
-        device_index, row_scales, start, end, _ = self.index.snapshot(video_name)
+        device_index, row_scales, start, end, flush_version = self.index.snapshot(
+            video_name
+        )
         k_now = max(1, min(k, end - start))
 
         def run(padded):
@@ -107,7 +109,18 @@ class TextSearcher:
                 r = np.pad(r, pad, constant_values=0)
             return s, r
 
-        return flush_padded(items, self.max_batch, run)
+        results = flush_padded(items, self.max_batch, run)
+        # Cache under the FLUSH-time version (the snapshot the results
+        # actually reflect), never the submit-time version in ``key`` — if
+        # the index advanced inside the batching window, the two differ and
+        # a submit-version cache entry would serve stale rows.
+        for query, (s_row, r_row) in zip(items, results):
+            self._result_cache[(model, flush_version, (query,), k, video_name)] = (
+                s_row[None], r_row[None],
+            )
+        if len(self._result_cache) > 4096:
+            self._result_cache.clear()
+        return results
 
     def search(
         self, queries, top_k: int, video_name: str | None = None
@@ -132,11 +145,9 @@ class TextSearcher:
             row = self._batcher.submit(
                 (self.engine.active_model, version, k, video_name), queries[0]
             )
-            out = (row[0][None], row[1][None])
-            # Not cached: _search_group re-snapshots at flush time, so if the
-            # index version advances inside the batching window the result
-            # would be keyed to a version it does not reflect.
-            return out
+            # caching happens inside _search_group under the FLUSH-time
+            # version — the snapshot the results actually reflect
+            return (row[0][None], row[1][None])
         out = self._dispatch(queries, k, device_index, row_scales, start, end)
         self._result_cache[cache_key] = out
         if len(self._result_cache) > 4096:

@@ -99,15 +99,33 @@ class VietnamesePreprocessor:
         low = text.lower()
         return any(c in vietnamese_chars for c in low)
 
+    def _should_translate(self, text: str) -> bool:
+        if self.translator is None:
+            return False
+        if self.looks_vietnamese(text):
+            return True
+        # un-accented Vietnamese carries no diacritics; translators that can
+        # report dictionary coverage (DictionaryTranslator) get a second
+        # vote — majority-coverage ASCII text is treated as Vietnamese
+        coverage = getattr(self.translator, "coverage", None)
+        if coverage is not None:
+            try:
+                return coverage(text) >= 0.5
+            except Exception:
+                return False
+        return False
+
     def __call__(self, query: str) -> str:
         if query in self._cache:
             return self._cache[query]
         text = " ".join(query.lower().split())
         text = self.remove_stopwords(text)
-        if self.translator is not None and self.looks_vietnamese(text):
+        if self._should_translate(text):
             try:
                 text = self.translator(text)
             except Exception:
                 pass  # degrade to untranslated text, as the reference does
+        if len(self._cache) >= 4096:  # bounded, like the searcher result cache
+            self._cache.clear()
         self._cache[query] = text
         return text

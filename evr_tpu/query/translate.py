@@ -149,37 +149,38 @@ class DictionaryTranslator:
         )
         self._table = table
 
-    def __call__(self, text: str) -> str:
-        words = text.lower().split()
-        out: list[str] = []
+    def _walk(self, words: list[str]):
+        """Longest-phrase-first walk: yields (consumed, replacement_or_None)
+        per step — the single source of truth for __call__ and coverage."""
         i = 0
         while i < len(words):
             for phrase, eng in self._phrases:
                 pw = phrase.split()
                 if words[i : i + len(pw)] == pw:
-                    if eng:
-                        out.append(eng)
+                    yield len(pw), eng
                     i += len(pw)
                     break
             else:
-                out.append(words[i])
+                yield 1, None
                 i += 1
+
+    def __call__(self, text: str) -> str:
+        words = text.lower().split()
+        out: list[str] = []
+        i = 0
+        for consumed, eng in self._walk(words):
+            if eng is None:
+                out.append(words[i])
+            elif eng:
+                out.append(eng)
+            i += consumed
         return " ".join(out)
 
     def coverage(self, text: str) -> float:
-        """Fraction of words consumed by dictionary phrases (diagnostics)."""
+        """Fraction of words consumed by dictionary phrases (also the
+        un-accented-Vietnamese vote in VietnamesePreprocessor)."""
         words = text.lower().split()
         if not words:
             return 1.0
-        hit = 0
-        i = 0
-        while i < len(words):
-            for phrase, _ in self._phrases:
-                pw = phrase.split()
-                if words[i : i + len(pw)] == pw:
-                    hit += len(pw)
-                    i += len(pw)
-                    break
-            else:
-                i += 1
+        hit = sum(c for c, eng in self._walk(words) if eng is not None)
         return hit / len(words)

@@ -292,12 +292,10 @@ def create_app(ctx: ServingContext, frontend_dist: str | None = None):
                 "video": {
                     "id": f"video-{int(time.time())}",
                     "title": video_name,
-                    # first extracted frame, same shape as the /api/videos
-                    # listing (VideoContext appends this dict to that list)
-                    "thumbnail": (
-                        str(sorted(ctx.resolve_path(result.frames_dir).iterdir())[0])
-                        if result.n_frames else None
-                    ),
+                    # first extracted frame, same guarded numeric-order
+                    # logic as the /api/videos listing (VideoContext appends
+                    # this dict to that list)
+                    "thumbnail": ctx.first_frame(result.frames_dir),
                     "path": str(save_path),
                     "uploadDate": time.strftime("%Y-%m-%d"),
                     "size": f"{save_path.stat().st_size // (1024 * 1024)} MB",

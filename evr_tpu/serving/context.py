@@ -80,6 +80,26 @@ class ServingContext:
         path = pathlib.Path(p)
         return path if path.is_absolute() else self.data_root.root / path
 
+    def first_frame(self, frames_dir) -> str | None:
+        """First extracted frame of a video in NUMERIC {frameidx}.jpg order
+        (lexicographic order puts 40.jpg before 5.jpg); None when the dir is
+        missing or empty. Shared by the /api/videos listing and the
+        upload-response thumbnail."""
+        if not frames_dir:
+            return None
+        d = self.resolve_path(frames_dir)
+        if not d.exists():
+            return None
+
+        def order(p):
+            try:
+                return (0, int(p.stem), p.name)
+            except ValueError:
+                return (1, 0, p.name)
+
+        frames = sorted((p for p in d.iterdir() if p.is_file()), key=order)
+        return str(frames[0]) if frames else None
+
     # -- per-model index routing ------------------------------------------
     def index_for(self, model: str) -> FrameIndex:
         if model not in self._indexes:
@@ -187,12 +207,7 @@ class ServingContext:
         p = self.resolve_path(video_path) if video_path else None
         if p is None or not p.exists():
             return None
-        frames_dir = entry.get("frames_dir")
-        thumbnail = None
-        if frames_dir and self.resolve_path(frames_dir).exists():
-            frames = sorted(self.resolve_path(frames_dir).iterdir())
-            if frames:
-                thumbnail = str(frames[0])
+        thumbnail = self.first_frame(entry.get("frames_dir"))
         info = self.video_file_info(str(p))
         return {
             "id": f"video-{idx}",

@@ -102,11 +102,14 @@ def bench_attention(reps: int) -> None:
         ("ViT-L/14@336 (T=577)", (64, 16, 577, 64)),
     ]:
         q = jnp.asarray(rng.normal(size=shape), jnp.bfloat16)
-        k = jnp.asarray(rng.normal(size=shape), jnp.bfloat16)
-        v = jnp.asarray(rng.normal(size=shape), jnp.bfloat16)
+        kv = (jnp.asarray(rng.normal(size=shape), jnp.bfloat16),
+              jnp.asarray(rng.normal(size=shape), jnp.bfloat16))
         print(f"-- {label}")
-        timeit(lambda qq: _xla_attention(qq, k, v, False), q, "  XLA einsum+softmax")
-        timeit(lambda qq: flash_attention(qq, k, v), q, "  flash kernel")
+        # k/v threaded as arguments, not closures (constant-wedge avoidance)
+        timeit(lambda kv_, qq: _xla_attention(qq, kv_[0], kv_[1], False), q,
+               "  XLA einsum+softmax", params=kv)
+        timeit(lambda kv_, qq: flash_attention(qq, kv_[0], kv_[1]), q,
+               "  flash kernel", params=kv)
 
 
 def _encode_fps(model: str, B: int, reps: int, params=None, impl: str = "auto") -> float:

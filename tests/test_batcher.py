@@ -250,21 +250,28 @@ def test_text_searcher_batched_single_caller_unharmed(small_engine_index):
     np.testing.assert_allclose(s0, s1, rtol=1e-5, atol=1e-6)
 
 
-def test_batched_result_not_cached_under_submit_version(small_engine_index):
-    """If the index version advances inside the batching window, the flushed
-    result reflects the NEW snapshot and must not be served from the result
-    cache under the submit-time version key (ADVICE r1: fused_search)."""
+def test_batched_result_cached_under_flush_version(small_engine_index):
+    """Batched results are cached under the FLUSH-time index version — the
+    snapshot they actually reflect — never the submit-time version (ADVICE
+    r1: fused_search). Hot repeats then hit the cache without a second
+    window wait or dispatch."""
     from evr_tpu.index.fused_search import TextSearcher
 
     engine, index = small_engine_index
     batched = TextSearcher(engine, index, batch_window_ms=5.0, max_batch=4)
 
     s1, r1 = batched.search("stale window query", 3)
-    # batched single-query results never enter the result cache
-    assert not any(
-        "stale window query" in str(k) for k in batched._result_cache
-    )
-    # the same query re-searched still matches a fresh unbatched searcher
+    _, _, _, _, version_now = index.snapshot(None)
+    key = (engine.active_model, version_now, ("stale window query",), 3, None)
+    assert key in batched._result_cache
+    # hot repeat: served from the cache, zero new dispatches
+    dispatches = []
+    orig = batched._dispatch
+    batched._dispatch = lambda *a, **kw: (dispatches.append(1), orig(*a, **kw))[1]
+    s1b, r1b = batched.search("stale window query", 3)
+    assert dispatches == []
+    np.testing.assert_array_equal(r1, r1b)
+    # and the cached row matches a fresh unbatched searcher
     plain = TextSearcher(engine, index)
     s2, r2 = plain.search("stale window query", 3)
     np.testing.assert_array_equal(r1, r2)

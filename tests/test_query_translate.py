@@ -12,9 +12,11 @@ def tr():
 
 
 def test_longest_phrase_first(tr):
-    # "đánh nhau" must win over "đánh"
-    assert tr("đánh nhau trên đường phố") == "fighting on the road street" or \
-           tr("đánh nhau trên đường phố").startswith("fighting")
+    # "đánh nhau" must win over "đánh"; the walk then consumes
+    # [trên đường] before [đường phố] can match, leaving "phố" untouched
+    assert tr("đánh nhau trên đường phố") == "fighting on the road phố"
+    # and with the 2-word place phrase alone, it matches whole
+    assert tr("đánh nhau đường phố") == "fighting street"
 
 
 def test_domain_phrases(tr):
@@ -41,8 +43,11 @@ def test_preprocessor_integration():
     pp = VietnamesePreprocessor(translator=DictionaryTranslator())
     # Vietnamese (diacritics) → translated
     assert pp("Đánh nhau trên đường") == "fighting on the road"
-    # plain English skips the translator entirely
+    # UN-ACCENTED Vietnamese still translates (coverage vote ≥ 0.5)
+    assert pp("danh nhau tren duong") == "fighting on the road"
+    # plain English skips the translator (diacritic gate + low coverage)
     assert pp("A man running") == "a man running"
+    assert pp("an old man in the park") == "an old man in the park"
     # cached second call returns identically
     assert pp("Đánh nhau trên đường") == "fighting on the road"
 
