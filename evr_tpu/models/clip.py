@@ -29,6 +29,7 @@ import jax.numpy as jnp
 from .layers import (
     Params,
     block_apply,
+    final_block_cls,
     init_block,
     init_layer_norm,
     layer_norm,
@@ -208,9 +209,16 @@ def encode_image(
     return _vision_transform(p, cfg, x, dtype, patch_keep)
 
 
-def _vision_transform(p, cfg: CLIPConfig, x, dtype, patch_keep=None) -> jax.Array:
+def _vision_transform(
+    p, cfg: CLIPConfig, x, dtype, patch_keep=None, cls_fast_final=False
+) -> jax.Array:
     """Shared vision trunk after the patch stem: cls/pos/ln_pre → blocks →
-    pooled projection. ``x`` is [B, grid², width] patch tokens."""
+    pooled projection. ``x`` is [B, grid², width] patch tokens.
+
+    ``cls_fast_final``: run the LAST block CLS-row-only
+    (`layers.final_block_cls`) — valid because the pooling below reads only
+    ``x[:, 0]``; numerically the same contractions, ~6% fewer encode FLOPs
+    at ViT-B/32. Inference-only (no remat interaction)."""
     v = cfg.vision
     B = x.shape[0]
     cls = jnp.broadcast_to(p["class_embedding"].astype(dtype), (B, 1, v.width))
@@ -224,8 +232,13 @@ def _vision_transform(p, cfg: CLIPConfig, x, dtype, patch_keep=None) -> jax.Arra
         x = jnp.concatenate([x[:, :1], kept], axis=1)
 
     x = layer_norm(x, p["ln_pre"])
-    x = _run_blocks(x, p["blocks"], v.heads, False, cfg)
-    x = layer_norm(x[:, 0], p["ln_post"])
+    if cls_fast_final and not cfg.remat:
+        x = _run_blocks(x, p["blocks"][:-1], v.heads, False, cfg)
+        pooled = final_block_cls(x, p["blocks"][-1], v.heads, cfg.activation)
+    else:
+        x = _run_blocks(x, p["blocks"], v.heads, False, cfg)
+        pooled = x[:, 0]
+    x = layer_norm(pooled, p["ln_post"])
     return (x @ p["proj"].astype(dtype)).astype(jnp.float32)
 
 
@@ -236,6 +249,7 @@ def encode_staged_u8(
     dtype: jnp.dtype = jnp.float32,
     mean=None,
     std=None,
+    cls_fast_final: bool = True,
 ) -> jax.Array:
     """uint8 staged frames [B, S, S, 3] → [B, embed_dim], normalisation
     folded into the patch GEMM (the serving/ingest hot path).
@@ -276,7 +290,7 @@ def encode_staged_u8(
     bias = -jnp.einsum("hwco,c->o", k, mean / std).astype(dtype)
 
     x = patches @ k_scaled + bias
-    return _vision_transform(p, cfg, x, dtype)
+    return _vision_transform(p, cfg, x, dtype, cls_fast_final=cls_fast_final)
 
 
 def encode_text(

@@ -156,6 +156,58 @@ ACTIVATIONS = {
 }
 
 
+def final_block_cls(
+    x: jax.Array,
+    p: Params,
+    n_heads: int,
+    activation: str = "quick_gelu",
+) -> jax.Array:
+    """Final vision-block forward specialized to the CLS row → [B, W].
+
+    CLIP pools the vision tower as ``ln_post(x[:, 0]) @ proj`` — every row
+    but the CLS token of the LAST block's output is discarded (reference:
+    the pip ``clip`` VisionTransformer pooling behind
+    `Backend/services/embedding_service.py:186-217`). So the final block
+    only needs K/V over all tokens; Q, the attention output, the out-proj
+    and the whole MLP half run on the single CLS row. That drops
+    ~(1 − 1/T) of the block's Q-projection, score, out-proj and MLP FLOPs
+    — ~6% of a ViT-B/32 encode (1 of 12 blocks ≈ 8.3% of block time, K/V
+    still paid) — with the *same contractions* for the CLS row: LN stats,
+    fp32 softmax and GEMM reductions are unchanged, only dead rows vanish.
+
+    Used by the serving/ingest encode path (``encode_staged_u8``); the
+    ``encode_image`` parity surface keeps the full final block.
+    """
+    B, T, W = x.shape
+    d = W // n_heads
+    ap = p["attn"]
+    y = layer_norm(x, p["ln_1"])
+    if "kernel_q" in ap["qkv"]:
+        # int8 weights: slicing per-output-channel quantized columns would
+        # need a second quant codepath; full QKV then slice (still skips
+        # the scores/out-proj/MLP on dead rows).
+        qkv = linear(y, ap["qkv"])
+        q = qkv[:, 0, :W]
+        k, v = qkv[:, :, W : 2 * W], qkv[:, :, 2 * W :]
+    else:
+        kern = ap["qkv"]["kernel"].astype(y.dtype)
+        bias = ap["qkv"]["bias"].astype(y.dtype)
+        kv = y @ kern[:, W:] + bias[W:]
+        k, v = kv[:, :, :W], kv[:, :, W:]
+        q = y[:, 0] @ kern[:, :W] + bias[:W]
+    q = q.reshape(B, n_heads, d)
+    k = k.reshape(B, T, n_heads, d)
+    v = v.reshape(B, T, n_heads, d)
+    scale = 1.0 / math.sqrt(d)
+    logits = jnp.einsum("bhd,bthd->bht", q, k).astype(jnp.float32) * scale
+    w = jax.nn.softmax(logits, axis=-1).astype(x.dtype)
+    o = jnp.einsum("bht,bthd->bhd", w, v).reshape(B, W)
+    xc = x[:, 0] + linear(o, ap["out"])
+    h = linear(layer_norm(xc, p["ln_2"]), p["mlp"]["fc"])
+    h = ACTIVATIONS[activation](h)
+    return xc + linear(h, p["mlp"]["proj"])
+
+
 def block_apply(
     x: jax.Array,
     p: Params,
