@@ -362,7 +362,10 @@ def main() -> None:
     @jax.jit
     def chained_text_search(params, index_dev, scales, tokens):
         def body(c, t):
-            txt = encode_text(params, engine.cfg, t[None], dtype=engine.compute_dtype)
+            txt = encode_text(
+                params, engine.cfg, t[None],
+                dtype=engine.compute_dtype, eot_fast_final=True,
+            )
             s, _ = cosine_topk(index_dev, txt, jnp.int32(start), jnp.int32(end), 10, scales)
             return c + jnp.sum(s) * 1e-9, ()
 

@@ -128,7 +128,10 @@ class EmbeddingEngine:
             return encode_image(params_, cfg_, pixels, dtype=dtype)
 
         def _encode_tokens(params_, tokens):
-            return encode_text(params_, cfg_, tokens, dtype=dtype)
+            # eot_fast_final: serving is inference-only, so the last text
+            # block runs EOT-row-only (models.layers.final_block_eot) —
+            # numerically the full block's pooled row.
+            return encode_text(params_, cfg_, tokens, dtype=dtype, eot_fast_final=True)
 
         if mesh is not None:
             # shard_map, not GSPMD shardings: encode is purely data-parallel,

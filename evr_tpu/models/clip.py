@@ -30,6 +30,7 @@ from .layers import (
     Params,
     block_apply,
     final_block_cls,
+    final_block_eot,
     init_block,
     init_layer_norm,
     layer_norm,
@@ -298,20 +299,31 @@ def encode_text(
     cfg: CLIPConfig,
     tokens: jax.Array,
     dtype: jnp.dtype = jnp.float32,
+    eot_fast_final: bool = False,
 ) -> jax.Array:
     """tokens [B, 77] int32 → [B, embed_dim] (unnormalised).
 
     Pools the transformer output at the EOT position = argmax token id
     (EOT has the largest id in the CLIP vocab — see evr_tpu.tokenizer.bpe).
+
+    ``eot_fast_final``: run the LAST block EOT-row-only
+    (`layers.final_block_eot`) — valid because pooling reads one row per
+    sequence; same contractions for that row, dead rows dropped.
+    Inference-only (serving path); defaults off so training/parity
+    surfaces keep the full final block.
     """
     t = cfg.text
     p = params["text"]
+    eot_pos = jnp.argmax(tokens, axis=-1)
     x = p["token_embedding"].astype(dtype)[tokens]
     x = x + p["pos_embedding"].astype(dtype)
-    x = _run_blocks(x, p["blocks"], t.heads, True, cfg)
-    x = layer_norm(x, p["ln_final"])
-    eot_pos = jnp.argmax(tokens, axis=-1)
-    pooled = jnp.take_along_axis(x, eot_pos[:, None, None], axis=1)[:, 0]
+    if eot_fast_final and not cfg.remat:
+        x = _run_blocks(x, p["blocks"][:-1], t.heads, True, cfg)
+        pooled = final_block_eot(x, p["blocks"][-1], t.heads, eot_pos, cfg.activation)
+    else:
+        x = _run_blocks(x, p["blocks"], t.heads, True, cfg)
+        pooled = jnp.take_along_axis(x, eot_pos[:, None, None], axis=1)[:, 0]
+    pooled = layer_norm(pooled, p["ln_final"])
     return (pooled @ p["text_projection"].astype(dtype)).astype(jnp.float32)
 
 

@@ -208,6 +208,59 @@ def final_block_cls(
     return xc + linear(h, p["mlp"]["proj"])
 
 
+def final_block_eot(
+    x: jax.Array,
+    p: Params,
+    n_heads: int,
+    eot_pos: jax.Array,
+    activation: str = "quick_gelu",
+) -> jax.Array:
+    """Final causal text-block forward specialized to the EOT row → [B, W].
+
+    Text pooling reads ``ln_final(x)[b, eot_pos[b]] @ proj`` — one row per
+    sequence of the last block's output (the pip ``clip``
+    ``encode_text`` argmax-EOT pooling behind
+    `Backend/services/embedding_service.py:151-184`). The causal mask
+    means the EOT row attends to positions ≤ eot_pos only, so the final
+    block needs K/V over all T rows but runs Q (gathered per-sequence),
+    the scores, out-proj and the MLP on the single EOT row. Mask value
+    −1e9 matches the XLA attention path (`ops.attention._xla_attention`).
+
+    Used by the serving text-encode path (``encode_text`` with
+    ``eot_fast_final=True``); the training/parity surface keeps the full
+    final block.
+    """
+    B, T, W = x.shape
+    d = W // n_heads
+    ap = p["attn"]
+    y = layer_norm(x, p["ln_1"])
+    idx = eot_pos[:, None, None]
+    if "kernel_q" in ap["qkv"]:
+        # int8 weights: full QKV then slice (see final_block_cls).
+        qkv = linear(y, ap["qkv"])
+        q = jnp.take_along_axis(qkv[:, :, :W], idx, axis=1)[:, 0]
+        k, v = qkv[:, :, W : 2 * W], qkv[:, :, 2 * W :]
+    else:
+        kern = ap["qkv"]["kernel"].astype(y.dtype)
+        bias = ap["qkv"]["bias"].astype(y.dtype)
+        kv = y @ kern[:, W:] + bias[W:]
+        k, v = kv[:, :, :W], kv[:, :, W:]
+        q = jnp.take_along_axis(y, idx, axis=1)[:, 0] @ kern[:, :W] + bias[:W]
+    q = q.reshape(B, n_heads, d)
+    k = k.reshape(B, T, n_heads, d)
+    v = v.reshape(B, T, n_heads, d)
+    scale = 1.0 / math.sqrt(d)
+    logits = jnp.einsum("bhd,bthd->bht", q, k).astype(jnp.float32) * scale
+    valid = jnp.arange(T)[None, :] <= eot_pos[:, None]
+    logits = jnp.where(valid[:, None, :], logits, jnp.float32(-1e9))
+    w = jax.nn.softmax(logits, axis=-1).astype(x.dtype)
+    o = jnp.einsum("bht,bthd->bhd", w, v).reshape(B, W)
+    xc = jnp.take_along_axis(x, idx, axis=1)[:, 0] + linear(o, ap["out"])
+    h = linear(layer_norm(xc, p["ln_2"]), p["mlp"]["fc"])
+    h = ACTIVATIONS[activation](h)
+    return xc + linear(h, p["mlp"]["proj"])
+
+
 def block_apply(
     x: jax.Array,
     p: Params,

@@ -1,12 +1,13 @@
-"""CLS-row-specialized final vision block (`layers.final_block_cls`).
+"""Pooled-row-specialized final blocks (`layers.final_block_cls` / `_eot`).
 
-CLIP's vision pooling reads only ``x[:, 0]`` of the last block's output
-(the pip ``clip`` VisionTransformer behind
-`/root/reference/Backend/services/embedding_service.py:186-217`), so the
-serving encode path (`encode_staged_u8`) runs the final block CLS-only:
-K/V over all tokens, Q/attention/out-proj/MLP on the CLS row alone.
-These tests pin that the fast path is numerically the full block's CLS row
-for fp32/bf16 and for int8-quantized params.
+CLIP's vision pooling reads only ``x[:, 0]`` of the last block's output,
+and text pooling reads one argmax-EOT row per sequence (the pip ``clip``
+model behind `/root/reference/Backend/services/embedding_service.py:151-217`),
+so the serving encode paths (`encode_staged_u8`, `encode_text` with
+``eot_fast_final``) run the final block on the pooled row alone:
+K/V over all tokens, Q/attention/out-proj/MLP on the one surviving row.
+These tests pin that the fast paths are numerically the full block's
+pooled row for fp32/bf16 and for int8-quantized params.
 """
 
 import jax
@@ -19,9 +20,10 @@ from evr_tpu.models.clip import (
     TextConfig,
     VisionConfig,
     encode_staged_u8,
+    encode_text,
     init_clip_params,
 )
-from evr_tpu.models.layers import block_apply, final_block_cls
+from evr_tpu.models.layers import block_apply, final_block_cls, final_block_eot
 from evr_tpu.models.quant import quantize_clip_params
 
 
@@ -90,6 +92,42 @@ def test_int8_quantized_params(small):
     u8 = jnp.asarray(rng.integers(0, 256, (6, 32, 32, 3), dtype=np.uint8))
     ref = encode_staged_u8(qp, cfg, u8, cls_fast_final=False)
     fast = encode_staged_u8(qp, cfg, u8, cls_fast_final=True)
+    np.testing.assert_allclose(np.asarray(ref), np.asarray(fast), atol=1e-5)
+
+
+def _rand_tokens(rng, B, T, vocab=512):
+    """Token rows with an argmax-EOT at a distinct position per row."""
+    toks = rng.integers(1, vocab - 1, (B, T)).astype(np.int32)
+    for b in range(B):
+        toks[b, rng.integers(1, T)] = vocab - 1  # EOT = largest id
+    return jnp.asarray(toks)
+
+
+def test_eot_block_level_matches_full_block(small):
+    _, params = small
+    x = jax.random.normal(jax.random.PRNGKey(4), (5, 12, 32))
+    bp = params["text"]["blocks"][-1]
+    eot = jnp.asarray([0, 3, 7, 11, 5])
+    full = block_apply(x, bp, 2, True, "xla", "quick_gelu")
+    full = jnp.take_along_axis(full, eot[:, None, None], axis=1)[:, 0]
+    fast = final_block_eot(x, bp, 2, eot, "quick_gelu")
+    np.testing.assert_allclose(np.asarray(full), np.asarray(fast), atol=1e-5)
+
+
+def test_encode_text_fast_final_matches(small):
+    cfg, params = small
+    toks = _rand_tokens(np.random.default_rng(4), 6, cfg.text.context_length)
+    ref = encode_text(params, cfg, toks, eot_fast_final=False)
+    fast = encode_text(params, cfg, toks, eot_fast_final=True)
+    np.testing.assert_allclose(np.asarray(ref), np.asarray(fast), atol=1e-5)
+
+
+def test_encode_text_fast_final_int8(small):
+    cfg, params = small
+    qp = quantize_clip_params(params)
+    toks = _rand_tokens(np.random.default_rng(5), 4, cfg.text.context_length)
+    ref = encode_text(qp, cfg, toks, eot_fast_final=False)
+    fast = encode_text(qp, cfg, toks, eot_fast_final=True)
     np.testing.assert_allclose(np.asarray(ref), np.asarray(fast), atol=1e-5)
 
 
