@@ -210,16 +210,9 @@ def encode_image(
     return _vision_transform(p, cfg, x, dtype, patch_keep)
 
 
-def _vision_transform(
-    p, cfg: CLIPConfig, x, dtype, patch_keep=None, cls_fast_final=False
-) -> jax.Array:
-    """Shared vision trunk after the patch stem: cls/pos/ln_pre → blocks →
-    pooled projection. ``x`` is [B, grid², width] patch tokens.
-
-    ``cls_fast_final``: run the LAST block CLS-row-only
-    (`layers.final_block_cls`) — valid because the pooling below reads only
-    ``x[:, 0]``; numerically the same contractions, ~6% fewer encode FLOPs
-    at ViT-B/32. Inference-only (no remat interaction)."""
+def _vision_prefix(p, cfg: CLIPConfig, x, dtype, patch_keep=None) -> jax.Array:
+    """cls concat + pos add (+ optional FLIP patch subset) + ln_pre:
+    [B, grid², width] patch tokens → [B, T, width] block-input tokens."""
     v = cfg.vision
     B = x.shape[0]
     cls = jnp.broadcast_to(p["class_embedding"].astype(dtype), (B, 1, v.width))
@@ -232,7 +225,30 @@ def _vision_transform(
         kept = jnp.take_along_axis(x[:, 1:], patch_keep[:, :, None], axis=1)
         x = jnp.concatenate([x[:, :1], kept], axis=1)
 
-    x = layer_norm(x, p["ln_pre"])
+    return layer_norm(x, p["ln_pre"])
+
+
+def vision_pool(params: Params, cfg: CLIPConfig, x, dtype=jnp.float32) -> jax.Array:
+    """Block-stack output [B, T, width] → pooled [B, embed_dim]
+    (CLS row → ln_post → projection). Public so stage-decomposed runners
+    (parallel.pp pipeline stages) can apply the tail separately."""
+    p = params["visual"]
+    pooled = layer_norm(x[:, 0], p["ln_post"])
+    return (pooled @ p["proj"].astype(dtype)).astype(jnp.float32)
+
+
+def _vision_transform(
+    p, cfg: CLIPConfig, x, dtype, patch_keep=None, cls_fast_final=False
+) -> jax.Array:
+    """Shared vision trunk after the patch stem: cls/pos/ln_pre → blocks →
+    pooled projection. ``x`` is [B, grid², width] patch tokens.
+
+    ``cls_fast_final``: run the LAST block CLS-row-only
+    (`layers.final_block_cls`) — valid because the pooling below reads only
+    ``x[:, 0]``; numerically the same contractions, ~6% fewer encode FLOPs
+    at ViT-B/32. Inference-only (no remat interaction)."""
+    v = cfg.vision
+    x = _vision_prefix(p, cfg, x, dtype, patch_keep)
     if cls_fast_final and not cfg.remat:
         x = _run_blocks(x, p["blocks"][:-1], v.heads, False, cfg)
         pooled = final_block_cls(x, p["blocks"][-1], v.heads, cfg.activation)
@@ -241,6 +257,31 @@ def _vision_transform(
         pooled = x[:, 0]
     x = layer_norm(pooled, p["ln_post"])
     return (x @ p["proj"].astype(dtype)).astype(jnp.float32)
+
+
+def vision_tokens(
+    params: Params,
+    cfg: CLIPConfig,
+    pixels: jax.Array,
+    dtype: jnp.dtype = jnp.float32,
+) -> jax.Array:
+    """Vision stem only: pixels [B, H, W, 3] → [B, T, width] tokens ready
+    for the block stack (patch conv + cls/pos/ln_pre). With
+    ``vision_pool`` this decomposes ``encode_image`` as
+    stem → blocks → pool, the split `parallel.pp` pipelines over stages."""
+    v = cfg.vision
+    p = params["visual"]
+    x = pixels.astype(dtype)
+    x = jax.lax.conv_general_dilated(
+        x,
+        p["patch_embed"]["kernel"].astype(dtype),
+        window_strides=(v.patch_size, v.patch_size),
+        padding="VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    B = x.shape[0]
+    x = x.reshape(B, v.grid * v.grid, v.width)
+    return _vision_prefix(p, cfg, x, dtype)
 
 
 def encode_staged_u8(
@@ -315,14 +356,43 @@ def encode_text(
     t = cfg.text
     p = params["text"]
     eot_pos = jnp.argmax(tokens, axis=-1)
-    x = p["token_embedding"].astype(dtype)[tokens]
-    x = x + p["pos_embedding"].astype(dtype)
+    x = text_tokens(params, cfg, tokens, dtype)
     if eot_fast_final and not cfg.remat:
         x = _run_blocks(x, p["blocks"][:-1], t.heads, True, cfg)
         pooled = final_block_eot(x, p["blocks"][-1], t.heads, eot_pos, cfg.activation)
     else:
         x = _run_blocks(x, p["blocks"], t.heads, True, cfg)
         pooled = jnp.take_along_axis(x, eot_pos[:, None, None], axis=1)[:, 0]
+    pooled = layer_norm(pooled, p["ln_final"])
+    return (pooled @ p["text_projection"].astype(dtype)).astype(jnp.float32)
+
+
+def text_tokens(
+    params: Params,
+    cfg: CLIPConfig,
+    tokens: jax.Array,
+    dtype: jnp.dtype = jnp.float32,
+) -> jax.Array:
+    """Text stem only: tokens [B, 77] → [B, 77, width] block-input
+    embeddings (token + positional). Pairs with ``text_pool`` to decompose
+    ``encode_text`` as stem → causal blocks → pool for `parallel.pp`."""
+    p = params["text"]
+    x = p["token_embedding"].astype(dtype)[tokens]
+    return x + p["pos_embedding"].astype(dtype)
+
+
+def text_pool(
+    params: Params,
+    cfg: CLIPConfig,
+    x: jax.Array,
+    tokens: jax.Array,
+    dtype: jnp.dtype = jnp.float32,
+) -> jax.Array:
+    """Block-stack output [B, 77, width] → pooled [B, embed_dim]
+    (argmax-EOT row → ln_final → projection)."""
+    p = params["text"]
+    eot_pos = jnp.argmax(tokens, axis=-1)
+    pooled = jnp.take_along_axis(x, eot_pos[:, None, None], axis=1)[:, 0]
     pooled = layer_norm(pooled, p["ln_final"])
     return (pooled @ p["text_projection"].astype(dtype)).astype(jnp.float32)
 
