@@ -2,6 +2,7 @@ from .mesh import get_mesh, local_device_count
 from .sharded_search import sharded_cosine_topk
 from .contrastive import global_infonce_loss
 from . import pp
+from . import sp
 
 __all__ = [
     "get_mesh",
@@ -9,4 +10,5 @@ __all__ = [
     "sharded_cosine_topk",
     "global_infonce_loss",
     "pp",
+    "sp",
 ]
