@@ -154,6 +154,158 @@ def _attn_block_kernel(
     o_ref[0] = (x32 + proj).astype(o_ref.dtype)
 
 
+def _merged_block_kernel(
+    x_ref, ls1_ref, lb1_ref, qkv_k_ref, qkv_b_ref, out_k_ref, out_b_ref,
+    ls2_ref, lb2_ref, fc_k_ref, fc_b_ref, pr_k_ref, pr_b_ref, o_ref,
+    *, n_heads, t_seq, group, causal, activation,
+):
+    """Whole residual block (attn half + MLP half) in ONE kernel.
+
+    Same math as `_attn_block_kernel` → `_mlp_block_kernel`, but the
+    mid-block residual stream xc never round-trips HBM — it is cast to the
+    model dtype in VMEM (mimicking the two-kernel HBM store/load exactly,
+    so numerics are bit-identical) and fed straight into the MLP half.
+
+    MEASURED SLOWER than the two-kernel split and therefore NOT routed by
+    `models.layers.block_apply`: 3.61 vs 3.48 ms/block at ViT-B/32's
+    headline shape (B=512/T=50/W=768 bf16, standalone chained), 10.99 vs
+    10.40 at ViT-L/14@336's (B=64/T=577/W=1024). The split wins because
+    the halves want different row tiles — attention packs G·T ≤ 256 rows
+    per score tile while the MLP amortises best at 512-row blocks — and
+    separate grids let Mosaic pipeline each half's DMA against the other
+    rows' compute. Kept as the measured design-space record (the xc HBM
+    round trip is NOT the binding term; see PERF.md roofline residue).
+    """
+    x = x_ref[0]  # [G*T, W]
+    dt = x.dtype
+    x32 = x.astype(jnp.float32)
+    mean = jnp.mean(x32, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x32 - mean), axis=-1, keepdims=True)
+    y = (x32 - mean) * jax.lax.rsqrt(var + LN_EPS)
+    y = y * ls1_ref[:].astype(jnp.float32) + lb1_ref[:].astype(jnp.float32)
+    y = y.astype(dt)
+
+    qkv = jax.lax.dot_general(
+        y, qkv_k_ref[:], (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    ) + qkv_b_ref[:].astype(jnp.float32)
+    qkv = qkv.astype(dt)
+
+    n = x.shape[0]
+    w = x.shape[1]
+    d = w // n_heads
+    scale = 1.0 / (d ** 0.5)
+    mask = None
+    if group > 1 or causal:
+        row = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
+        col = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
+        if group > 1:
+            mask = (row // t_seq) == (col // t_seq)
+            if causal:
+                mask = jnp.logical_and(mask, (col % t_seq) <= (row % t_seq))
+        else:
+            mask = col <= row
+    heads_out = []
+    for h in range(n_heads):
+        q = qkv[:, h * d:(h + 1) * d] * jnp.asarray(scale, dt)
+        k = qkv[:, w + h * d:w + (h + 1) * d]
+        v = qkv[:, 2 * w + h * d:2 * w + (h + 1) * d]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        if mask is not None:
+            s = jnp.where(mask, s, jnp.float32(-1e30))
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s - m)
+        denom = jnp.sum(p, axis=-1, keepdims=True)
+        o_h = jax.lax.dot_general(
+            p.astype(dt), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        heads_out.append((o_h / denom).astype(dt))
+    o = jnp.concatenate(heads_out, axis=-1)
+
+    proj = jax.lax.dot_general(
+        o, out_k_ref[:], (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    ) + out_b_ref[:].astype(jnp.float32)
+    # the two-kernel path stores xc to HBM in model dtype and reloads it;
+    # reproduce that rounding so merged == two-kernel bit-for-bit
+    xc = (x32 + proj).astype(dt)
+
+    xc32 = xc.astype(jnp.float32)
+    mean2 = jnp.mean(xc32, axis=-1, keepdims=True)
+    var2 = jnp.mean(jnp.square(xc32 - mean2), axis=-1, keepdims=True)
+    y2 = (xc32 - mean2) * jax.lax.rsqrt(var2 + LN_EPS)
+    y2 = y2 * ls2_ref[:].astype(jnp.float32) + lb2_ref[:].astype(jnp.float32)
+    y2 = y2.astype(dt)
+
+    hdn = jax.lax.dot_general(
+        y2, fc_k_ref[:], (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    ) + fc_b_ref[:].astype(jnp.float32)
+    if activation == "quick_gelu":
+        hdn = hdn * jax.nn.sigmoid(1.702 * hdn)
+    else:
+        hdn = _gelu_exact(hdn)
+    hdn = hdn.astype(dt)
+
+    proj2 = jax.lax.dot_general(
+        hdn, pr_k_ref[:], (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    ) + pr_b_ref[:].astype(jnp.float32)
+    o_ref[0] = (xc32 + proj2).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("n_heads", "activation", "interpret", "group", "causal"))
+def fused_block_merged(
+    x: jax.Array,  # [B, T, W]
+    p: dict,  # one residual block's params (layers.init_block layout)
+    n_heads: int,
+    activation: str = "quick_gelu",
+    causal: bool = False,
+    interpret: bool | None = None,
+    group: int | None = None,
+) -> jax.Array:
+    """One whole residual block in ONE pallas dispatch (forward only)."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    B, T, W = x.shape
+    if group is None:
+        group = 1
+        if T < 128:
+            for g in (8, 4, 2):
+                if T * g <= 256 and B % g == 0:
+                    group = g
+                    break
+
+    dt = x.dtype
+    x2 = x.reshape(B // group, group * T, W)
+    vec = lambda a: pl.BlockSpec(a.shape, (lambda i: (0,) * a.ndim), memory_space=pltpu.VMEM)
+    args = (
+        p["ln_1"]["scale"], p["ln_1"]["bias"],
+        p["attn"]["qkv"]["kernel"], p["attn"]["qkv"]["bias"],
+        p["attn"]["out"]["kernel"], p["attn"]["out"]["bias"],
+        p["ln_2"]["scale"], p["ln_2"]["bias"],
+        p["mlp"]["fc"]["kernel"], p["mlp"]["fc"]["bias"],
+        p["mlp"]["proj"]["kernel"], p["mlp"]["proj"]["bias"],
+    )
+    args = tuple(a.astype(dt) for a in args)
+    out = pl.pallas_call(
+        functools.partial(
+            _merged_block_kernel,
+            n_heads=n_heads, t_seq=T, group=group, causal=causal,
+            activation=activation,
+        ),
+        grid=(B // group,),
+        in_specs=[
+            pl.BlockSpec((1, group * T, W), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            *(vec(a) for a in args),
+        ],
+        out_specs=pl.BlockSpec((1, group * T, W), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct(x2.shape, dt),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(x2, *args)
+    return out.reshape(B, T, W)
+
+
 @functools.partial(jax.jit, static_argnames=("n_heads", "interpret", "group", "causal"))
 def fused_attn_block(
     x: jax.Array,  # [B, T, W]

@@ -123,6 +123,22 @@ def test_fused_block_matches_xla_composition(rng):
     np.testing.assert_allclose(got_m, mlp_ref, rtol=2e-4, atol=2e-4)
 
 
+def test_merged_block_bit_identical_to_two_kernel(rng):
+    """`fused_block_merged` (the measured-slower one-kernel design probe —
+    see its docstring) must stay BIT-identical to the routed two-kernel
+    composition, causal and not."""
+    from evr_tpu.models.layers import init_block
+    from evr_tpu.ops.block_fused import fused_block_apply, fused_block_merged
+
+    W, H = 128, 2
+    p = init_block(jax.random.PRNGKey(3), W, 12)
+    x = jnp.asarray(rng.normal(size=(8, 10, W)).astype(np.float32))
+    for causal, act in ((False, "quick_gelu"), (True, "gelu")):
+        two = np.asarray(fused_block_apply(x, p, H, act, causal))
+        one = np.asarray(fused_block_merged(x, p, H, act, causal))
+        np.testing.assert_array_equal(two, one)
+
+
 def test_fused_block_grad_matches_xla(rng):
     """custom_vjp backward (XLA recompute) matches the XLA block's grads."""
     from evr_tpu.models.layers import block_apply, init_block
