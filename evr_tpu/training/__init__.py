@@ -1,4 +1,5 @@
 from .finetune import TrainConfig, Trainer, TrainState, make_optimizer, make_train_step
+from .sharded_ckpt import restore_sharded, save_sharded
 from .losses import combined_clip_loss
 from .partition import freeze_paths, param_group_labels
 from .data import CaptionDataset
