@@ -178,34 +178,7 @@ def final_block_cls(
     Used by the serving/ingest encode path (``encode_staged_u8``); the
     ``encode_image`` parity surface keeps the full final block.
     """
-    B, T, W = x.shape
-    d = W // n_heads
-    ap = p["attn"]
-    y = layer_norm(x, p["ln_1"])
-    if "kernel_q" in ap["qkv"]:
-        # int8 weights: slicing per-output-channel quantized columns would
-        # need a second quant codepath; full QKV then slice (still skips
-        # the scores/out-proj/MLP on dead rows).
-        qkv = linear(y, ap["qkv"])
-        q = qkv[:, 0, :W]
-        k, v = qkv[:, :, W : 2 * W], qkv[:, :, 2 * W :]
-    else:
-        kern = ap["qkv"]["kernel"].astype(y.dtype)
-        bias = ap["qkv"]["bias"].astype(y.dtype)
-        kv = y @ kern[:, W:] + bias[W:]
-        k, v = kv[:, :, :W], kv[:, :, W:]
-        q = y[:, 0] @ kern[:, :W] + bias[:W]
-    q = q.reshape(B, n_heads, d)
-    k = k.reshape(B, T, n_heads, d)
-    v = v.reshape(B, T, n_heads, d)
-    scale = 1.0 / math.sqrt(d)
-    logits = jnp.einsum("bhd,bthd->bht", q, k).astype(jnp.float32) * scale
-    w = jax.nn.softmax(logits, axis=-1).astype(x.dtype)
-    o = jnp.einsum("bht,bthd->bhd", w, v).reshape(B, W)
-    xc = x[:, 0] + linear(o, ap["out"])
-    h = linear(layer_norm(xc, p["ln_2"]), p["mlp"]["fc"])
-    h = ACTIVATIONS[activation](h)
-    return xc + linear(h, p["mlp"]["proj"])
+    return _final_block_row(x, p, n_heads, None, activation)
 
 
 def final_block_eot(
@@ -230,32 +203,56 @@ def final_block_eot(
     ``eot_fast_final=True``); the training/parity surface keeps the full
     final block.
     """
+    return _final_block_row(x, p, n_heads, eot_pos, activation)
+
+
+def _final_block_row(
+    x: jax.Array,
+    p: Params,
+    n_heads: int,
+    row_idx: jax.Array | None,
+    activation: str,
+) -> jax.Array:
+    """Shared pooled-row block: K/V over all T tokens, everything else on
+    one row per sequence. ``row_idx`` None → the (static) CLS row 0, no
+    mask; a [B] index → that row with keys masked to positions ≤ row_idx
+    (the causal window of the selected row — exactly what the full causal
+    block computes for it). Mask value −1e9 matches
+    `ops.attention._xla_attention`."""
     B, T, W = x.shape
     d = W // n_heads
     ap = p["attn"]
     y = layer_norm(x, p["ln_1"])
-    idx = eot_pos[:, None, None]
+
+    def pick(a):
+        if row_idx is None:
+            return a[:, 0]
+        return jnp.take_along_axis(a, row_idx[:, None, None], axis=1)[:, 0]
+
     if "kernel_q" in ap["qkv"]:
-        # int8 weights: full QKV then slice (see final_block_cls).
+        # int8 weights: slicing per-output-channel quantized columns would
+        # need a second quant codepath; full QKV then slice (still skips
+        # the scores/out-proj/MLP on dead rows).
         qkv = linear(y, ap["qkv"])
-        q = jnp.take_along_axis(qkv[:, :, :W], idx, axis=1)[:, 0]
+        q = pick(qkv[:, :, :W])
         k, v = qkv[:, :, W : 2 * W], qkv[:, :, 2 * W :]
     else:
         kern = ap["qkv"]["kernel"].astype(y.dtype)
         bias = ap["qkv"]["bias"].astype(y.dtype)
         kv = y @ kern[:, W:] + bias[W:]
         k, v = kv[:, :, :W], kv[:, :, W:]
-        q = jnp.take_along_axis(y, idx, axis=1)[:, 0] @ kern[:, :W] + bias[:W]
+        q = pick(y) @ kern[:, :W] + bias[:W]
     q = q.reshape(B, n_heads, d)
     k = k.reshape(B, T, n_heads, d)
     v = v.reshape(B, T, n_heads, d)
     scale = 1.0 / math.sqrt(d)
     logits = jnp.einsum("bhd,bthd->bht", q, k).astype(jnp.float32) * scale
-    valid = jnp.arange(T)[None, :] <= eot_pos[:, None]
-    logits = jnp.where(valid[:, None, :], logits, jnp.float32(-1e9))
+    if row_idx is not None:
+        valid = jnp.arange(T)[None, :] <= row_idx[:, None]
+        logits = jnp.where(valid[:, None, :], logits, jnp.float32(-1e9))
     w = jax.nn.softmax(logits, axis=-1).astype(x.dtype)
     o = jnp.einsum("bht,bthd->bhd", w, v).reshape(B, W)
-    xc = jnp.take_along_axis(x, idx, axis=1)[:, 0] + linear(o, ap["out"])
+    xc = pick(x) + linear(o, ap["out"])
     h = linear(layer_norm(xc, p["ln_2"]), p["mlp"]["fc"])
     h = ACTIVATIONS[activation](h)
     return xc + linear(h, p["mlp"]["proj"])

@@ -250,7 +250,10 @@ def _merged_block_kernel(
     proj2 = jax.lax.dot_general(
         hdn, pr_k_ref[:], (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
     ) + pr_b_ref[:].astype(jnp.float32)
-    o_ref[0] = (xc32 + proj2).astype(o_ref.dtype)
+    # match _mlp_block_kernel's residual rounding exactly: it adds the two
+    # terms AFTER casting each to the output dtype (a bf16-precision add),
+    # so do the same here — an fp32 add + single round differs by 1 ulp
+    o_ref[0] = xc32.astype(o_ref.dtype) + proj2.astype(o_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("n_heads", "activation", "interpret", "group", "causal"))

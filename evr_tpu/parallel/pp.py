@@ -164,14 +164,21 @@ def make_pipelined_image_encode(
     dtype=jnp.float32,
     stage_axis: str = "stage",
     data_axis: str | None = None,
+    presplit: bool = False,
 ):
-    """Jitted ``(params, pixels) -> [B, embed_dim]`` with the vision block
-    stack pipelined over ``stage_axis`` (and the batch optionally sharded
-    over ``data_axis``).
+    """Pipelined vision encode over ``stage_axis`` (batch optionally
+    sharded over ``data_axis``).
 
-    ``params`` is the normal CLIP pytree; the vision blocks are stacked and
-    stage-sharded internally (pass the result of `stage_params` to keep
-    them device-resident across calls).
+    ``presplit=False`` (default): returns jitted ``(params, pixels) ->
+    [B, embed_dim]`` taking the normal CLIP pytree — the block stack is
+    (re)stacked and stage-sharded inside the jit on every call, which is
+    fine for tests/one-shots but does per-call device work proportional to
+    the block params.
+
+    ``presplit=True``: returns jitted ``(rest, stacked, pixels) -> ...``
+    taking the output of `split_vision_params` / `stage_params` directly,
+    so the staged stack stays device-resident across calls (the serving
+    shape).
     """
     S = mesh.shape[stage_axis]
     _check_stages(cfg.vision.layers, S)
@@ -200,6 +207,9 @@ def make_pipelined_image_encode(
         check_rep=False,
     )
 
+    if presplit:
+        return jax.jit(mapped)
+
     @jax.jit
     def encode(params, pixels):
         rest, stacked = split_vision_params(params)
@@ -215,9 +225,13 @@ def make_pipelined_text_encode(
     dtype=jnp.float32,
     stage_axis: str = "stage",
     data_axis: str | None = None,
+    presplit: bool = False,
 ):
-    """Jitted ``(params, tokens) -> [B, embed_dim]`` with the causal text
-    block stack pipelined over ``stage_axis``."""
+    """Pipelined causal text encode over ``stage_axis``. Returns jitted
+    ``(params, tokens) -> [B, embed_dim]``, or with ``presplit=True``
+    ``(rest, stacked, tokens) -> ...`` taking `split_text_params` /
+    `stage_params` output (device-resident stack — see
+    `make_pipelined_image_encode`)."""
     S = mesh.shape[stage_axis]
     _check_stages(cfg.text.layers, S)
     dspec = P(data_axis) if data_axis else P()
@@ -244,6 +258,9 @@ def make_pipelined_text_encode(
         out_specs=dspec,
         check_rep=False,
     )
+
+    if presplit:
+        return jax.jit(mapped)
 
     @jax.jit
     def encode(params, tokens):

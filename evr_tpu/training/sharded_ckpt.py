@@ -37,14 +37,24 @@ def _checkpointer():
 
 
 def save_sharded(path: str | pathlib.Path, tree: Any) -> None:
-    """Write a (possibly sharded) jax.Array pytree without host gathering."""
+    """Write a (possibly sharded) jax.Array pytree without host gathering.
+
+    Crash-safe overwrite: the tree is fully written to ``<path>.tmp``
+    first, the old checkpoint is then removed and the tmp dir renamed into
+    place. A crash mid-save leaves the previous checkpoint intact; a crash
+    in the (tiny) swap window leaves the complete ``.tmp``, which
+    `restore_sharded` falls back to."""
     path = pathlib.Path(path).absolute()
-    if path.exists():
-        shutil.rmtree(path)
+    tmp = path.with_name(path.name + ".tmp")
+    if tmp.exists():
+        shutil.rmtree(tmp)
     path.parent.mkdir(parents=True, exist_ok=True)
     ckptr = _checkpointer()
-    ckptr.save(path, tree)
+    ckptr.save(tmp, tree)
     ckptr.wait_until_finished()
+    if path.exists():
+        shutil.rmtree(path)
+    tmp.rename(path)
 
 
 def restore_sharded(path: str | pathlib.Path, target: Any) -> Any:
@@ -58,6 +68,12 @@ def restore_sharded(path: str | pathlib.Path, target: Any) -> Any:
     from jax.sharding import Sharding
 
     path = pathlib.Path(path).absolute()
+    if not path.exists():
+        # crashed in save_sharded's swap window: the fully-written tmp is
+        # the newest complete checkpoint
+        tmp = path.with_name(path.name + ".tmp")
+        if tmp.exists():
+            path = tmp
     ckptr = _checkpointer()
     leaves = jax.tree_util.tree_leaves(target)
     if any(isinstance(l, Sharding) for l in leaves):

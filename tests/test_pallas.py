@@ -132,11 +132,13 @@ def test_merged_block_bit_identical_to_two_kernel(rng):
 
     W, H = 128, 2
     p = init_block(jax.random.PRNGKey(3), W, 12)
-    x = jnp.asarray(rng.normal(size=(8, 10, W)).astype(np.float32))
-    for causal, act in ((False, "quick_gelu"), (True, "gelu")):
-        two = np.asarray(fused_block_apply(x, p, H, act, causal))
-        one = np.asarray(fused_block_merged(x, p, H, act, causal))
-        np.testing.assert_array_equal(two, one)
+    x32 = jnp.asarray(rng.normal(size=(8, 10, W)).astype(np.float32))
+    for dtype in (jnp.float32, jnp.bfloat16):
+        x = x32.astype(dtype)
+        for causal, act in ((False, "quick_gelu"), (True, "gelu")):
+            two = np.asarray(fused_block_apply(x, p, H, act, causal).astype(jnp.float32))
+            one = np.asarray(fused_block_merged(x, p, H, act, causal).astype(jnp.float32))
+            np.testing.assert_array_equal(two, one)
 
 
 def test_fused_block_grad_matches_xla(rng):

@@ -132,6 +132,26 @@ def test_grad_through_pipeline_matches_single_device(setup):
         )
 
 
+def test_presplit_encode_exact(setup):
+    """The serving shape: staged stacks device-resident via stage_params,
+    passed pre-split so no per-call restack."""
+    cfg, params, pixels, toks = setup
+    mesh = get_mesh(4, axis_names=("stage",))
+    rest, v_stacked, t_stacked = pp.stage_params(mesh, params)
+    enc_i = pp.make_pipelined_image_encode(mesh, cfg, n_micro=4, presplit=True)
+    enc_t = pp.make_pipelined_text_encode(mesh, cfg, n_micro=4, presplit=True)
+    np.testing.assert_allclose(
+        np.asarray(enc_i(rest, v_stacked, pixels)),
+        np.asarray(encode_image(params, cfg, pixels)),
+        atol=1e-5,
+    )
+    np.testing.assert_allclose(
+        np.asarray(enc_t(rest, t_stacked, toks)),
+        np.asarray(encode_text(params, cfg, toks)),
+        atol=1e-5,
+    )
+
+
 def test_stage_params_placement(setup):
     cfg, params, _, _ = setup
     mesh = get_mesh(4, axis_names=("stage",))

@@ -118,6 +118,26 @@ def test_train_state_roundtrip(small_params, tmp_path):
     assert int(step) == 7
 
 
+def test_overwrite_is_crash_safe(small_params, tmp_path):
+    """Overwriting save: the old checkpoint survives until the new one is
+    fully written; a leftover .tmp from a swap-window crash restores."""
+    _, params = small_params
+    mesh = get_mesh(8, axis_names=("data",))
+    rep = NamedSharding(mesh, P())
+    tree1 = {"w": jax.device_put(jnp.ones((4, 4)), rep)}
+    tree2 = {"w": jax.device_put(jnp.full((4, 4), 2.0), rep)}
+    save_sharded(tmp_path / "c", tree1)
+    save_sharded(tmp_path / "c", tree2)  # overwrite path exercised
+    got = restore_sharded(tmp_path / "c", {"w": rep})
+    np.testing.assert_array_equal(np.asarray(got["w"]), np.full((4, 4), 2.0))
+    assert not (tmp_path / "c.tmp").exists()
+
+    # simulate a crash in the swap window: final dir gone, tmp complete
+    (tmp_path / "c").rename(tmp_path / "c.tmp")
+    got = restore_sharded(tmp_path / "c", {"w": rep})
+    np.testing.assert_array_equal(np.asarray(got["w"]), np.full((4, 4), 2.0))
+
+
 def test_template_array_target(small_params, tmp_path):
     """A template tree of live arrays works as the restore target."""
     _, params = small_params
