@@ -1,0 +1,110 @@
+"""Multi-host substrate (`parallel/multihost.py`) — including a REAL
+2-OS-process run: two workers × 2 virtual CPU devices each, glued into one
+4-device global set by jax.distributed + Gloo TCP collectives (the same
+topology shape as one-process-per-host TPU pods). Asserts the global-batch
+InfoNCE, coordinator broadcast, and one full dp train step are exact across
+the process boundary (vs the unsharded single-process step on the same
+global batch).
+"""
+
+import json
+import os
+import pathlib
+import socket
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from evr_tpu.parallel.multihost import process_slice
+
+import multihost_worker
+
+REPO = pathlib.Path(__file__).resolve().parent.parent
+WORKER = pathlib.Path(multihost_worker.__file__)
+
+
+def test_process_slice_disjoint_covering():
+    slices = [process_slice(12, process_id=p, process_count=3) for p in range(3)]
+    seen = []
+    for s in slices:
+        seen.extend(range(s.start, s.stop))
+    assert seen == list(range(12))
+    with pytest.raises(ValueError):
+        process_slice(10, process_id=0, process_count=3)
+
+
+def test_bootstrap_single_process_noop():
+    from evr_tpu.parallel import multihost as mh
+
+    # no coordinator configured anywhere -> no-op single-process bootstrap
+    assert "EVR_TPU_COORDINATOR" not in os.environ
+    assert mh.bootstrap() == (0, 1)
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        return s.getsockname()[1]
+
+
+def test_two_process_training_step_exact():
+    nproc = 2
+    port = _free_port()
+    procs = []
+    for pid in range(nproc):
+        env = dict(os.environ)
+        env.update(
+            EVR_TPU_COORDINATOR=f"localhost:{port}",
+            EVR_TPU_NUM_PROCESSES=str(nproc),
+            EVR_TPU_PROCESS_ID=str(pid),
+            # `python tests/multihost_worker.py` puts tests/ (not the repo
+            # root) on sys.path[0]; make evr_tpu importable
+            PYTHONPATH=f"{REPO}:{os.environ.get('PYTHONPATH', '')}",
+        )
+        # worker pins its own JAX_PLATFORMS/XLA_FLAGS before importing jax
+        env.pop("XLA_FLAGS", None)
+        procs.append(
+            subprocess.Popen(
+                [sys.executable, str(WORKER)],
+                env=env,
+                cwd=str(REPO),
+                stdout=subprocess.PIPE,
+                stderr=subprocess.STDOUT,
+                text=True,
+            )
+        )
+    results = {}
+    logs = {}
+    for pid, p in enumerate(procs):
+        out, _ = p.communicate(timeout=600)
+        logs[pid] = out
+        for line in out.splitlines():
+            if line.startswith("MHRESULT "):
+                results[pid] = json.loads(line[len("MHRESULT "):])
+    assert all(p.returncode == 0 for p in procs), logs
+    assert set(results) == {0, 1}, logs
+
+    r0, r1 = results[0], results[1]
+    assert r0["global_devices"] == r1["global_devices"] == 2 * nproc
+    assert r0["bc_ok"] and r1["bc_ok"]
+    # SPMD: every process computes the same global scalars
+    np.testing.assert_allclose(r0["infonce"], r1["infonce"], rtol=1e-6)
+    np.testing.assert_allclose(r0["train_loss"], r1["train_loss"], rtol=1e-6)
+
+    # cross-process sharded values match the single-process full-batch ones
+    from evr_tpu.parallel.contrastive import infonce_loss_single
+
+    import jax.numpy as jnp
+
+    img, txt = multihost_worker.contrastive_features(2 * 2 * nproc)
+    expected_infonce = float(
+        infonce_loss_single(
+            jnp.asarray(img), jnp.asarray(txt), jnp.asarray(np.log(1 / 0.07))
+        )
+    )
+    np.testing.assert_allclose(r0["infonce"], expected_infonce, rtol=1e-5)
+
+    expected_loss = multihost_worker.run_train_step_single(2 * 2 * nproc)
+    np.testing.assert_allclose(r0["train_loss"], expected_loss, rtol=1e-5)
