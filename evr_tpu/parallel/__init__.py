@@ -1,6 +1,7 @@
 from .mesh import get_mesh, local_device_count
 from .sharded_search import sharded_cosine_topk
 from .contrastive import global_infonce_loss
+from . import fsdp
 from . import multihost
 from . import pp
 from . import sp
@@ -10,6 +11,7 @@ __all__ = [
     "local_device_count",
     "sharded_cosine_topk",
     "global_infonce_loss",
+    "fsdp",
     "multihost",
     "pp",
     "sp",

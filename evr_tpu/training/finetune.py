@@ -144,6 +144,7 @@ def make_train_step(
     optimizer: optax.GradientTransformation,
     mesh=None,
     axis: str = "data",
+    state_shardings=None,
 ) -> Callable:
     """Build the jitted train step.
 
@@ -151,7 +152,12 @@ def make_train_step(
     ``batch = {'images': uint8 [B,S,S,3], 'tokens': int32 [B,77],
     'labels': int32 [B]}``. With ``mesh``, batch arrays are sharded over
     ``axis`` and state is replicated (pure data parallelism; the global-batch
-    contrastive matmul is partitioned by XLA).
+    contrastive matmul is partitioned by XLA). Pass ``state_shardings``
+    (a ``TrainState``-shaped pytree from
+    :func:`evr_tpu.parallel.fsdp.fsdp_state_shardings`) to run the SAME step
+    fully sharded — params and optimizer state live 1/n-per-device and XLA
+    inserts the ZeRO-3 gather/reduce-scatter pattern. Layout only; the math
+    is identical (tests/test_fsdp.py).
     """
     dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
     mean = jnp.asarray(CLIP_MEAN, jnp.float32)
@@ -225,13 +231,14 @@ def make_train_step(
         repl = NamedSharding(mesh, P())
         data = NamedSharding(mesh, P(axis))
         batch_sh = {"images": data, "tokens": data, "labels": data}
+        state_sh = repl if state_shardings is None else state_shardings
         step = jax.jit(
             step,
-            in_shardings=(repl, batch_sh, repl),
-            out_shardings=(repl, repl),
+            in_shardings=(state_sh, batch_sh, repl),
+            out_shardings=(state_sh, repl),
             donate_argnums=(0,),
         )
-        eval_step = jax.jit(eval_step, in_shardings=(repl, batch_sh), out_shardings=repl)
+        eval_step = jax.jit(eval_step, in_shardings=(state_sh, batch_sh), out_shardings=repl)
     else:
         step = jax.jit(step, donate_argnums=(0,))
         eval_step = jax.jit(eval_step)
