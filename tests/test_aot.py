@@ -1,0 +1,104 @@
+"""AOT serving bundles (`serving/aot.py`): export → serialize → reload →
+call must reproduce the live encoders exactly, at MULTIPLE batch sizes from
+one artifact (symbolic batch dim), with params supplied at call time
+(weights-independent bundle)."""
+
+import json
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from evr_tpu.models.clip import (
+    CLIPConfig,
+    TextConfig,
+    VisionConfig,
+    encode_image,
+    encode_text,
+    init_clip_params,
+)
+from evr_tpu.ops.preprocess import CLIP_MEAN, CLIP_STD
+from evr_tpu.serving.aot import export_encoders, load_bundle, save_bundle
+
+
+def tiny_cfg():
+    return CLIPConfig(
+        embed_dim=32,
+        vision=VisionConfig(image_size=32, patch_size=8, width=64, layers=2, heads=4),
+        text=TextConfig(context_length=16, vocab_size=600, width=64, layers=2, heads=4),
+    )
+
+
+@pytest.fixture(scope="module")
+def bundle(tmp_path_factory):
+    cfg = tiny_cfg()
+    params = init_clip_params(jax.random.PRNGKey(0), cfg)
+    out = tmp_path_factory.mktemp("aot")
+    save_bundle(out, cfg, export_encoders(cfg))
+    return cfg, params, out
+
+
+def _staged(rng, n):
+    return (rng.random((n, 32, 32, 3)) * 255).astype(np.uint8)
+
+
+def _tokens(rng, n):
+    t = np.zeros((n, 16), np.int32)
+    t[:, 0] = 1
+    t[:, 1] = 599
+    return t
+
+
+def test_roundtrip_matches_live_encoders(bundle, rng):
+    cfg, params, out = bundle
+    enc = load_bundle(out)
+    for n in (2, 5):  # two batch sizes through ONE exported artifact
+        u8 = _staged(rng, n)
+        got = enc.encode_staged(params, u8)
+        x = u8.astype(np.float32) / 255.0
+        x = (x - np.asarray(CLIP_MEAN, np.float32)) / np.asarray(CLIP_STD, np.float32)
+        want = np.asarray(encode_image(params, cfg, jnp.asarray(x)))
+        want = want / np.linalg.norm(want, axis=-1, keepdims=True)
+        np.testing.assert_allclose(got, want, atol=1e-5)
+
+        toks = _tokens(rng, n)
+        got_t = enc.encode_tokens(params, toks)
+        want_t = np.asarray(encode_text(params, cfg, jnp.asarray(toks)))
+        want_t = want_t / np.linalg.norm(want_t, axis=-1, keepdims=True)
+        np.testing.assert_allclose(got_t, want_t, atol=1e-5)
+
+
+def test_bundle_is_weights_independent(bundle, rng):
+    """One artifact serves a different checkpoint of the same geometry."""
+    cfg, _, out = bundle
+    enc = load_bundle(out)
+    other = init_clip_params(jax.random.PRNGKey(7), cfg)
+    got = enc.encode_tokens(other, _tokens(rng, 3))
+    want = np.asarray(encode_text(other, cfg, jnp.asarray(_tokens(rng, 3))))
+    want = want / np.linalg.norm(want, axis=-1, keepdims=True)
+    np.testing.assert_allclose(got, want, atol=1e-5)
+    np.testing.assert_allclose(np.linalg.norm(got, axis=-1), 1.0, atol=1e-5)
+
+
+def test_manifest_and_guards(bundle, tmp_path):
+    cfg, _, out = bundle
+    manifest = json.loads((out / "manifest.json").read_text())
+    assert manifest["kind"] == "evr_tpu_aot_encoders"
+    assert "tpu" in manifest["platforms"] and "cpu" in manifest["platforms"]
+    assert manifest["config"]["attn_impl"] == "xla"
+
+    bad = tmp_path / "bad"
+    bad.mkdir()
+    (bad / "manifest.json").write_text(json.dumps({"kind": "something_else"}))
+    with pytest.raises(ValueError):
+        load_bundle(bad)
+
+    newer = tmp_path / "newer"
+    newer.mkdir()
+    m = dict(manifest)
+    m["format_version"] = 99
+    (newer / "manifest.json").write_text(json.dumps(m))
+    with pytest.raises(ValueError):
+        load_bundle(newer)
