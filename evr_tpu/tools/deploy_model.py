@@ -94,6 +94,35 @@ def build_bundle(
     return bundle
 
 
+def attach_aot_encoders(bundle: str | pathlib.Path, model) -> None:
+    """Export AOT serving encoders (`serving/aot.py`) into ``<bundle>/aot/``
+    and fold them into the deploy manifest — the bundle then carries the
+    frozen StableHLO computation next to the weights, so a serving host
+    needs no model code to run this model version. ``model`` is a registry
+    name (e.g. ``"ViT-B/32"``) or a ``CLIPConfig``."""
+    from evr_tpu.serving.aot import export_encoders, save_bundle as _save_aot
+
+    if isinstance(model, str):
+        from evr_tpu.models import get_model_config
+
+        cfg = get_model_config(model)
+        model_name = model
+    else:
+        cfg, model_name = model, getattr(model, "name", "custom")
+    bundle = pathlib.Path(bundle)
+    _save_aot(bundle / "aot", cfg, export_encoders(cfg))
+
+    manifest = load_manifest(bundle)
+    for f in sorted(p for p in (bundle / "aot").rglob("*") if p.is_file()):
+        rel = str(f.relative_to(bundle))
+        manifest["files"].append(
+            {"path": rel, "sha256": _sha256(f), "bytes": f.stat().st_size}
+        )
+    manifest["metadata"]["aot_encoders"] = model_name
+    with open(bundle / MANIFEST_NAME, "w") as f:
+        json.dump(manifest, f, indent=2)
+
+
 def load_manifest(bundle: str | pathlib.Path) -> dict:
     with open(pathlib.Path(bundle) / MANIFEST_NAME) as f:
         return json.load(f)
@@ -185,6 +214,9 @@ def main(argv=None) -> None:
                     help="bundle staging dir (default: <model>/.deploy_bundle)")
     ap.add_argument("--meta", action="append", default=[],
                     metavar="KEY=VALUE", help="manifest metadata entries")
+    ap.add_argument("--aot-encoders", metavar="MODEL",
+                    help="also export AOT StableHLO serving encoders for this "
+                         "model geometry (e.g. ViT-B/32) into the bundle")
     args = ap.parse_args(argv)
 
     metadata = dict(kv.split("=", 1) for kv in args.meta)
@@ -194,6 +226,8 @@ def main(argv=None) -> None:
     bundle = build_bundle(
         args.model_path, staging, args.model_type, args.version, metadata
     )
+    if args.aot_encoders:
+        attach_aot_encoders(bundle, args.aot_encoders)
     print(f"bundle: {bundle} ({len(load_manifest(bundle)['files'])} files)")
     if args.roboflow:
         ws, proj = args.roboflow.split("/", 1)

@@ -88,3 +88,36 @@ def test_cli_end_to_end(model_dir, tmp_path):
     latest = json.loads((tmp_path / "reg" / "yolov8" / "latest.json").read_text())
     m = load_manifest(latest["path"])
     assert m["metadata"] == {"run": "42"}
+
+
+def test_attach_aot_encoders(model_dir, tmp_path):
+    """AOT StableHLO encoders land inside the bundle, manifest-tracked and
+    checksum-verifiable, and the reloaded artifact actually encodes."""
+    import numpy as np
+    import jax
+
+    from evr_tpu.models.clip import (
+        CLIPConfig, TextConfig, VisionConfig, init_clip_params,
+    )
+    from evr_tpu.serving.aot import load_bundle as load_aot
+    from evr_tpu.tools.deploy_model import attach_aot_encoders, verify_bundle
+
+    cfg = CLIPConfig(
+        embed_dim=32,
+        vision=VisionConfig(image_size=32, patch_size=8, width=64, layers=2, heads=4),
+        text=TextConfig(context_length=16, vocab_size=600, width=64, layers=2, heads=4),
+    )
+    b = build_bundle(model_dir, tmp_path / "b_aot", "clip", version=1)
+    attach_aot_encoders(b, cfg)
+    verify_bundle(b)  # new files are in the manifest with valid checksums
+    m = load_manifest(b)
+    assert m["metadata"]["aot_encoders"] == "custom"
+    assert any(f["path"].startswith("aot/") for f in m["files"])
+
+    enc = load_aot(b / "aot")
+    params = init_clip_params(jax.random.PRNGKey(0), cfg)
+    toks = np.zeros((2, 16), np.int32)
+    toks[:, 0] = 1
+    toks[:, 1] = 599
+    out = enc.encode_tokens(params, toks)
+    assert out.shape == (2, 32) and np.isfinite(out).all()
