@@ -257,9 +257,8 @@ class EmbeddingEngine:
             out = out / np.maximum(np.linalg.norm(out, axis=-1, keepdims=True), 1e-12)
         return out
 
-    def _stage_native(self, paths) -> tuple[np.ndarray, list[int]] | None:
-        """Stage a JPEG batch through the C++ thread-pool pipeline
-        (evr_tpu.native); None when the native library is unavailable."""
+    def _ensure_native_stager(self):
+        """The C++ thread-pool stager, or None when unavailable."""
         try:
             from evr_tpu.native import NativeStager, native_available
 
@@ -267,7 +266,18 @@ class EmbeddingEngine:
                 return None
             if getattr(self, "_native_stager", None) is None:
                 self._native_stager = NativeStager(self.cfg.vision.image_size)
-            return self._native_stager.stage_batch(paths)
+            return self._native_stager
+        except Exception:
+            return None
+
+    def _stage_native(self, paths) -> tuple[np.ndarray, list[int]] | None:
+        """Stage a JPEG batch through the C++ thread-pool pipeline
+        (evr_tpu.native); None when the native library is unavailable."""
+        stager = self._ensure_native_stager()
+        if stager is None:
+            return None
+        try:
+            return stager.stage_batch(paths)
         except Exception:
             return None
 
@@ -321,20 +331,10 @@ class EmbeddingEngine:
         if self.preprocess_mode == "fast" and all(
             n.lower().endswith((".jpg", ".jpeg")) for n in candidates
         ):
-            staged = self._stage_native([folder / n for n in candidates])
-            if staged is not None:
-                batch, ok = staged
-                names = [candidates[i] for i in ok]
-                emb = self.encode_staged_images(batch[ok]) if ok else np.zeros(
-                    (0, self.cfg.embed_dim), np.float32
+            if self._ensure_native_stager() is not None:
+                return self._embed_folder_pipelined(
+                    folder, candidates, normalise, progress
                 )
-                if normalise and len(emb):
-                    emb = emb / np.maximum(
-                        np.linalg.norm(emb, axis=-1, keepdims=True), 1e-12
-                    )
-                if progress:
-                    progress(len(candidates), len(candidates))
-                return emb.astype(np.float32), names
 
         names: list[str] = []
         embs = []
@@ -364,6 +364,54 @@ class EmbeddingEngine:
             else np.zeros((0, self.cfg.embed_dim), np.float32)
         )
         if normalise:
+            emb = emb / np.maximum(np.linalg.norm(emb, axis=-1, keepdims=True), 1e-12)
+        return emb.astype(np.float32), names
+
+    def _embed_folder_pipelined(
+        self,
+        folder: pathlib.Path,
+        candidates: list[str],
+        normalise: bool,
+        progress,
+        chunk_frames: int | None = None,
+    ) -> tuple[np.ndarray, list[str]]:
+        """Chunked double-buffered ingest: the C++ stager decodes chunk k+1
+        on its thread pool while the device encodes chunk k (the stager and
+        the device dispatch both release the GIL, so decode and encode
+        genuinely overlap). Host memory stays bounded at ~2 chunks — the
+        previous one-shot path staged the WHOLE folder first, which at the
+        100k-frame north-star index is ~14 GB of uint8 (SURVEY.md §7 "input
+        pipeline throughput" hard part). Failed decodes are skipped by index,
+        same contract as the sequential path."""
+        from concurrent.futures import ThreadPoolExecutor
+
+        stager = self._ensure_native_stager()
+        chunk = chunk_frames or max(self.batch_size * 4, 256)
+        names: list[str] = []
+        embs: list[np.ndarray] = []
+        total = len(candidates)
+        with ThreadPoolExecutor(max_workers=1) as ex:
+            fut = ex.submit(
+                stager.stage_batch, [folder / n for n in candidates[:chunk]]
+            )
+            for start in range(0, total, chunk):
+                batch, ok = fut.result()
+                nxt = candidates[start + chunk : start + 2 * chunk]
+                if nxt:
+                    fut = ex.submit(
+                        stager.stage_batch, [folder / n for n in nxt]
+                    )
+                if ok:
+                    embs.append(self.encode_staged_images(batch[ok]))
+                    names.extend(candidates[start + i] for i in ok)
+                if progress:
+                    progress(min(start + chunk, total), total)
+        emb = (
+            np.concatenate(embs, axis=0)
+            if embs
+            else np.zeros((0, self.cfg.embed_dim), np.float32)
+        )
+        if normalise and len(emb):
             emb = emb / np.maximum(np.linalg.norm(emb, axis=-1, keepdims=True), 1e-12)
         return emb.astype(np.float32), names
 

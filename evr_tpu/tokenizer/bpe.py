@@ -88,7 +88,8 @@ def basic_clean(text: str) -> str:
         text = ftfy.fix_text(text)
     except Exception:
         pass
-    text = html.unescape(html.unescape(text))
+    if "&" in text:  # html.unescape is identity without an entity ampersand
+        text = html.unescape(html.unescape(text))
     return text.strip()
 
 

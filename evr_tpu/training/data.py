@@ -119,13 +119,33 @@ class CaptionDataset:
         drop_remainder: bool = True,
         epoch: int = 0,
         tokenizer=None,
+        process_index: int = 0,
+        process_count: int = 1,
     ) -> Iterator[dict[str, np.ndarray]]:
         """Yield {'images': uint8 [B,S,S,3], 'tokens': int32 [B,77],
-        'labels': int32 [B]} with static shapes."""
+        'labels': int32 [B]} with static shapes.
+
+        Multi-host: pass this process's ``(process_index, process_count)``
+        (from ``parallel.multihost.bootstrap``) and the PER-PROCESS
+        ``batch_size`` (= global // process_count). Every process shuffles
+        the SAME epoch order (seed+epoch, no cross-host coordination
+        needed), then takes a disjoint covering stride of it — feed the
+        yielded host batches through ``multihost.make_global_batch`` to form
+        the global row-sharded batch.
+        """
+        if not 0 <= process_index < process_count:
+            raise ValueError(f"process_index {process_index} not in [0, {process_count})")
         tokenizer = tokenizer or get_default_tokenizer()
         order = np.arange(len(self.items))
         if shuffle:
             np.random.default_rng(seed + epoch).shuffle(order)
+        if process_count > 1:
+            # equal-length disjoint stride shards; trailing items that don't
+            # fill one batch on EVERY process are dropped so hosts stay in
+            # lockstep (a host yielding one batch more than its peers would
+            # deadlock the collectives)
+            per = len(order) // process_count
+            order = order[process_index * per : (process_index + 1) * per]
         end = len(order) - (len(order) % batch_size) if drop_remainder else len(order)
 
         stager = None

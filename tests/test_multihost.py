@@ -108,3 +108,47 @@ def test_two_process_training_step_exact():
 
     expected_loss = multihost_worker.run_train_step_single(2 * 2 * nproc)
     np.testing.assert_allclose(r0["train_loss"], expected_loss, rtol=1e-5)
+
+
+def test_dataset_process_sharding(tmp_path):
+    """Per-host data feeding: every process shuffles the same epoch order,
+    takes a disjoint equal-length stride, and yields the same number of
+    batches (lockstep — a ragged host would deadlock the collectives)."""
+    from PIL import Image
+
+    from evr_tpu.training.data import CaptionDataset
+
+    frames = tmp_path / "f"
+    frames.mkdir()
+    items = []
+    for i in range(10):
+        p = frames / f"{i}.jpg"
+        Image.fromarray(np.full((48, 48, 3), i * 20, np.uint8)).save(p)
+        items.append((p, f"caption {i}", i))  # label == item id
+    ds = object.__new__(CaptionDataset)
+    ds.base_dir = frames
+    ds.category_mapping = {}
+    ds.items = items
+
+    def labels(process_index, process_count, batch_size):
+        out = []
+        for b in ds.batches(
+            batch_size=batch_size, image_size=32, seed=7, epoch=3,
+            process_index=process_index, process_count=process_count,
+        ):
+            out.extend(int(x) for x in b["labels"])
+        return out
+
+    l0 = labels(0, 2, batch_size=2)
+    l1 = labels(1, 2, batch_size=2)
+    assert len(l0) == len(l1) == 4  # 5 per shard, trailing partial dropped
+    assert set(l0).isdisjoint(l1)
+    assert set(l0) | set(l1) <= set(range(10))
+    assert labels(0, 2, batch_size=2) == l0  # deterministic
+
+    # single-process default unchanged: full epoch coverage (8 of 10 at B=4)
+    full = labels(0, 1, batch_size=4)
+    assert len(full) == 8 and len(set(full)) == 8
+
+    with pytest.raises(ValueError):
+        next(iter(ds.batches(batch_size=2, process_index=2, process_count=2)))

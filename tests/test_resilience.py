@@ -100,3 +100,57 @@ def test_streaming_embed_matches_sync(tmp_path):
     stream_emb, stream_names = embed_folder_streaming(engine, frames, batch_size=3)
     assert stream_names == sync_names
     np.testing.assert_allclose(stream_emb, sync_emb, rtol=1e-5, atol=1e-6)
+
+
+def test_pipelined_folder_embed_matches_oneshot(tmp_path):
+    """`_embed_folder_pipelined` (chunked, double-buffered C++ staging) must
+    return exactly what a one-shot stage→encode of the same folder returns —
+    multiple chunks, a partial tail chunk, and an unreadable frame skipped
+    by the same contract."""
+    from PIL import Image
+
+    from evr_tpu.index import EmbeddingEngine
+    from evr_tpu.models.clip import CLIPConfig, TextConfig, VisionConfig
+    from evr_tpu.native import native_available
+
+    if not native_available():
+        pytest.skip("native staging library unavailable")
+
+    frames = tmp_path / "frames"
+    frames.mkdir()
+    rng = np.random.default_rng(0)
+    for i in range(11):
+        Image.fromarray(
+            (rng.random((48, 64, 3)) * 255).astype(np.uint8)
+        ).save(frames / f"{i:03d}.jpg")
+    (frames / "broken.jpg").write_bytes(b"nope")
+
+    small = CLIPConfig(
+        embed_dim=32,
+        vision=VisionConfig(image_size=64, patch_size=16, width=64, layers=2, heads=4),
+        text=TextConfig(width=64, layers=2, heads=4),
+    )
+    engine = EmbeddingEngine(cfg=small, batch_size=2)
+    candidates = sorted(p.name for p in frames.iterdir())
+
+    # one-shot reference: stage everything, then encode
+    staged, ok = engine._ensure_native_stager().stage_batch(
+        [frames / n for n in candidates]
+    )
+    ref_names = [candidates[i] for i in ok]
+    ref = engine.encode_staged_images(staged[ok], normalise=True)
+
+    seen = []
+    emb, names = engine._embed_folder_pipelined(
+        frames, candidates, normalise=True,
+        progress=lambda done, total: seen.append((done, total)),
+        chunk_frames=4,  # 3 chunks over 12 candidates, tail included
+    )
+    assert names == ref_names and "broken.jpg" not in names
+    np.testing.assert_allclose(emb, ref, rtol=1e-5, atol=1e-6)
+    assert seen[-1] == (12, 12)
+
+    # and embed_folder's fast path routes through the pipelined version
+    emb2, names2 = engine.embed_folder(frames)
+    assert names2 == ref_names
+    np.testing.assert_allclose(emb2, ref, rtol=1e-5, atol=1e-6)
