@@ -152,6 +152,97 @@ class AotEncoders:
         return np.asarray(self._text.call(params, jnp.asarray(tokens)))
 
 
+def config_from_manifest(manifest: dict) -> CLIPConfig:
+    """Rebuild the CLIPConfig recorded in a bundle manifest."""
+    from evr_tpu.models.clip import TextConfig, VisionConfig
+
+    c = dict(manifest["config"])
+    return CLIPConfig(
+        **{
+            **c,
+            "vision": VisionConfig(**c["vision"]),
+            "text": TextConfig(**c["text"]),
+        }
+    )
+
+
+class AotEngine:
+    """Serving-host engine backed by an AOT bundle — NO model code, no
+    tracer, no retrace on the boot path; just ``Exported.call``.
+
+    Implements the encode surface the retrieval stack consumes
+    (``get_text_features`` / ``encode_texts`` / ``encode_staged_images`` /
+    ``embed_folder``), so a ``FrameIndex`` + query flow runs on a host that
+    ships only the bundle + weights. All outputs are unit-norm (the form
+    retrieval consumes; the exported graphs normalize internally). The
+    fused one-dispatch ``TextSearcher`` path needs live tracing and stays
+    with ``index.engine.EmbeddingEngine``.
+    """
+
+    def __init__(self, bundle_dir, params, tokenizer=None, batch_size: int = 256):
+        self._enc = load_bundle(bundle_dir)
+        self.cfg = config_from_manifest(self._enc.manifest)
+        self.params = params
+        self.batch_size = batch_size
+        if tokenizer is None:
+            from evr_tpu.tokenizer import get_default_tokenizer
+
+            tokenizer = get_default_tokenizer()
+        self.tokenizer = tokenizer
+        self._text_cache: dict[str, np.ndarray] = {}
+
+    def encode_texts(self, texts, normalise: bool = True) -> np.ndarray:
+        tokens = self.tokenizer(list(texts), context_length=self.cfg.text.context_length)
+        return self._enc.encode_tokens(self.params, tokens)
+
+    def get_text_features(self, query: str) -> np.ndarray:
+        hit = self._text_cache.get(query)
+        if hit is None:
+            hit = self._text_cache[query] = self.encode_texts([query])[0]
+        return hit
+
+    def clear_text_cache(self) -> None:
+        self._text_cache.clear()
+
+    def encode_staged_images(self, staged_u8: np.ndarray, normalise: bool = True) -> np.ndarray:
+        outs = [
+            self._enc.encode_staged(self.params, staged_u8[i : i + self.batch_size])
+            for i in range(0, len(staged_u8), self.batch_size)
+        ]
+        return (
+            np.concatenate(outs, axis=0)
+            if outs
+            else np.zeros((0, self.cfg.embed_dim), np.float32)
+        )
+
+    def embed_folder(self, folder, normalise: bool = True, progress=None):
+        """Same sorted-by-filename contract as ``EmbeddingEngine.embed_folder``
+        (`Backend/services/embedding_service.py:452-505` parity)."""
+        import pathlib as _pl
+
+        from evr_tpu.index.engine import IMAGE_EXTENSIONS, stage_image_fast
+
+        folder = _pl.Path(folder)
+        candidates = sorted(
+            p.name for p in folder.iterdir() if p.suffix.lower() in IMAGE_EXTENSIONS
+        )
+        staged, names = [], []
+        for name in candidates:
+            try:
+                staged.append(stage_image_fast(folder / name, self.cfg.vision.image_size))
+            except (IOError, OSError):
+                continue
+            names.append(name)
+        emb = (
+            self.encode_staged_images(np.stack(staged))
+            if staged
+            else np.zeros((0, self.cfg.embed_dim), np.float32)
+        )
+        if progress:
+            progress(len(candidates), len(candidates))
+        return emb.astype(np.float32), names
+
+
 def load_bundle(bundle_dir) -> AotEncoders:
     d = pathlib.Path(bundle_dir)
     manifest = json.loads((d / "manifest.json").read_text())

@@ -102,3 +102,56 @@ def test_manifest_and_guards(bundle, tmp_path):
     (newer / "manifest.json").write_text(json.dumps(m))
     with pytest.raises(ValueError):
         load_bundle(newer)
+
+
+def test_aot_engine_end_to_end_retrieval(bundle, tmp_path, rng):
+    """A host with only the bundle + weights serves retrieval: embed a frame
+    folder via AotEngine, build a FrameIndex, run a text query — results
+    identical to the live-model path with the same params."""
+    from PIL import Image
+
+    from evr_tpu.index import FrameIndex
+    from evr_tpu.serving.aot import AotEngine
+
+    cfg, params, out = bundle
+    frames = tmp_path / "frames"
+    frames.mkdir()
+    for i in range(6):
+        Image.fromarray(
+            (rng.random((40, 40, 3)) * 255).astype(np.uint8)
+        ).save(frames / f"{i}.jpg")
+
+    eng = AotEngine(out, params)
+    assert eng.cfg.vision.image_size == cfg.vision.image_size
+    emb, names = eng.embed_folder(frames)
+    assert names == [f"{i}.jpg" for i in range(6)] and emb.shape == (6, 32)
+
+    idx = FrameIndex(embed_dim=cfg.embed_dim, pad_multiple=8)
+    idx.add_video("v", emb)
+    q = eng.get_text_features("a red frame")
+    hits = idx.search(q, top_k=3)[0]
+
+    # live-model reference path: identical staged pixels through the live
+    # jitted encoder (embed_folder would re-stage through the C++ bicubic
+    # path — a different, separately-tested staging pipeline)
+    from evr_tpu.index.engine import EmbeddingEngine, stage_image_fast
+
+    live = EmbeddingEngine(cfg=cfg, params=params, batch_size=4,
+                           compute_dtype=jnp.float32)
+    staged = np.stack(
+        [stage_image_fast(frames / n, cfg.vision.image_size) for n in names]
+    )
+    live_emb = live.encode_staged_images(staged, normalise=True)
+    cos = (emb * live_emb).sum(-1)
+    assert cos.min() >= 1 - 1e-5
+
+    q_live = live.get_text_features("a red frame")
+    idx2 = FrameIndex(embed_dim=cfg.embed_dim, pad_multiple=8)
+    idx2.add_video("v", live_emb)
+    hits_live = idx2.search(q_live, top_k=3)[0]
+    assert [h.frame_name for h in hits] == [h.frame_name for h in hits_live]
+
+    # text cache hits return the same vector
+    np.testing.assert_array_equal(
+        eng.get_text_features("a red frame"), eng.get_text_features("a red frame")
+    )
