@@ -77,6 +77,12 @@ class TrainConfig:
     # (pairwise sigmoid, arxiv 2303.15343 — adds a learnable logit_bias to
     # params['clip'], no global softmax; Trainer inits the bias to -10)
     contrastive_loss: str = "infonce"
+    # Preemption safety: autosave a resumable mid-epoch checkpoint every N
+    # train batches (0 disables). TPU pods are preemptible in production;
+    # pair with Trainer.install_preemption_autosave() so SIGTERM also
+    # triggers one final autosave before the process dies. The reference
+    # checkpoints per-epoch only (`clip_finetune_correct.py:518-545`).
+    save_every_steps: int = 0
     # FLIP-style random patch masking (arxiv 2212.00794): drop this fraction
     # of image patch tokens per example during TRAINING only — the vision
     # tower runs on (1-p)·grid²+1 tokens, a near-linear step speedup at
@@ -245,9 +251,13 @@ def make_train_step(
     return step, eval_step
 
 
+class PreemptionStop(Exception):
+    """Raised inside the train loop after a SIGTERM-triggered autosave."""
+
+
 class Trainer:
     """End-to-end fine-tune driver: epochs, validation, early stopping,
-    best/final checkpointing, resume."""
+    best/final checkpointing, resume (epoch-level and mid-epoch autosave)."""
 
     def __init__(
         self,
@@ -288,12 +298,25 @@ class Trainer:
             model_cfg, self.cls_cfg, self.cfg, self.optimizer, mesh
         )
         self.history: list[dict] = []
+        self._preempted = False
+
+    def install_preemption_autosave(self, signals=None) -> None:
+        """Make SIGTERM (the pod-preemption signal) set a flag the train
+        loop checks per batch: the next batch boundary writes a resumable
+        'autosave' checkpoint and fit() returns with ``preempted=True``
+        instead of dying mid-step."""
+        import signal as _signal
+
+        for s in signals or (_signal.SIGTERM,):
+            _signal.signal(s, lambda signum, frame: setattr(self, "_preempted", True))
 
     # -- checkpointing ----------------------------------------------------
     def _ckpt_dir(self, name: str) -> pathlib.Path:
         return pathlib.Path(self.cfg.save_dir).absolute() / name
 
-    def save_checkpoint(self, name: str, epoch: int, metrics: dict) -> None:
+    def save_checkpoint(
+        self, name: str, epoch: int, metrics: dict, extra: dict | None = None
+    ) -> None:
         import orbax.checkpoint as ocp
 
         path = self._ckpt_dir(name)
@@ -304,6 +327,7 @@ class Trainer:
             "step": int(self.state.step),
             "epoch": epoch,
             "metrics": {k: float(v) for k, v in metrics.items()},
+            **(extra or {}),
         }
         if path.exists():
             import shutil
@@ -348,12 +372,28 @@ class Trainer:
         return payload
 
     # -- loops ------------------------------------------------------------
-    def _run_epoch(self, batches, rng, train: bool = True) -> dict:
+    def _autosave(self, epoch: int, batches_done: int) -> None:
+        self.save_checkpoint(
+            "autosave", epoch, {}, extra={"batches_done": batches_done}
+        )
+
+    def _run_epoch(
+        self, batches, rng, train: bool = True,
+        epoch: int | None = None, skip_batches: int = 0,
+    ) -> dict:
+        """``skip_batches`` fast-forwards a deterministic epoch iterator to
+        resume mid-epoch from an autosave (the skipped batches are never
+        staged — itertools.islice drops them before the prefetch thread)."""
+        import itertools
+
         from .data import prefetch_batches
 
+        it = iter(batches)
+        if skip_batches:
+            it = itertools.islice(it, skip_batches, None)
         agg: dict[str, list[float]] = {}
         n = 0
-        for batch in prefetch_batches(batches):
+        for batch in prefetch_batches(it):
             batch = {k: jnp.asarray(v) for k, v in batch.items()}
             if train:
                 rng, sub = jax.random.split(rng)
@@ -363,6 +403,16 @@ class Trainer:
             for k, v in metrics.items():
                 agg.setdefault(k, []).append(float(v))
             n += 1
+            if train and epoch is not None:
+                done = skip_batches + n
+                if self._preempted:
+                    self._autosave(epoch, done)
+                    raise PreemptionStop
+                if (
+                    self.cfg.save_every_steps
+                    and done % self.cfg.save_every_steps == 0
+                ):
+                    self._autosave(epoch, done)
         return {k: float(np.mean(v)) for k, v in agg.items()} | {"batches": n}
 
     def plot_history(self, out_path) -> None:
@@ -439,14 +489,35 @@ class Trainer:
         best_epoch = -1
         patience = 0
         start_epoch = 0
+        resume_skip = 0
         if resume_from is not None:
             payload = self.restore_checkpoint(resume_from)
-            start_epoch = int(payload.get("epoch", -1)) + 1
-            self.log(f"resumed from {resume_from} at epoch {start_epoch}")
+            resume_skip = int(payload.get("batches_done", 0))
+            if resume_skip > 0:  # mid-epoch autosave: re-enter the SAME epoch
+                start_epoch = int(payload.get("epoch", 0))
+                self.log(
+                    f"resumed from {resume_from} mid-epoch {start_epoch} "
+                    f"(skipping {resume_skip} consumed batches)"
+                )
+            else:
+                start_epoch = int(payload.get("epoch", -1)) + 1
+                self.log(f"resumed from {resume_from} at epoch {start_epoch}")
         for epoch in range(start_epoch, self.cfg.epochs):
             t0 = time.time()
             rng, sub = jax.random.split(rng)
-            train_metrics = self._run_epoch(train_batches_fn(epoch), sub, train=True)
+            try:
+                train_metrics = self._run_epoch(
+                    train_batches_fn(epoch), sub, train=True, epoch=epoch,
+                    skip_batches=resume_skip if epoch == start_epoch else 0,
+                )
+            except PreemptionStop:
+                self.log("preempted — mid-epoch state autosaved to 'autosave'")
+                return {
+                    "preempted": True,
+                    "best_val_loss": best_val,
+                    "best_epoch": best_epoch,
+                    "history": self.history,
+                }
             row = {"epoch": epoch, **{f"train_{k}": v for k, v in train_metrics.items()}}
             if val_batches_fn is not None:
                 val_metrics = self._run_epoch(val_batches_fn(epoch), rng, train=False)
