@@ -38,9 +38,28 @@ def main(argv=None):
         help="FLIP-style random patch masking fraction during training "
         "(arxiv 2212.00794); 0.5 ≈ 1.7x faster steps at small quality cost",
     )
+    parser.add_argument(
+        "--fsdp", action="store_true",
+        help="shard params + optimizer state over the data axis (ZeRO-3; "
+        "bounded per-chip HBM at ViT-L/H scale)",
+    )
+    parser.add_argument(
+        "--save-every-steps", type=int, default=0,
+        help="mid-epoch autosave every N batches + SIGTERM autosave "
+        "(preemption safety); resume with --resume-from autosave",
+    )
+    parser.add_argument("--resume-from", default=None,
+                        help="checkpoint name under --save-dir (e.g. autosave)")
     args = parser.parse_args(argv)
 
     import jax
+
+    # Multi-host: joins the jax.distributed global device set when
+    # EVR_TPU_COORDINATOR/NUM_PROCESSES/PROCESS_ID are set (no-op otherwise);
+    # the mesh below then spans every process's chips.
+    from evr_tpu.parallel.multihost import bootstrap
+
+    process_index, process_count = bootstrap()
 
     from evr_tpu.models import (
         ClassifierConfig,
@@ -70,6 +89,12 @@ def main(argv=None):
     print(f"train={len(train_ds)} val={len(val_ds)} categories={train_ds.category_counts()}")
 
     mesh = None if args.no_mesh else get_mesh()
+    if args.batch_size % process_count:
+        raise SystemExit(
+            f"--batch-size {args.batch_size} (global) must divide over "
+            f"{process_count} processes"
+        )
+    per_proc_bs = args.batch_size // process_count
     steps_per_epoch = max(1, len(train_ds) // args.batch_size)
     tc = TrainConfig(
         seed=args.seed,
@@ -80,15 +105,20 @@ def main(argv=None):
         save_dir=args.save_dir,
         patch_drop=args.patch_drop,
         contrastive_loss=args.loss,
+        save_every_steps=args.save_every_steps,
     )
     trainer = Trainer(
         cfg, clip_params, tc, classifier_params=cls_params, mesh=mesh,
-        steps_per_epoch=steps_per_epoch,
+        steps_per_epoch=steps_per_epoch, fsdp=args.fsdp,
     )
+    if args.save_every_steps:
+        trainer.install_preemption_autosave()
     size = cfg.vision.image_size
+    shard = dict(process_index=process_index, process_count=process_count)
     result = trainer.fit(
-        lambda e: train_ds.batches(args.batch_size, size, epoch=e, seed=args.seed),
-        lambda e: val_ds.batches(args.batch_size, size, shuffle=False),
+        lambda e: train_ds.batches(per_proc_bs, size, epoch=e, seed=args.seed, **shard),
+        lambda e: val_ds.batches(per_proc_bs, size, shuffle=False, **shard),
+        resume_from=args.resume_from,
     )
     out = pathlib.Path(args.save_dir) / "history.json"
     out.parent.mkdir(parents=True, exist_ok=True)

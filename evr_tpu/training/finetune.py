@@ -269,7 +269,11 @@ class Trainer:
         mesh=None,
         steps_per_epoch: int = 1,
         log_fn: Callable[[str], None] = print,
+        fsdp: bool = False,
     ):
+        """``fsdp=True`` (requires ``mesh``) shards params + optimizer state
+        1/n-per-device along the data axis (ZeRO-3,
+        `evr_tpu.parallel.fsdp`) — same math, bounded per-chip HBM."""
         self.model_cfg = model_cfg
         self.cfg = cfg or TrainConfig()
         self.cls_cfg = cls_cfg or (
@@ -289,16 +293,36 @@ class Trainer:
             params = {**params, "clip": {**params["clip"], "logit_bias": jnp.float32(-10.0)}}
         params = jax.tree.map(jnp.asarray, params)
         self.optimizer = make_optimizer(self.cfg, params, steps_per_epoch)
-        self.state = TrainState(
-            params=params,
-            opt_state=self.optimizer.init(params),
-            step=jnp.zeros((), jnp.int32),
-        )
+        state_shardings = None
+        if fsdp:
+            if mesh is None:
+                raise ValueError("fsdp=True requires a mesh")
+            from evr_tpu.parallel.fsdp import fsdp_state_shardings, shard_tree
+
+            state_shardings = fsdp_state_shardings(params, self.optimizer, mesh)
+            params = shard_tree(params, state_shardings.params)
+            self.state = TrainState(
+                params=params,
+                opt_state=shard_tree(
+                    self.optimizer.init(params), state_shardings.opt_state
+                ),
+                step=jnp.zeros((), jnp.int32),
+            )
+        else:
+            self.state = TrainState(
+                params=params,
+                opt_state=self.optimizer.init(params),
+                step=jnp.zeros((), jnp.int32),
+            )
         self.train_step, self.eval_step = make_train_step(
-            model_cfg, self.cls_cfg, self.cfg, self.optimizer, mesh
+            model_cfg, self.cls_cfg, self.cfg, self.optimizer, mesh,
+            state_shardings=state_shardings,
         )
         self.history: list[dict] = []
         self._preempted = False
+        # one-process-per-host SPMD: each process feeds its slice of the
+        # global batch; _run_epoch glues them into global row-sharded arrays
+        self._multihost = mesh is not None and jax.process_count() > 1
 
     def install_preemption_autosave(self, signals=None) -> None:
         """Make SIGTERM (the pod-preemption signal) set a flag the train
@@ -319,6 +343,11 @@ class Trainer:
     ) -> None:
         import orbax.checkpoint as ocp
 
+        # Multi-host: orbax's save IS a collective (internal
+        # sync_global_processes barriers) — every process must call it with
+        # the same (replicated) values; orbax gates the actual file writes
+        # to the primary host. Only the pre-save cleanup is primary-only.
+        primary = (not self._multihost) or jax.process_index() == 0
         path = self._ckpt_dir(name)
         ckptr = ocp.StandardCheckpointer()
         path.parent.mkdir(parents=True, exist_ok=True)
@@ -329,19 +358,27 @@ class Trainer:
             "metrics": {k: float(v) for k, v in metrics.items()},
             **(extra or {}),
         }
-        if path.exists():
+        if primary and path.exists():
             import shutil
 
             shutil.rmtree(path)
+        if self._multihost:
+            from evr_tpu.parallel.multihost import barrier
+
+            barrier("evr-ckpt-clean")
         ckptr.save(path, payload)
         ckptr.wait_until_finished()
         # optimizer moments in a sibling dir (restored against an abstract
         # template so optax's namedtuple structure survives the round trip)
         opt_path = path.parent / f"{name}_opt"
-        if opt_path.exists():
+        if primary and opt_path.exists():
             import shutil
 
             shutil.rmtree(opt_path)
+        if self._multihost:
+            from evr_tpu.parallel.multihost import barrier
+
+            barrier("evr-ckpt-clean-opt")
         ckptr.save(opt_path, jax.tree.map(np.asarray, self.state.opt_state))
         ckptr.wait_until_finished()
 
@@ -394,7 +431,12 @@ class Trainer:
         agg: dict[str, list[float]] = {}
         n = 0
         for batch in prefetch_batches(it):
-            batch = {k: jnp.asarray(v) for k, v in batch.items()}
+            if self._multihost:
+                from evr_tpu.parallel.multihost import make_global_batch
+
+                batch = make_global_batch(self.mesh, batch)
+            else:
+                batch = {k: jnp.asarray(v) for k, v in batch.items()}
             if train:
                 rng, sub = jax.random.split(rng)
                 self.state, metrics = self.train_step(self.state, batch, sub)

@@ -132,7 +132,34 @@ def main() -> None:
     state, metrics = step(state, g_batch, jax.random.PRNGKey(0))
     train_loss = float(metrics["contrastive_loss"])
 
+    # 4) Trainer.fit across the process boundary: each process feeds its
+    # per-process batch slice; Trainer._multihost glues them to global
+    # arrays; only the coordinator writes the checkpoint.
+    import tempfile
+
+    from evr_tpu.training import Trainer
+
+    ckpt_dir = os.environ.get("EVR_TPU_TEST_CKPT_DIR") or tempfile.mkdtemp()
+    tc2 = TrainConfig(
+        compute_dtype="float32", patch_drop=0.0, batch_size=global_b,
+        epochs=1, freeze_layers=0, lr=1e-4,
+        save_dir=os.path.join(ckpt_dir, "mh_ckpt"),
+    )
+    trainer = Trainer(
+        tiny_cfg(), params["clip"], tc2, mesh=mesh, log_fn=lambda s: None
+    )
+    assert trainer._multihost
+    local_batch = {k: v[sl] for k, v in full_global_batch(global_b).items()}
+    fit_out = trainer.fit(lambda e: iter([local_batch]))
+    fit_loss = fit_out["history"][-1]["train_contrastive_loss"]
+
     mh.barrier("multihost-test-end")
+    # After the barrier every process must see the ONE checkpoint the
+    # coordinator wrote (non-coordinators' save_checkpoint is a guarded
+    # no-op — two orbax writers on the same path would collide).
+    ckpt_written = os.path.exists(
+        os.path.join(ckpt_dir, "mh_ckpt", "final_checkpoint")
+    )
     print(
         "MHRESULT "
         + json.dumps(
@@ -143,6 +170,8 @@ def main() -> None:
                 "infonce": infonce,
                 "bc_ok": bc_ok,
                 "train_loss": train_loss,
+                "fit_loss": fit_loss,
+                "ckpt_written": ckpt_written,
             }
         ),
         flush=True,

@@ -49,7 +49,7 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-def test_two_process_training_step_exact():
+def test_two_process_training_step_exact(tmp_path):
     nproc = 2
     port = _free_port()
     procs = []
@@ -59,6 +59,7 @@ def test_two_process_training_step_exact():
             EVR_TPU_COORDINATOR=f"localhost:{port}",
             EVR_TPU_NUM_PROCESSES=str(nproc),
             EVR_TPU_PROCESS_ID=str(pid),
+            EVR_TPU_TEST_CKPT_DIR=str(tmp_path),
             # `python tests/multihost_worker.py` puts tests/ (not the repo
             # root) on sys.path[0]; make evr_tpu importable
             PYTHONPATH=f"{REPO}:{os.environ.get('PYTHONPATH', '')}",
@@ -108,6 +109,16 @@ def test_two_process_training_step_exact():
 
     expected_loss = multihost_worker.run_train_step_single(2 * 2 * nproc)
     np.testing.assert_allclose(r0["train_loss"], expected_loss, rtol=1e-5)
+
+    # Trainer.fit drove the same step through the _multihost glue: its
+    # pre-update epoch loss equals the raw step's (loss is computed before
+    # the update and is rng-free without classifier/patch-drop), and ONLY
+    # the coordinator wrote the checkpoint.
+    np.testing.assert_allclose(r0["fit_loss"], expected_loss, rtol=1e-5)
+    np.testing.assert_allclose(r1["fit_loss"], expected_loss, rtol=1e-5)
+    # the coordinator's single write is visible to both after the barrier
+    assert r0["ckpt_written"] and r1["ckpt_written"]
+    assert (tmp_path / "mh_ckpt" / "final_checkpoint").exists()
 
 
 def test_dataset_process_sharding(tmp_path):
