@@ -132,6 +132,24 @@ def main() -> None:
     state, metrics = step(state, g_batch, jax.random.PRNGKey(0))
     train_loss = float(metrics["contrastive_loss"])
 
+    # 3b) the SAME step fully sharded (fsdp/ZeRO-3) across the process
+    # boundary: params + AdamW moments live 1/4-per-device spanning BOTH
+    # processes; layout only — the loss must equal the dp step's.
+    from evr_tpu.parallel.fsdp import fsdp_state_shardings, shard_tree
+
+    opt_f = make_optimizer(tc, params)
+    sh_f = fsdp_state_shardings(params, opt_f, mesh, min_size=256)
+    params_f = shard_tree(params, sh_f.params)
+    state_f = TrainState(
+        params=params_f,
+        opt_state=shard_tree(opt_f.init(params_f), sh_f.opt_state),
+        step=jnp.zeros((), jnp.int32),
+    )
+    step_f, _ = make_train_step(cfg, None, tc, opt_f, mesh=mesh, state_shardings=sh_f)
+    g_batch_f = mh.make_global_batch(mesh, {k: v[sl] for k, v in batch.items()})
+    _, m_f = step_f(state_f, g_batch_f, jax.random.PRNGKey(0))
+    fsdp_loss = float(m_f["contrastive_loss"])
+
     # 4) Trainer.fit across the process boundary: each process feeds its
     # per-process batch slice; Trainer._multihost glues them to global
     # arrays; only the coordinator writes the checkpoint.
@@ -170,6 +188,7 @@ def main() -> None:
                 "infonce": infonce,
                 "bc_ok": bc_ok,
                 "train_loss": train_loss,
+                "fsdp_loss": fsdp_loss,
                 "fit_loss": fit_loss,
                 "ckpt_written": ckpt_written,
             }

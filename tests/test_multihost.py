@@ -110,6 +110,10 @@ def test_two_process_training_step_exact(tmp_path):
     expected_loss = multihost_worker.run_train_step_single(2 * 2 * nproc)
     np.testing.assert_allclose(r0["train_loss"], expected_loss, rtol=1e-5)
 
+    # fsdp/ZeRO-3 spanning the OS-process boundary is layout-only: same loss
+    np.testing.assert_allclose(r0["fsdp_loss"], expected_loss, rtol=1e-5)
+    np.testing.assert_allclose(r1["fsdp_loss"], expected_loss, rtol=1e-5)
+
     # Trainer.fit drove the same step through the _multihost glue: its
     # pre-update epoch loss equals the raw step's (loss is computed before
     # the update and is rng-free without classifier/patch-drop), and ONLY
