@@ -167,3 +167,38 @@ def test_dataset_process_sharding(tmp_path):
 
     with pytest.raises(ValueError):
         next(iter(ds.batches(batch_size=2, process_index=2, process_count=2)))
+
+
+def test_pod_launch_tool(tmp_path):
+    """`tools/pod_launch` wires the bootstrap env contract: a 2-process
+    launch agrees on one 4-device global set and both workers see their
+    assigned process ids; a failing worker fails the launch."""
+    from evr_tpu.tools.pod_launch import launch
+
+    probe = tmp_path / "probe.py"
+    probe.write_text(
+        "import os\n"
+        "os.environ.setdefault('JAX_PLATFORMS', 'cpu')\n"
+        "import jax\n"
+        "jax.config.update('jax_platforms', 'cpu')\n"
+        "import sys; sys.path.insert(0, os.environ['EVR_REPO'])\n"
+        "from evr_tpu.parallel.multihost import bootstrap\n"
+        "pid, n = bootstrap()\n"
+        "assert n == 2 and pid == int(os.environ['EVR_TPU_PROCESS_ID'])\n"
+        "assert jax.device_count() == 4, jax.device_count()\n"
+        "print(f'PROBE_OK {pid}')\n"
+    )
+    env_bak = os.environ.get("EVR_REPO")
+    os.environ["EVR_REPO"] = str(REPO)
+    try:
+        rc = launch([sys.executable, str(probe)], num_processes=2, cpu_devices=2)
+    finally:
+        if env_bak is None:
+            os.environ.pop("EVR_REPO", None)
+        else:
+            os.environ["EVR_REPO"] = env_bak
+    assert rc == 0
+
+    bad = tmp_path / "bad.py"
+    bad.write_text("import sys; sys.exit(3)\n")
+    assert launch([sys.executable, str(bad)], num_processes=2, cpu_devices=1) == 3
