@@ -32,6 +32,15 @@ MODEL_REGISTRY: dict[str, CLIPConfig] = {
         vision=VisionConfig(image_size=336, patch_size=14, width=1024, layers=24, heads=16),
         text=TextConfig(width=768, layers=12, heads=12),
     ),
+    # Tiny smoke-test geometry (NOT a reference model): lets every CLI —
+    # finetune, pod_launch recipes, demo — run end-to-end on a dev box/CI
+    # in seconds. Full 49408 vocab so the real tokenizer's ids stay in
+    # range; towers are minimal.
+    "ViT-Tiny-Test": CLIPConfig(
+        embed_dim=32,
+        vision=VisionConfig(image_size=64, patch_size=16, width=64, layers=2, heads=4),
+        text=TextConfig(context_length=77, vocab_size=49408, width=64, layers=2, heads=4),
+    ),
     # OpenCLIP laion2B tower in the reference's eval zoo (`compare_models.py`
     # model list); plain GELU rather than quickGELU.
     "ViT-H-14": CLIPConfig(

@@ -52,7 +52,16 @@ def main(argv=None):
                         help="checkpoint name under --save-dir (e.g. autosave)")
     args = parser.parse_args(argv)
 
+    import os
+
     import jax
+
+    # Honor JAX_PLATFORMS at CONFIG level: some hosts force-register an
+    # accelerator platform via sitecustomize, which overrides the env var —
+    # pod-simulation workers (pod_launch --cpu-devices) must still land on
+    # cpu or N processes would contend for one real chip.
+    if os.environ.get("JAX_PLATFORMS"):
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
 
     # Multi-host: joins the jax.distributed global device set when
     # EVR_TPU_COORDINATOR/NUM_PROCESSES/PROCESS_ID are set (no-op otherwise);
@@ -60,6 +69,12 @@ def main(argv=None):
     from evr_tpu.parallel.multihost import bootstrap
 
     process_index, process_count = bootstrap()
+
+    # AFTER bootstrap: enabling the cache queries the backend, and XLA must
+    # not initialize before jax.distributed joins the cluster.
+    from evr_tpu.utils.compile_cache import enable_compile_cache
+
+    enable_compile_cache()
 
     from evr_tpu.models import (
         ClassifierConfig,
@@ -120,9 +135,10 @@ def main(argv=None):
         lambda e: val_ds.batches(per_proc_bs, size, shuffle=False, **shard),
         resume_from=args.resume_from,
     )
-    out = pathlib.Path(args.save_dir) / "history.json"
-    out.parent.mkdir(parents=True, exist_ok=True)
-    out.write_text(json.dumps(result, indent=2))
+    if process_index == 0:  # one writer; every process computed identical SPMD results
+        out = pathlib.Path(args.save_dir) / "history.json"
+        out.parent.mkdir(parents=True, exist_ok=True)
+        out.write_text(json.dumps(result, indent=2))
     print(f"best val loss {result['best_val_loss']:.4f} @ epoch {result['best_epoch']}")
 
 

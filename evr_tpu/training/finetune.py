@@ -293,13 +293,15 @@ class Trainer:
             params = {**params, "clip": {**params["clip"], "logit_bias": jnp.float32(-10.0)}}
         params = jax.tree.map(jnp.asarray, params)
         self.optimizer = make_optimizer(self.cfg, params, steps_per_epoch)
-        state_shardings = None
+        self._state_shardings = state_shardings = None
         if fsdp:
             if mesh is None:
                 raise ValueError("fsdp=True requires a mesh")
             from evr_tpu.parallel.fsdp import fsdp_state_shardings, shard_tree
 
-            state_shardings = fsdp_state_shardings(params, self.optimizer, mesh)
+            self._state_shardings = state_shardings = fsdp_state_shardings(
+                params, self.optimizer, mesh
+            )
             params = shard_tree(params, state_shardings.params)
             self.state = TrainState(
                 params=params,
@@ -351,8 +353,21 @@ class Trainer:
         path = self._ckpt_dir(name)
         ckptr = ocp.StandardCheckpointer()
         path.parent.mkdir(parents=True, exist_ok=True)
+
+        def to_host(tree):
+            # fsdp leaves span processes in multihost runs — np.asarray on a
+            # non-addressable array raises; process_allgather replicates the
+            # global value onto every host first.
+            if self._multihost:
+                from jax.experimental import multihost_utils
+
+                return jax.tree.map(
+                    np.asarray, multihost_utils.process_allgather(tree, tiled=True)
+                )
+            return jax.tree.map(np.asarray, tree)
+
         payload = {
-            "params": jax.tree.map(np.asarray, self.state.params),
+            "params": to_host(self.state.params),
             "step": int(self.state.step),
             "epoch": epoch,
             "metrics": {k: float(v) for k, v in metrics.items()},
@@ -379,7 +394,7 @@ class Trainer:
             from evr_tpu.parallel.multihost import barrier
 
             barrier("evr-ckpt-clean-opt")
-        ckptr.save(opt_path, jax.tree.map(np.asarray, self.state.opt_state))
+        ckptr.save(opt_path, to_host(self.state.opt_state))
         ckptr.wait_until_finished()
 
     def restore_checkpoint(self, name: str) -> dict:
@@ -390,7 +405,7 @@ class Trainer:
 
         ckptr = ocp.StandardCheckpointer()
         payload = ckptr.restore(self._ckpt_dir(name))
-        params = jax.tree.map(jnp.asarray, payload["params"])
+        params = payload["params"]  # host numpy tree
         opt_path = self._ckpt_dir(f"{name}_opt")
         if opt_path.exists():
             template = self.optimizer.init(params)
@@ -401,6 +416,16 @@ class Trainer:
             opt_state = ckptr.restore(opt_path, abstract)
         else:  # older checkpoints: re-init moments
             opt_state = self.optimizer.init(params)
+        if self._state_shardings is not None:
+            # fsdp trainer: place the restored host values straight into the
+            # sharded layout (each device materializes only its 1/n slice)
+            params = jax.device_put(params, self._state_shardings.params)
+            opt_state = jax.device_put(opt_state, self._state_shardings.opt_state)
+        elif not self._multihost:
+            params = jax.tree.map(jnp.asarray, params)
+        # multihost dp: leave host numpy — the jitted step's in_shardings
+        # globalize replicated inputs; jnp.asarray would COMMIT leaves to
+        # one local device and conflict with the multi-process sharding
         self.state = TrainState(
             params=params,
             opt_state=opt_state,
