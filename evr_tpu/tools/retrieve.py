@@ -33,22 +33,55 @@ def main(argv=None):
     )
     parser.add_argument("--output", default="retrieval_results.json")
     parser.add_argument("--grid", default=None, help="optional path for a result-grid PNG")
+    parser.add_argument(
+        "--aot-bundle", default=None,
+        help="serve from an AOT StableHLO encoder bundle (serving/aot.py) — "
+        "no model code runs; geometry comes from the bundle manifest, "
+        "weights from --checkpoint (random-init demo otherwise)",
+    )
     args = parser.parse_args(argv)
 
     import numpy as np
 
     from evr_tpu.index import EmbeddingEngine, FrameIndex
 
-    engine = EmbeddingEngine(args.model)
-    if args.checkpoint:
-        engine.load_finetuned(args.checkpoint)
-        engine.set_active_model("finetuned")
+    if args.aot_bundle:
+        if args.retrieval_mode == "classification" or args.violence_filter is not None:
+            parser.error(
+                "--aot-bundle supports contrastive retrieval only (the "
+                "bundle carries the two encoders, not a classifier head)"
+            )
+        import jax
+
+        from evr_tpu.serving.aot import AotEngine, config_from_manifest
+
+        manifest = json.loads(
+            (pathlib.Path(args.aot_bundle) / "manifest.json").read_text()
+        )
+        cfg = config_from_manifest(manifest)
+        if args.checkpoint:
+            from evr_tpu.models.torch_import import load_checkpoint
+
+            params = load_checkpoint(args.checkpoint)["clip"]
+        else:
+            from evr_tpu.models import init_clip_params
+
+            print("WARNING: no --checkpoint with --aot-bundle; random-init "
+                  "weights (demo/smoke only)")
+            params = init_clip_params(jax.random.PRNGKey(0), cfg)
+        engine = AotEngine(args.aot_bundle, params)
+    else:
+        engine = EmbeddingEngine(args.model)
+        if args.checkpoint:
+            engine.load_finetuned(args.checkpoint)
+            engine.set_active_model("finetuned")
 
     emb, names = engine.embed_folder(args.frames_dir)
     index = FrameIndex(embed_dim=engine.cfg.embed_dim)
     index.add_video("query_set", emb, names)
 
-    probs = engine.classify(emb)  # None if no trained head
+    # None if no trained head (AotEngine has no classifier by design)
+    probs = engine.classify(emb) if hasattr(engine, "classify") else None
 
     all_results = {}
     for query in args.queries:

@@ -155,3 +155,31 @@ def test_aot_engine_end_to_end_retrieval(bundle, tmp_path, rng):
     np.testing.assert_array_equal(
         eng.get_text_features("a red frame"), eng.get_text_features("a red frame")
     )
+
+
+def test_retrieve_cli_aot_bundle(bundle, tmp_path, rng, capsys):
+    """`tools/retrieve --aot-bundle` runs the full retrieval flow from a
+    bundle: geometry from the manifest, no live model code."""
+    from PIL import Image
+
+    from evr_tpu.tools.retrieve import main as retrieve_main
+
+    cfg, params, out = bundle
+    frames = tmp_path / "frames"
+    frames.mkdir()
+    for i in range(5):
+        Image.fromarray(
+            (rng.random((40, 40, 3)) * 255).astype(np.uint8)
+        ).save(frames / f"{i}.jpg")
+    result = tmp_path / "res.json"
+    retrieve_main([
+        "--frames-dir", str(frames),
+        "--queries", "a frame", "another frame",
+        "--aot-bundle", str(out),
+        "--top-k", "3",
+        "--output", str(result),
+    ])
+    data = json.loads(result.read_text())
+    assert set(data) == {"a frame", "another frame"}
+    assert len(data["a frame"]) == 3
+    assert all("similarity" in r and "frame" in r for r in data["a frame"])
