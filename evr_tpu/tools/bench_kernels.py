@@ -250,6 +250,9 @@ def bench_roofline(reps: int) -> None:
 
 
 def main() -> None:
+    from evr_tpu.utils.platform_pin import pin_platform_from_env
+
+    pin_platform_from_env()
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("what", choices=["block", "attention", "encode", "int8", "sweep", "roofline", "all"])
     ap.add_argument("--reps", type=int, default=20, help="chained applications per dispatch")

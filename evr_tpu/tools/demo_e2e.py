@@ -46,6 +46,9 @@ def _make_synthetic_frames(out_dir: pathlib.Path, n: int) -> None:
 
 
 def main(argv=None):
+    from evr_tpu.utils.platform_pin import pin_platform_from_env
+
+    pin_platform_from_env()
     parser = argparse.ArgumentParser(description="end-to-end retrieval slice")
     parser.add_argument("--frames-dir", default=None)
     parser.add_argument("--synthetic", action="store_true")

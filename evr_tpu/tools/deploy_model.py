@@ -203,6 +203,9 @@ class RoboflowPublisher:
 
 
 def main(argv=None) -> None:
+    from evr_tpu.utils.platform_pin import pin_platform_from_env
+
+    pin_platform_from_env()
     ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
     ap.add_argument("model_path")
     ap.add_argument("--model-type", required=True)

@@ -14,6 +14,9 @@ import json
 
 
 def main(argv=None):
+    from evr_tpu.utils.platform_pin import pin_platform_from_env
+
+    pin_platform_from_env()
     parser = argparse.ArgumentParser(description="training pipeline diagnostics")
     parser.add_argument("--model", default="ViT-B/32")
     parser.add_argument("--checkpoint", default=None)

@@ -12,6 +12,9 @@ import argparse
 
 
 def main(argv=None):
+    from evr_tpu.utils.platform_pin import pin_platform_from_env
+
+    pin_platform_from_env()
     parser = argparse.ArgumentParser(description="retrieval benchmark")
     parser.add_argument("--images-dir", required=True)
     parser.add_argument("--captions-csv", default=None, help="Flickr30k-style CSV")
@@ -27,6 +30,13 @@ def main(argv=None):
         metavar="CLASS=DIR",
         help="labelled folders (e.g. Violence=imgs/v NonViolence=imgs/n) — "
         "runs the classification benchmark instead of retrieval",
+    )
+    parser.add_argument(
+        "--zeroshot",
+        action="store_true",
+        help="with --classification-dirs: classify with prompt-ensembled "
+        "class-name text embeddings (the CLIP paper's zero-shot transfer) "
+        "instead of a trained head/probe",
     )
     args = parser.parse_args(argv)
 
@@ -95,14 +105,26 @@ def _run_classification(args):
     for model_name in engine.available_models():
         engine.set_active_model(model_name)
         feats = engine.encode_image_files(paths, normalise=True)
-        classifier_fn = (
-            engine.classify
-            if engine.models[model_name].get("classifier") is not None
-            else None
-        )
-        report = evaluate_classification(
-            feats, labels, n_classes=len(classes), classifier_fn=classifier_fn
-        )
+        if args.zeroshot:
+            from evr_tpu.evaluation.zeroshot import (
+                build_zeroshot_classifier,
+                evaluate_zeroshot,
+            )
+
+            W = build_zeroshot_classifier(
+                lambda prompts: engine.encode_texts(prompts, normalise=False),
+                classes,
+            )
+            report = {"mode": "zeroshot", **evaluate_zeroshot(feats, labels, W)}
+        else:
+            classifier_fn = (
+                engine.classify
+                if engine.models[model_name].get("classifier") is not None
+                else None
+            )
+            report = evaluate_classification(
+                feats, labels, n_classes=len(classes), classifier_fn=classifier_fn
+            )
         results[model_name] = report
         print(
             f"{model_name} [{report['mode']}]: acc={report['accuracy']:.4f} "

@@ -13,6 +13,9 @@ import pathlib
 
 
 def main(argv=None):
+    from evr_tpu.utils.platform_pin import pin_platform_from_env
+
+    pin_platform_from_env()
     parser = argparse.ArgumentParser(description="export frame embeddings")
     parser.add_argument("--frames-dir", required=True)
     parser.add_argument("--out", required=True, help="output .npy path")

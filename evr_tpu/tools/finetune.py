@@ -39,6 +39,13 @@ def main(argv=None):
         "(arxiv 2212.00794); 0.5 ≈ 1.7x faster steps at small quality cost",
     )
     parser.add_argument(
+        "--lora-rank", type=int, default=0,
+        help="LoRA parameter-efficient fine-tune (arxiv 2106.09685): train "
+        "rank-r adapters on the block linears, base CLIP frozen; a merged "
+        "ordinary checkpoint is written to <save-dir>/lora_merged",
+    )
+    parser.add_argument("--lora-alpha", type=float, default=16.0)
+    parser.add_argument(
         "--fsdp", action="store_true",
         help="shard params + optimizer state over the data axis (ZeRO-3; "
         "bounded per-chip HBM at ViT-L/H scale)",
@@ -52,16 +59,14 @@ def main(argv=None):
                         help="checkpoint name under --save-dir (e.g. autosave)")
     args = parser.parse_args(argv)
 
-    import os
-
     import jax
 
-    # Honor JAX_PLATFORMS at CONFIG level: some hosts force-register an
-    # accelerator platform via sitecustomize, which overrides the env var —
-    # pod-simulation workers (pod_launch --cpu-devices) must still land on
-    # cpu or N processes would contend for one real chip.
-    if os.environ.get("JAX_PLATFORMS"):
-        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+    # Honor JAX_PLATFORMS at CONFIG level (see utils.platform_pin):
+    # pod-simulation workers (pod_launch --cpu-devices) must land on cpu
+    # or N processes would contend for one real chip.
+    from evr_tpu.utils.platform_pin import pin_platform_from_env
+
+    pin_platform_from_env()
 
     # Multi-host: joins the jax.distributed global device set when
     # EVR_TPU_COORDINATOR/NUM_PROCESSES/PROCESS_ID are set (no-op otherwise);
@@ -121,6 +126,8 @@ def main(argv=None):
         patch_drop=args.patch_drop,
         contrastive_loss=args.loss,
         save_every_steps=args.save_every_steps,
+        lora_rank=args.lora_rank,
+        lora_alpha=args.lora_alpha,
     )
     trainer = Trainer(
         cfg, clip_params, tc, classifier_params=cls_params, mesh=mesh,
@@ -139,6 +146,21 @@ def main(argv=None):
         out = pathlib.Path(args.save_dir) / "history.json"
         out.parent.mkdir(parents=True, exist_ok=True)
         out.write_text(json.dumps(result, indent=2))
+        if args.lora_rank > 0 and not result.get("preempted"):
+            # fold adapters → an ordinary CLIP checkpoint any surface serves
+            import numpy as np
+            import orbax.checkpoint as ocp
+
+            merged = jax.tree.map(np.asarray, trainer.merged_clip_params())
+            path = pathlib.Path(args.save_dir).absolute() / "lora_merged"
+            if path.exists():
+                import shutil
+
+                shutil.rmtree(path)
+            ckptr = ocp.StandardCheckpointer()
+            ckptr.save(path, {"params": merged})
+            ckptr.wait_until_finished()
+            print(f"merged LoRA checkpoint -> {path}")
     print(f"best val loss {result['best_val_loss']:.4f} @ epoch {result['best_epoch']}")
 
 

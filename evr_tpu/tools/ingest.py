@@ -11,6 +11,9 @@ import argparse
 
 
 def main(argv=None):
+    from evr_tpu.utils.platform_pin import pin_platform_from_env
+
+    pin_platform_from_env()
     parser = argparse.ArgumentParser(description="ingest videos into a data root")
     parser.add_argument("videos", nargs="+")
     parser.add_argument("--data-root", default="data")

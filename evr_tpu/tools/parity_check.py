@@ -55,6 +55,9 @@ def load_any_checkpoint(path: str):
 
 
 def main(argv=None):
+    from evr_tpu.utils.platform_pin import pin_platform_from_env
+
+    pin_platform_from_env()
     parser = argparse.ArgumentParser(description="golden-fixture parity check")
     parser.add_argument("--checkpoint", default=None,
                         help="real ViT-B/32 weights (.pt or HF dir)")

@@ -22,6 +22,9 @@ import pathlib
 
 
 def main(argv=None):
+    from evr_tpu.utils.platform_pin import pin_platform_from_env
+
+    pin_platform_from_env()
     parser = argparse.ArgumentParser(description="SCST caption-RL fine-tune")
     parser.add_argument("--embeddings", required=True, help="(N, D) .npy of frame embeddings")
     parser.add_argument("--captions", default=None, help="JSON list of captions aligned with rows (XE warm start)")

@@ -89,6 +89,13 @@ class TrainConfig:
     # small contrastive-quality cost. 0.0 disables (inference always runs
     # the full sequence).
     patch_drop: float = 0.0
+    # LoRA parameter-efficient fine-tuning (arxiv 2106.09685,
+    # `training.lora`): rank > 0 freezes the whole base CLIP (logit_scale
+    # stays trainable) and trains rank-r adapters on the block linears,
+    # merged into the dense weights inside the jitted step. 0 disables.
+    lora_rank: int = 0
+    lora_alpha: float = 16.0
+    lora_targets: tuple[str, ...] = ("attn.qkv", "attn.out", "mlp.fc", "mlp.proj")
 
 
 @chex.dataclass
@@ -180,6 +187,13 @@ def make_train_step(
     n_keep = max(1, int(round(n_patches * (1.0 - cfg.patch_drop))))
 
     def loss_fn(params, batch, rng, train: bool = True):
+        clip_p = params["clip"]
+        if "lora" in params:
+            # fold the adapters into the dense kernels inside the traced
+            # program; grads reach the rank-r factors through the merge
+            from .lora import merge_lora
+
+            clip_p = merge_lora(clip_p, params["lora"], cfg.lora_alpha)
         x = batch["images"].astype(jnp.float32) / 255.0
         x = (x - mean) / std
         patch_keep = None
@@ -187,10 +201,8 @@ def make_train_step(
             rng, drop_rng = jax.random.split(rng)
             u = jax.random.uniform(drop_rng, (x.shape[0], n_patches))
             patch_keep = jnp.argsort(u, axis=-1)[:, :n_keep].astype(jnp.int32)
-        img = encode_image(
-            params["clip"], model_cfg, x, dtype=dtype, patch_keep=patch_keep
-        )
-        txt = encode_text(params["clip"], model_cfg, batch["tokens"], dtype=dtype)
+        img = encode_image(clip_p, model_cfg, x, dtype=dtype, patch_keep=patch_keep)
+        txt = encode_text(clip_p, model_cfg, batch["tokens"], dtype=dtype)
         img_n = img / jnp.linalg.norm(img, axis=-1, keepdims=True)
         txt_n = txt / jnp.linalg.norm(txt, axis=-1, keepdims=True)
         cls_logits = None
@@ -202,14 +214,14 @@ def make_train_step(
         loss, metrics = combined_clip_loss(
             img_n,
             txt_n,
-            params["clip"]["logit_scale"],
+            clip_p["logit_scale"],
             class_logits=cls_logits,
             class_labels=batch.get("labels"),
             contrastive_weight=cfg.contrastive_weight,
             classification_weight=cfg.classification_weight,
             label_smoothing=cfg.label_smoothing,
             contrastive_impl=cfg.contrastive_loss,
-            logit_bias=params["clip"].get("logit_bias"),
+            logit_bias=clip_p.get("logit_bias"),
         )
         return loss, metrics
 
@@ -291,6 +303,15 @@ class Trainer:
             # SigLIP's learnable bias, init -10 (keeps early sigmoid targets
             # mostly-negative-pair calibrated — arxiv 2303.15343 §3)
             params = {**params, "clip": {**params["clip"], "logit_bias": jnp.float32(-10.0)}}
+        if self.cfg.lora_rank > 0:
+            from .lora import init_lora
+
+            params["lora"] = init_lora(
+                jax.random.PRNGKey(self.cfg.seed + 1),
+                params["clip"],
+                self.cfg.lora_rank,
+                targets=self.cfg.lora_targets,
+            )
         params = jax.tree.map(jnp.asarray, params)
         self.optimizer = make_optimizer(self.cfg, params, steps_per_epoch)
         self._state_shardings = state_shardings = None
@@ -325,6 +346,18 @@ class Trainer:
         # one-process-per-host SPMD: each process feeds its slice of the
         # global batch; _run_epoch glues them into global row-sharded arrays
         self._multihost = mesh is not None and jax.process_count() > 1
+
+    def merged_clip_params(self):
+        """The CLIP params the model *serves*: with LoRA active, adapters
+        folded into the dense kernels (`training.lora.merge_lora`) — an
+        ordinary checkpoint every downstream surface consumes as-is; the
+        base params otherwise."""
+        params = self.state.params
+        if "lora" in params:
+            from .lora import merge_lora
+
+            return merge_lora(params["clip"], params["lora"], self.cfg.lora_alpha)
+        return params["clip"]
 
     def install_preemption_autosave(self, signals=None) -> None:
         """Make SIGTERM (the pod-preemption signal) set a flag the train
@@ -525,18 +558,19 @@ class Trainer:
         )
         mean = np.asarray(CLIP_MEAN, np.float32)
         std = np.asarray(CLIP_STD, np.float32)
+        clip_p = self.merged_clip_params()
         imgs, txts = [], []
         for batch in batches:
             x = (np.asarray(batch["images"], np.float32) / 255.0 - mean) / std
             imgs.append(
                 np.asarray(
-                    encode_image(self.state.params["clip"], self.model_cfg, jnp.asarray(x), dtype=dtype)
+                    encode_image(clip_p, self.model_cfg, jnp.asarray(x), dtype=dtype)
                 )
             )
             txts.append(
                 np.asarray(
                     encode_text(
-                        self.state.params["clip"], self.model_cfg,
+                        clip_p, self.model_cfg,
                         jnp.asarray(batch["tokens"]), dtype=dtype,
                     )
                 )

@@ -102,10 +102,21 @@ def param_group_labels(params: dict, freeze_layers: int = 0) -> Any:
     'visual' in name → visual; 'transformer' in name → text — which in the
     torch model matches only text resblocks; classifier → classifier;
     else → other, incl. logit_scale, token_embedding, projections).
+
+    LoRA mode (a ``"lora"`` subtree present — `training.lora`): the entire
+    base CLIP tree is frozen except the scalar calibration leaves
+    (logit_scale / SigLIP logit_bias); adapters take their tower's LR group
+    so the text ×0.5 scale still applies. optax.set_to_zero keeps no moments
+    for frozen leaves, so optimizer memory scales with the adapters only.
     """
     frozen = {("clip",) + p for p in freeze_paths(params.get("clip", {}), freeze_layers)}
+    lora_mode = "lora" in params
 
     def label(path: Path, _leaf):
+        if path[0] == "lora":
+            return "visual" if path[1] == "visual" else "text"
+        if lora_mode and path[0] == "clip":
+            return "other" if path[1] in ("logit_scale", "logit_bias") else "frozen"
         if path in frozen:
             return "frozen"
         if path[0] == "classifier":
