@@ -69,6 +69,36 @@ def stage_image_fast(path, image_size: int = 224) -> np.ndarray:
     return stage_array_fast(np.ascontiguousarray(img[:, :, ::-1]), image_size)
 
 
+def load_orbax_checkpoint(path):
+    """Load a Trainer orbax checkpoint for serving.
+
+    Returns ``(clip_params, moe_cfg_or_None)``: MoE checkpoints are
+    self-describing (``Trainer.save_checkpoint`` embeds the MoEConfig),
+    so ``EmbeddingEngine(params=p, moe=m)`` serves either kind:
+
+    >>> p, m = load_orbax_checkpoint("checkpoints/best")
+    >>> engine = EmbeddingEngine("ViT-B/32", params=p, moe=m)
+    """
+    import orbax.checkpoint as ocp
+
+    payload = ocp.StandardCheckpointer().restore(str(path))
+    params = payload["params"]
+    clip_params = params.get("clip", params) if isinstance(params, dict) else params
+    moe_cfg = None
+    if payload.get("moe"):
+        from evr_tpu.models.moe import MoEConfig
+
+        raw = payload["moe"]  # orbax may hand back numpy scalars
+        moe_cfg = MoEConfig(
+            n_experts=int(raw["n_experts"]),
+            router_k=int(raw["router_k"]),
+            capacity_factor=float(raw["capacity_factor"]),
+            moe_every=int(raw["moe_every"]),
+            aux_weight=float(raw["aux_weight"]),
+        )
+    return clip_params, moe_cfg
+
+
 class EmbeddingEngine:
     """Batched CLIP encoder with runtime model switching."""
 
@@ -85,12 +115,23 @@ class EmbeddingEngine:
         mesh=None,
         mesh_axis: str = "data",
         params_dtype: str = "float32",
+        moe=None,
     ):
         """``mesh``: shard every encode batch over the mesh's data axis with
         replicated params — ingestion/eval throughput scales with chips (the
-        batch size should divide the axis size)."""
+        batch size should divide the axis size).
+
+        ``moe``: a ``models.moe.MoEConfig`` switches every encode to the
+        sparse MoE towers (params must be MoE-shaped — e.g. a Trainer
+        ``moe=`` checkpoint via :func:`load_orbax_checkpoint`); aux loss is
+        inference-irrelevant and dropped."""
         self.model_name = model_name
         self.cfg = cfg or get_model_config(model_name)
+        self.moe = moe
+        if moe is not None and params_dtype == "int8":
+            raise NotImplementedError(
+                "int8 serving weights are not supported for MoE towers yet"
+            )
         if compute_dtype is None:
             compute_dtype = (
                 jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32
@@ -101,7 +142,14 @@ class EmbeddingEngine:
         self.preprocess_mode = preprocess_mode
 
         if params is None:
-            params = init_clip_params(jax.random.PRNGKey(rng_seed), self.cfg)
+            if moe is not None:
+                from evr_tpu.models.moe import init_moe_clip_params
+
+                params = init_moe_clip_params(
+                    jax.random.PRNGKey(rng_seed), self.cfg, moe
+                )
+            else:
+                params = init_clip_params(jax.random.PRNGKey(rng_seed), self.cfg)
         self.params_dtype = params_dtype
         params = self._cast_params(params)
         self.models: dict[str, dict] = {"original": {"clip": params, "classifier": None}}
@@ -113,25 +161,43 @@ class EmbeddingEngine:
         cfg_ = self.cfg
         dtype = self.compute_dtype
 
-        def _encode_staged(params_, staged_u8):
-            # folded-stem path: uint8 patch unfold + normalisation baked into
-            # the patch GEMM (models.clip.encode_staged_u8) — numerically
-            # equivalent to normalise→encode_image, −8% encode wall time at
-            # the headline shape (the XLA conv stem ran at 12% MFU)
-            from evr_tpu.models.clip import encode_staged_u8
+        if moe is not None:
+            from evr_tpu.models.moe import encode_image_moe, encode_text_moe
 
-            return encode_staged_u8(
-                params_, cfg_, staged_u8, dtype=dtype, mean=mean, std=std
-            )
+            def _encode_staged(params_, staged_u8):
+                x = staged_u8.astype(jnp.float32) / 255.0
+                x = (x - mean) / std
+                return encode_image_moe(params_, cfg_, moe, x, dtype=dtype)[0]
 
-        def _encode_pixels(params_, pixels):
-            return encode_image(params_, cfg_, pixels, dtype=dtype)
+            def _encode_pixels(params_, pixels):
+                return encode_image_moe(params_, cfg_, moe, pixels, dtype=dtype)[0]
 
-        def _encode_tokens(params_, tokens):
-            # eot_fast_final: serving is inference-only, so the last text
-            # block runs EOT-row-only (models.layers.final_block_eot) —
-            # numerically the full block's pooled row.
-            return encode_text(params_, cfg_, tokens, dtype=dtype, eot_fast_final=True)
+            def _encode_tokens(params_, tokens):
+                return encode_text_moe(params_, cfg_, moe, tokens, dtype=dtype)[0]
+        else:
+
+            def _encode_staged(params_, staged_u8):
+                # folded-stem path: uint8 patch unfold + normalisation baked
+                # into the patch GEMM (models.clip.encode_staged_u8) —
+                # numerically equivalent to normalise→encode_image, −8%
+                # encode wall time at the headline shape (the XLA conv stem
+                # ran at 12% MFU)
+                from evr_tpu.models.clip import encode_staged_u8
+
+                return encode_staged_u8(
+                    params_, cfg_, staged_u8, dtype=dtype, mean=mean, std=std
+                )
+
+            def _encode_pixels(params_, pixels):
+                return encode_image(params_, cfg_, pixels, dtype=dtype)
+
+            def _encode_tokens(params_, tokens):
+                # eot_fast_final: serving is inference-only, so the last text
+                # block runs EOT-row-only (models.layers.final_block_eot) —
+                # numerically the full block's pooled row.
+                return encode_text(
+                    params_, cfg_, tokens, dtype=dtype, eot_fast_final=True
+                )
 
         if mesh is not None:
             # shard_map, not GSPMD shardings: encode is purely data-parallel,

@@ -293,9 +293,17 @@ def upcycle_clip_params(rng: jax.Array, params: Params, cfg, moe: MoEConfig) -> 
 
 
 def encode_image_moe(
-    params: Params, cfg, moe: MoEConfig, pixels: jax.Array, dtype=jnp.float32
+    params: Params,
+    cfg,
+    moe: MoEConfig,
+    pixels: jax.Array,
+    dtype=jnp.float32,
+    patch_keep: jax.Array | None = None,
 ) -> tuple[jax.Array, jax.Array]:
-    """pixels [B,H,W,3] → ([B, embed_dim] unnormalised, aux loss)."""
+    """pixels [B,H,W,3] → ([B, embed_dim] unnormalised, aux loss).
+
+    ``patch_keep`` [B, K] int32 composes FLIP patch masking exactly as in
+    `clip.encode_image` (the gather happens in ``_vision_prefix``)."""
     from .clip import _vision_prefix, vision_pool
 
     v = cfg.vision
@@ -309,7 +317,7 @@ def encode_image_moe(
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
     )
     x = x.reshape(x.shape[0], v.grid * v.grid, v.width)
-    x = _vision_prefix(p, cfg, x, dtype)
+    x = _vision_prefix(p, cfg, x, dtype, patch_keep)
     x, aux = run_blocks_moe(x, p["blocks"], v.heads, moe, False, cfg)
     return vision_pool(params, cfg, x, dtype), aux
 

@@ -46,3 +46,52 @@ def shard_moe_params(mesh: Mesh, params, expert_axis: str = "expert"):
 
     shardings = moe_param_shardings(mesh, params, expert_axis)
     return jax.tree.map(jax.device_put, params, shardings)
+
+
+def ep_state_shardings(params, optimizer, mesh: Mesh, expert_axis: str = "expert"):
+    """Sharding pytree for a full ``TrainState`` under expert parallelism:
+    expert-stacked leaves (params AND their AdamW moments) sharded on dim 0
+    over ``expert_axis``, everything else replicated — the training analog
+    of :func:`moe_param_shardings`, consumable by
+    ``training.finetune.make_train_step(state_shardings=...)``.
+
+    Optimizer-state leaf shapes come from ``jax.eval_shape(optimizer.init,
+    params)`` (no memory allocated to plan the layout); the moments live in
+    params-shaped subtrees so the same path rule applies — each device holds
+    only its experts' moments, the ZeRO-for-experts layout GShard uses.
+    """
+    import jax
+
+    from evr_tpu.training.finetune import TrainState
+
+    param_sh = moe_param_shardings(mesh, params, expert_axis)
+    opt_shapes = jax.eval_shape(lambda p: optimizer.init(p), params)
+
+    def spec_for_leaf(path, leaf):
+        if "moe" in path and len(path) >= 2 and path[-2] in ("fc", "proj"):
+            ndim = len(getattr(leaf, "shape", ()) or ())
+            if ndim >= 1:
+                return NamedSharding(mesh, P(expert_axis, *(None,) * (ndim - 1)))
+        return NamedSharding(mesh, P())
+
+    # optax states are namedtuples _map_with_paths cannot descend (it only
+    # knows dicts/lists) — walk with jax's own path API instead.
+    def path_keys(jax_path):
+        keys = []
+        for entry in jax_path:
+            if hasattr(entry, "key"):
+                keys.append(str(entry.key))
+            elif hasattr(entry, "name"):
+                keys.append(str(entry.name))
+            elif hasattr(entry, "idx"):
+                keys.append(str(entry.idx))
+        return tuple(keys)
+
+    opt_sh = jax.tree_util.tree_map_with_path(
+        lambda p, leaf: spec_for_leaf(path_keys(p), leaf), opt_shapes
+    )
+    return TrainState(
+        params=param_sh,
+        opt_state=opt_sh,
+        step=NamedSharding(mesh, P()),
+    )

@@ -57,6 +57,26 @@ def main(argv=None):
     )
     parser.add_argument("--resume-from", default=None,
                         help="checkpoint name under --save-dir (e.g. autosave)")
+    parser.add_argument(
+        "--moe-experts", type=int, default=0,
+        help="Mixture-of-Experts fine-tune (models.moe, LIMoE/Sparse "
+        "Upcycling): >0 upcycles the dense init to this many experts per "
+        "MoE layer and trains the sparse towers; 0 = dense (default)",
+    )
+    parser.add_argument("--moe-router-k", type=int, default=2,
+                        help="top-k routing (1=Switch, 2=GShard/LIMoE)")
+    parser.add_argument("--moe-every", type=int, default=2,
+                        help="every Nth block (from the tower end) gets an MoE MLP")
+    parser.add_argument("--moe-capacity", type=float, default=1.25,
+                        help="expert capacity factor")
+    parser.add_argument("--moe-aux-weight", type=float, default=1e-2,
+                        help="Switch load-balance aux loss weight")
+    parser.add_argument(
+        "--expert-parallel", type=int, default=0, metavar="E",
+        help="shard experts (and their optimizer moments) over an E-way "
+        "'expert' mesh axis; remaining devices form the 'data' axis "
+        "(requires --moe-experts divisible by E)",
+    )
     args = parser.parse_args(argv)
 
     import jax
@@ -108,7 +128,40 @@ def main(argv=None):
         train_ds, val_ds = train_ds.split(0.2, args.seed)
     print(f"train={len(train_ds)} val={len(val_ds)} categories={train_ds.category_counts()}")
 
-    mesh = None if args.no_mesh else get_mesh()
+    moe_cfg = None
+    if args.moe_experts > 0:
+        from evr_tpu.models.moe import MoEConfig
+
+        moe_cfg = MoEConfig(
+            n_experts=args.moe_experts,
+            router_k=args.moe_router_k,
+            capacity_factor=args.moe_capacity,
+            moe_every=args.moe_every,
+            aux_weight=args.moe_aux_weight,
+        )
+
+    if args.no_mesh:
+        mesh = None
+    elif args.expert_parallel > 0:
+        if moe_cfg is None:
+            raise SystemExit("--expert-parallel requires --moe-experts > 0")
+        if args.moe_experts % args.expert_parallel:
+            raise SystemExit(
+                f"--moe-experts {args.moe_experts} must divide over the "
+                f"{args.expert_parallel}-way expert axis"
+            )
+        n_dev = len(jax.devices())
+        if n_dev % args.expert_parallel:
+            raise SystemExit(
+                f"{n_dev} devices don't divide into an "
+                f"{args.expert_parallel}-way expert axis"
+            )
+        mesh = get_mesh(
+            axis_names=("data", "expert"),
+            shape=(n_dev // args.expert_parallel, args.expert_parallel),
+        )
+    else:
+        mesh = get_mesh()
     if args.batch_size % process_count:
         raise SystemExit(
             f"--batch-size {args.batch_size} (global) must divide over "
@@ -128,6 +181,7 @@ def main(argv=None):
         save_every_steps=args.save_every_steps,
         lora_rank=args.lora_rank,
         lora_alpha=args.lora_alpha,
+        moe=moe_cfg,
     )
     trainer = Trainer(
         cfg, clip_params, tc, classifier_params=cls_params, mesh=mesh,

