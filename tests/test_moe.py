@@ -329,10 +329,13 @@ def test_trainer_moe_dp_ep_exact_vs_single_device(rng):
     )
     kern = tr.state.params["clip"]["visual"]["blocks"][1]["moe"]["fc"]["kernel"]
     assert kern.sharding.spec == P("expert", None, None)
-    # AdamW moments sharded like their params
-    mu_leaf = jax.tree_util.tree_leaves(
-        jax.tree.map(lambda x: x, tr.state.opt_state),
-    )
+    # AdamW moments sharded like their params (expert-stacked leaves only)
+    moment_specs = {
+        leaf.sharding.spec
+        for leaf in jax.tree_util.tree_leaves(tr.state.opt_state)
+        if hasattr(leaf, "sharding") and leaf.ndim == 3
+    }
+    assert P("expert", None, None) in moment_specs
     st, m = tr.train_step(tr.state, batch, jax.random.PRNGKey(0))
     np.testing.assert_allclose(
         float(m["total_loss"]), float(m1["total_loss"]), atol=1e-5
