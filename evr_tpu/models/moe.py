@@ -26,8 +26,10 @@ TPU-first design:
   standard Switch behavior).
 - **fp32 router**: routing logits/softmax in fp32 regardless of compute
   dtype (bf16-sensitive argmax ties would flap expert assignment).
-- Attention half of every block is the existing `layers.block_apply`
-  machinery (fused Pallas kernels on TPU) — MoE replaces only the MLP.
+- MoE replaces only the MLP half. Dense blocks stay on the full
+  `layers.block_apply` machinery; an MoE block's attention half routes
+  through the fused Pallas attention-half kernel on the TPU serving path
+  (`ops.block_fused.fused_attn_block` — see `moe_block_apply`).
 """
 
 from __future__ import annotations
@@ -213,7 +215,40 @@ def moe_block_apply(
     attn_impl: str = "xla",
     activation: str = "quick_gelu",
 ) -> tuple[jax.Array, jax.Array]:
-    x = x + attention(layer_norm(x, p["ln_1"]), p["attn"], n_heads, causal, attn_impl)
+    """The attention half follows `layers.block_apply`'s serving routing:
+    ``"auto"`` on TPU (W ≤ 1280) takes the fused Pallas attention-half
+    kernel (LN1 + QKV GEMM + packed softmax attention + out-proj +
+    residual in one dispatch — `ops.block_fused.fused_attn_block`);
+    ``"fused"`` forces it (interpret mode off-TPU, for tests). Gradient
+    steps (``"auto_grad"``) resolve to XLA: the standalone attention-half
+    kernel carries no VJP, and at MoE tower shapes (T ≤ 77 here) XLA's
+    stored-activation fwd+bwd is the measured winner anyway (PERF.md)."""
+    if attn_impl == "auto_grad":
+        attn_impl = "xla"
+    use_fused = attn_impl == "fused" or (
+        attn_impl == "auto"
+        and x.shape[2] <= 1280
+        and jax.default_backend() == "tpu"
+    )
+    if use_fused:
+        from evr_tpu.ops.block_fused import fused_attn_block
+
+        ap = p["attn"]
+        x = fused_attn_block(
+            x,
+            p["ln_1"]["scale"],
+            p["ln_1"]["bias"],
+            ap["qkv"]["kernel"],
+            ap["qkv"]["bias"],
+            ap["out"]["kernel"],
+            ap["out"]["bias"],
+            n_heads,
+            causal=causal,
+        )
+    else:
+        x = x + attention(
+            layer_norm(x, p["ln_1"]), p["attn"], n_heads, causal, attn_impl
+        )
     y, aux = moe_mlp_apply(layer_norm(x, p["ln_2"]), p["moe"], moe, activation)
     return x + y, aux
 

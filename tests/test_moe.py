@@ -432,3 +432,20 @@ def test_moe_checkpoint_roundtrip_to_serving(rng, tmp_path):
     out = engine.encode_staged_images(imgs)
     assert out.shape == (2, cfg.embed_dim)
     assert np.isfinite(out).all()
+
+
+def test_moe_block_fused_attn_half_matches_xla(rng):
+    """attn_impl='fused' routes the MoE block's attention half through the
+    Pallas fused attention-half kernel (interpret mode off-TPU) — same
+    output as the XLA composition, both modalities' shapes."""
+    from evr_tpu.models.moe import init_moe_block, moe_block_apply
+
+    width = 64
+    moe = MoEConfig(n_experts=2, router_k=2, capacity_factor=2.0)
+    p = init_moe_block(jax.random.PRNGKey(0), width, 2, moe.n_experts)
+    for causal, T in ((False, 16), (True, 16)):
+        x = jnp.asarray(rng.normal(size=(2, T, width)).astype(np.float32))
+        y_xla, aux_xla = moe_block_apply(x, p, 4, moe, causal=causal, attn_impl="xla")
+        y_f, aux_f = moe_block_apply(x, p, 4, moe, causal=causal, attn_impl="fused")
+        np.testing.assert_allclose(np.asarray(y_f), np.asarray(y_xla), atol=2e-5)
+        np.testing.assert_allclose(float(aux_f), float(aux_xla), atol=1e-5)
