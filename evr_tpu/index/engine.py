@@ -70,20 +70,29 @@ def stage_image_fast(path, image_size: int = 224) -> np.ndarray:
 
 
 def load_orbax_checkpoint(path):
-    """Load a Trainer orbax checkpoint for serving.
+    """Load a Trainer orbax checkpoint (or a ``lora_merged`` export) for
+    serving.
 
-    Returns ``(clip_params, moe_cfg_or_None)``: MoE checkpoints are
-    self-describing (``Trainer.save_checkpoint`` embeds the MoEConfig),
-    so ``EmbeddingEngine(params=p, moe=m)`` serves either kind:
+    Returns ``{"clip": params, "classifier": params_or_None,
+    "moe": MoEConfig_or_None}``. MoE checkpoints are self-describing
+    (``Trainer.save_checkpoint`` embeds the MoEConfig), so either kind
+    serves:
 
-    >>> p, m = load_orbax_checkpoint("checkpoints/best")
-    >>> engine = EmbeddingEngine("ViT-B/32", params=p, moe=m)
+    >>> blob = load_orbax_checkpoint("checkpoints/best")
+    >>> engine = EmbeddingEngine("ViT-B/32", params=blob["clip"], moe=blob["moe"])
+
+    CLI surfaces reach this through ``EmbeddingEngine.load_finetuned``,
+    which accepts a ``.pt`` file OR an orbax checkpoint directory.
     """
     import orbax.checkpoint as ocp
 
     payload = ocp.StandardCheckpointer().restore(str(path))
     params = payload["params"]
-    clip_params = params.get("clip", params) if isinstance(params, dict) else params
+    if isinstance(params, dict) and "clip" in params:
+        clip_params = params["clip"]
+        classifier = params.get("classifier")
+    else:
+        clip_params, classifier = params, None
     moe_cfg = None
     if payload.get("moe"):
         from evr_tpu.models.moe import MoEConfig
@@ -96,7 +105,7 @@ def load_orbax_checkpoint(path):
             moe_every=int(raw["moe_every"]),
             aux_weight=float(raw["aux_weight"]),
         )
-    return clip_params, moe_cfg
+    return {"clip": clip_params, "classifier": classifier, "moe": moe_cfg}
 
 
 class EmbeddingEngine:
@@ -263,11 +272,29 @@ class EmbeddingEngine:
         }
 
     def load_finetuned(self, checkpoint_path, name: str = "finetuned") -> None:
-        """Load a reference-format .pt fine-tune checkpoint
-        (`embedding_service.py:103-120` equivalent)."""
-        from evr_tpu.models.torch_import import load_checkpoint
+        """Load a fine-tune checkpoint: a reference-format ``.pt`` file
+        (`embedding_service.py:103-120` equivalent) or a Trainer orbax
+        checkpoint directory (incl. ``lora_merged`` exports). MoE orbax
+        checkpoints need the engine constructed with the matching
+        ``moe=`` config (the encode programs are built at init)."""
+        import pathlib
 
-        blob = load_checkpoint(str(checkpoint_path))
+        if pathlib.Path(checkpoint_path).is_dir():
+            blob = load_orbax_checkpoint(checkpoint_path)
+            if blob["moe"] is not None and self.moe is None:
+                raise ValueError(
+                    "MoE checkpoint: construct the engine with its config — "
+                    "blob = load_orbax_checkpoint(path); "
+                    "EmbeddingEngine(cfg=..., params=blob['clip'], moe=blob['moe'])"
+                )
+            if blob["moe"] is not None and blob["moe"] != self.moe:
+                raise ValueError(
+                    f"checkpoint MoEConfig {blob['moe']} != engine's {self.moe}"
+                )
+        else:
+            from evr_tpu.models.torch_import import load_checkpoint
+
+            blob = load_checkpoint(str(checkpoint_path))
         self.register_model(name, blob["clip"], blob["classifier"])
 
     def set_active_model(self, name: str) -> bool:

@@ -20,7 +20,7 @@ def main(argv=None):
     parser.add_argument("--captions-csv", default=None, help="Flickr30k-style CSV")
     parser.add_argument("--excel", default=None, help="3-column Excel/CSV test set")
     parser.add_argument("--model", default="ViT-B/32")
-    parser.add_argument("--checkpoint", default=None, help="fine-tuned .pt to compare")
+    parser.add_argument("--checkpoint", default=None, help="fine-tuned checkpoint to compare: .pt file or Trainer orbax dir")
     parser.add_argument("--max-images", type=int, default=1000)
     parser.add_argument("--output-dir", default="comparison_results")
     parser.add_argument(

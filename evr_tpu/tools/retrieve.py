@@ -23,7 +23,7 @@ def main(argv=None):
     parser.add_argument("--frames-dir", required=True)
     parser.add_argument("--queries", nargs="+", required=True)
     parser.add_argument("--model", default="ViT-B/32")
-    parser.add_argument("--checkpoint", default=None, help="fine-tuned .pt checkpoint")
+    parser.add_argument("--checkpoint", default=None, help="fine-tuned checkpoint: .pt file or Trainer orbax dir")
     parser.add_argument("--top-k", type=int, default=10)
     parser.add_argument(
         "--retrieval-mode", choices=["contrastive", "classification"], default="contrastive"

@@ -118,3 +118,38 @@ def test_classification_cli(tmp_path, monkeypatch, rng):
     assert "original" in report
     assert report["original"]["mode"] == "linear_probe"
     assert 0.0 <= report["original"]["accuracy"] <= 1.0
+
+
+def test_load_finetuned_orbax_dir(tmp_path, rng):
+    """engine.load_finetuned accepts a Trainer orbax checkpoint directory
+    (the CLI tools' --checkpoint path for JAX-trained models): clip params
+    AND the classifier head round-trip, and the loaded model serves."""
+    from evr_tpu.training.finetune import TrainConfig, Trainer
+
+    cfg = small_cfg()
+    clip_p = init_clip_params(jax.random.PRNGKey(7), cfg)
+    cls_p = init_classifier_params(
+        jax.random.PRNGKey(8), ClassifierConfig(embed_dim=32, num_classes=3)
+    )
+    tr = Trainer(
+        cfg,
+        clip_p,
+        TrainConfig(batch_size=4, compute_dtype="float32", save_dir=str(tmp_path)),
+        classifier_params=cls_p,
+        cls_cfg=ClassifierConfig(embed_dim=32, num_classes=3),
+        log_fn=lambda *_: None,
+    )
+    tr.save_checkpoint("best", epoch=0, metrics={"val_loss": 1.0})
+
+    e = EmbeddingEngine(cfg=cfg, batch_size=4)
+    base = e.encode_texts(["a query"])
+    e.load_finetuned(tmp_path / "best")
+    assert e.set_active_model("finetuned")
+    loaded = e.encode_texts(["a query"])
+    # identical params → identical features (orbax round trip is lossless)
+    ref = EmbeddingEngine(cfg=cfg, params=clip_p, batch_size=4).encode_texts(["a query"])
+    np.testing.assert_allclose(loaded, ref, atol=1e-6)
+    assert np.isfinite(base).all()
+    feats = rng.normal(size=(3, 32)).astype(np.float32)
+    probs = e.classify(feats)
+    assert probs is not None and probs.shape == (3, 3)

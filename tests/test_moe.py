@@ -408,9 +408,21 @@ def test_moe_checkpoint_roundtrip_to_serving(rng, tmp_path):
     tr.state = st
     tr.save_checkpoint("best", epoch=0, metrics={"val_loss": 1.0})
 
-    params, moe_loaded = load_orbax_checkpoint(tmp_path / "best")
+    blob = load_orbax_checkpoint(tmp_path / "best")
+    params, moe_loaded = blob["clip"], blob["moe"]
     assert moe_loaded == moe
     assert "moe" in params["visual"]["blocks"][1]
+
+    # a dense engine must refuse the sparse checkpoint with guidance
+    import pytest
+
+    with pytest.raises(ValueError, match="MoE checkpoint"):
+        EmbeddingEngine(
+            cfg=cfg, compute_dtype=jnp.float32,
+            tokenizer=lambda t, context_length: np.zeros(
+                (len(t), context_length), np.int32
+            ),
+        ).load_finetuned(tmp_path / "best")
 
     engine = EmbeddingEngine(
         cfg=cfg, params=params, moe=moe_loaded, compute_dtype=jnp.float32,
