@@ -262,6 +262,32 @@ class EmbeddingEngine:
             return quantize_clip_params(params)
         return params
 
+    @classmethod
+    def from_checkpoint(
+        cls, checkpoint_path, model_name: str = "ViT-B/32",
+        name: str = "finetuned", **engine_kwargs,
+    ) -> "EmbeddingEngine":
+        """Build an engine serving ``checkpoint_path``, whatever its kind:
+        a reference-format ``.pt`` file, a Trainer orbax directory, or a
+        self-describing MoE orbax checkpoint (the engine is constructed
+        with the embedded MoEConfig so the sparse encode programs exist).
+        The loaded model is registered as ``name`` and made active."""
+        import pathlib
+
+        blob = None
+        if pathlib.Path(checkpoint_path).is_dir():
+            blob = load_orbax_checkpoint(checkpoint_path)
+        if blob is not None and blob["moe"] is not None:
+            engine = cls(
+                model_name, params=blob["clip"], moe=blob["moe"], **engine_kwargs
+            )
+            engine.register_model(name, blob["clip"], blob["classifier"])
+        else:
+            engine = cls(model_name, **engine_kwargs)
+            engine.load_finetuned(checkpoint_path, name)
+        engine.set_active_model(name)
+        return engine
+
     # -- model registry (set_active_model parity) -------------------------
     def register_model(self, name: str, clip_params, classifier=None,
                        classifier_cfg: ClassifierConfig | None = None) -> None:

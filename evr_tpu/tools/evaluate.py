@@ -64,8 +64,15 @@ def main(argv=None):
     comp = ModelComparison(output_dir=args.output_dir)
     comp.register("clip_original", lambda: EngineAdapter(engine, "original"))
     if args.checkpoint:
-        engine.load_finetuned(args.checkpoint)
-        comp.register("clip_finetuned", lambda: EngineAdapter(engine, "finetuned"))
+        # a fresh engine per evaluation (load→eval→unload semantics) —
+        # from_checkpoint handles .pt, orbax, and MoE orbax uniformly
+        comp.register(
+            "clip_finetuned",
+            lambda: EngineAdapter(
+                EmbeddingEngine.from_checkpoint(args.checkpoint, args.model),
+                "finetuned",
+            ),
+        )
 
     comp.run_evaluation(dataset)
     print(comp.format_table())
@@ -88,9 +95,11 @@ def _run_classification(args):
 
     class_dirs = dict(spec.split("=", 1) for spec in args.classification_dirs)
     classes = sorted(class_dirs)
-    engine = EmbeddingEngine(args.model)
+    engines = {"original": lambda: EmbeddingEngine(args.model)}
     if args.checkpoint:
-        engine.load_finetuned(args.checkpoint)
+        engines["finetuned"] = lambda: EmbeddingEngine.from_checkpoint(
+            args.checkpoint, args.model
+        )
 
     paths, labels = [], []
     for ci, cls in enumerate(classes):
@@ -102,8 +111,8 @@ def _run_classification(args):
     print(f"classification over {len(paths)} images, classes={classes}")
 
     results = {}
-    for model_name in engine.available_models():
-        engine.set_active_model(model_name)
+    for model_name, make_engine in engines.items():
+        engine = make_engine()
         feats = engine.encode_image_files(paths, normalise=True)
         if args.zeroshot:
             from evr_tpu.evaluation.zeroshot import (
@@ -119,7 +128,7 @@ def _run_classification(args):
         else:
             classifier_fn = (
                 engine.classify
-                if engine.models[model_name].get("classifier") is not None
+                if engine.models[engine.active_model].get("classifier") is not None
                 else None
             )
             report = evaluate_classification(

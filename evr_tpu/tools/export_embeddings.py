@@ -30,10 +30,12 @@ def main(argv=None):
     from evr_tpu.index import EmbeddingEngine
     from evr_tpu.index.engine import IMAGE_EXTENSIONS
 
-    engine = EmbeddingEngine(args.model, batch_size=args.batch_size)
     if args.checkpoint:
-        engine.load_finetuned(args.checkpoint)
-        engine.set_active_model("finetuned")
+        engine = EmbeddingEngine.from_checkpoint(
+            args.checkpoint, args.model, batch_size=args.batch_size
+        )
+    else:
+        engine = EmbeddingEngine(args.model, batch_size=args.batch_size)
 
     frames_dir = pathlib.Path(args.frames_dir)
     names = sorted(

@@ -29,10 +29,10 @@ def main(argv=None):
     from evr_tpu.ingest import extract_uniform_frames, ingest_video
     from evr_tpu.query import MetadataStore
 
-    engine = EmbeddingEngine(args.model)
     if args.checkpoint:
-        engine.load_finetuned(args.checkpoint)
-        engine.set_active_model("finetuned")
+        engine = EmbeddingEngine.from_checkpoint(args.checkpoint, args.model)
+    else:
+        engine = EmbeddingEngine(args.model)
     data_root = DataRootConfig(args.data_root).ensure()
     registry = VideoRegistry(data_root.mapping_path)
     index = FrameIndex(embed_dim=engine.cfg.embed_dim)

@@ -74,10 +74,11 @@ def main(argv=None):
             params = init_clip_params(jax.random.PRNGKey(0), cfg)
         engine = AotEngine(args.aot_bundle, params)
     else:
-        engine = EmbeddingEngine(args.model)
         if args.checkpoint:
-            engine.load_finetuned(args.checkpoint)
-            engine.set_active_model("finetuned")
+            # .pt file, Trainer orbax dir, or MoE orbax — all served
+            engine = EmbeddingEngine.from_checkpoint(args.checkpoint, args.model)
+        else:
+            engine = EmbeddingEngine(args.model)
 
     emb, names = engine.embed_folder(args.frames_dir)
     index = FrameIndex(embed_dim=engine.cfg.embed_dim)

@@ -96,3 +96,51 @@ def test_prefetch_batches(rng):
         for item in prefetch_batches(boom()):
             collected.append(item)
     assert collected == [{"ok": 1}]
+
+
+def test_retrieve_cli_with_moe_orbax_checkpoint(tmp_path):
+    """retrieve --checkpoint <Trainer MoE orbax dir>: the CLI serves a
+    sparse checkpoint end-to-end — EmbeddingEngine.from_checkpoint rebuilds
+    the MoEConfig from the self-describing payload (no model code changes
+    on the host side)."""
+    import evr_tpu.tools.retrieve as retrieve_cli
+    import jax
+    from evr_tpu.models import get_model_config, init_clip_params
+    from evr_tpu.models.moe import MoEConfig
+    from evr_tpu.training.finetune import TrainConfig, Trainer
+
+    cfg = get_model_config("ViT-Tiny-Test")
+    moe = MoEConfig(n_experts=2, router_k=2, capacity_factor=2.0)
+    tr = Trainer(
+        cfg,
+        init_clip_params(jax.random.PRNGKey(0), cfg),
+        TrainConfig(
+            batch_size=4, compute_dtype="float32",
+            save_dir=str(tmp_path / "ckpt"), moe=moe,
+        ),
+        log_fn=lambda *_: None,
+    )
+    tr.save_checkpoint("best", epoch=0, metrics={"val_loss": 1.0})
+
+    frames = tmp_path / "frames"
+    frames.mkdir()
+    rng = np.random.default_rng(0)
+    for i in range(4):
+        cv2.imwrite(
+            str(frames / f"{i}.jpg"),
+            rng.integers(0, 255, (64, 64, 3)).astype(np.uint8),
+        )
+
+    out = tmp_path / "results.json"
+    retrieve_cli.main([
+        "--frames-dir", str(frames),
+        "--queries", "a red frame",
+        "--model", "ViT-Tiny-Test",
+        "--checkpoint", str(tmp_path / "ckpt" / "best"),
+        "--top-k", "2",
+        "--output", str(out),
+    ])
+    results = json.loads(out.read_text())
+    hits = results["a red frame"]
+    assert len(hits) == 2
+    assert all(np.isfinite(h["similarity"]) for h in hits)
