@@ -84,9 +84,12 @@ def load_orbax_checkpoint(path):
     CLI surfaces reach this through ``EmbeddingEngine.load_finetuned``,
     which accepts a ``.pt`` file OR an orbax checkpoint directory.
     """
+    import pathlib
+
     import orbax.checkpoint as ocp
 
-    payload = ocp.StandardCheckpointer().restore(str(path))
+    # orbax requires absolute paths; CLI users pass relative ones
+    payload = ocp.StandardCheckpointer().restore(str(pathlib.Path(path).resolve()))
     params = payload["params"]
     if isinstance(params, dict) and "clip" in params:
         clip_params = params["clip"]

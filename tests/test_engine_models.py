@@ -144,6 +144,15 @@ def test_load_finetuned_orbax_dir(tmp_path, rng):
     e = EmbeddingEngine(cfg=cfg, batch_size=4)
     base = e.encode_texts(["a query"])
     e.load_finetuned(tmp_path / "best")
+    # relative paths must work too (orbax itself wants absolute ones)
+    import os
+
+    cwd = os.getcwd()
+    os.chdir(tmp_path)
+    try:
+        e.load_finetuned("best", name="finetuned_rel")
+    finally:
+        os.chdir(cwd)
     assert e.set_active_model("finetuned")
     loaded = e.encode_texts(["a query"])
     # identical params → identical features (orbax round trip is lossless)
