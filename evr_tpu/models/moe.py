@@ -48,13 +48,20 @@ class MoEConfig:
     n_experts: int = 8
     # top-k routing: 1 = Switch, 2 = GShard/LIMoE (renormalised gates)
     router_k: int = 1
-    # per-expert slots = ceil(capacity_factor * k * tokens / n_experts)
+    # per-expert slots = ceil(capacity_factor * k * group_size / n_experts)
     capacity_factor: float = 1.25
     # which blocks get MoE MLPs: every Nth, counted from the tower's end
     # (LIMoE places experts in the later blocks; 2 → blocks L-1, L-3, …)
     moe_every: int = 2
     # Switch load-balance aux loss weight (their 1e-2 default)
     aux_weight: float = 1e-2
+    # GShard §3.1 token grouping: routing/capacity are computed within
+    # fixed-size groups of tokens so the one-hot dispatch/combine tensors
+    # stay O(N·E·C) with C ≈ cf·k·S/E — bounded per token — instead of the
+    # ungrouped O(N²·k/E) that explodes at serving batch (B=512, T=50 is
+    # 25.6k tokens). The effective group is the largest divisor of the
+    # token count ≤ this; tiny inputs (tests) collapse to one group.
+    group_size: int = 256
 
 
 def moe_block_indices(n_layers: int, moe_every: int) -> tuple[int, ...]:
@@ -130,57 +137,72 @@ def moe_mlp_apply(
 ) -> tuple[jax.Array, jax.Array]:
     """[B, T, W] → ([B, T, W], aux_loss scalar).
 
-    One fixed-shape program: fp32 router softmax → top-k gates →
-    cumsum-over-tokens position-in-expert (slot-major priority: every
-    token's first choice outranks any token's second choice, GShard §3.2)
-    → one-hot dispatch/combine einsums → batched per-expert MLP GEMMs
-    ([E, C, W] × [E, W, 4W] — MXU-batched over E). Tokens past capacity
-    contribute 0 (residual carries them). Aux loss is Switch eq. 4:
-    E · Σ_e f_e·P_e over first-choice assignments.
+    One fixed-shape program: tokens regrouped [G, S, W] (GShard §3.1 —
+    capacity and the dispatch/combine one-hots are per-group, keeping
+    their footprint O(N·E·C) rather than O(N²·k/E)) → fp32 router softmax
+    → top-k gates → cumsum-over-tokens position-in-expert (slot-major
+    priority: every token's first choice outranks any token's second
+    choice, GShard §3.2) → one-hot dispatch/combine einsums → batched
+    per-expert MLP GEMMs ([G, E, C, W] × [E, W, 4W] — MXU-batched).
+    Tokens past per-group capacity contribute 0 (residual carries them).
+    Aux loss is Switch eq. 4, E · Σ_e f_e·P_e over first-choice
+    assignments, computed per group and averaged.
     """
     B, T, W = x.shape
     E, k = moe.n_experts, moe.router_k
     N = B * T
-    C = max(1, math.ceil(moe.capacity_factor * k * N / E))
-    C = min(C, N)
-    xf = x.reshape(N, W)
+    # group size: largest divisor of N ≤ moe.group_size (static — shapes
+    # are compile-time constants); tiny inputs collapse to a single group
+    S = max(s for s in range(1, min(moe.group_size, N) + 1) if N % s == 0)
+    G = N // S
+    C = max(1, math.ceil(moe.capacity_factor * k * S / E))
+    C = min(C, S)
+    xg = x.reshape(G, S, W)
 
-    logits = xf.astype(jnp.float32) @ p["router"]["kernel"].astype(jnp.float32)
-    probs = jax.nn.softmax(logits, axis=-1)  # [N, E] fp32
+    logits = jnp.einsum(
+        "gsw,we->gse",
+        xg.astype(jnp.float32),
+        p["router"]["kernel"].astype(jnp.float32),
+    )
+    probs = jax.nn.softmax(logits, axis=-1)  # [G, S, E] fp32
 
-    gate_vals, gate_idx = jax.lax.top_k(probs, k)  # [N, k]
+    gate_vals, gate_idx = jax.lax.top_k(probs, k)  # [G, S, k]
     if k > 1:
         gate_vals = gate_vals / jnp.sum(gate_vals, axis=-1, keepdims=True)
-    mask = jax.nn.one_hot(gate_idx, E, dtype=jnp.float32)  # [N, k, E]
+    mask = jax.nn.one_hot(gate_idx, E, dtype=jnp.float32)  # [G, S, k, E]
 
-    # position of each (token, choice) in its expert's buffer, slot-major:
-    # all first choices claim slots before any second choice does.
-    mask_sm = mask.transpose(1, 0, 2).reshape(k * N, E)
-    pos_sm = (jnp.cumsum(mask_sm, axis=0) - 1.0) * mask_sm
-    pos = pos_sm.reshape(k, N, E).transpose(1, 0, 2)  # [N, k, E]
+    # position of each (token, choice) in its expert's per-group buffer,
+    # slot-major: all first choices claim slots before any second choice.
+    mask_sm = mask.transpose(0, 2, 1, 3).reshape(G, k * S, E)
+    pos_sm = (jnp.cumsum(mask_sm, axis=1) - 1.0) * mask_sm
+    pos = pos_sm.reshape(G, k, S, E).transpose(0, 2, 1, 3)  # [G, S, k, E]
     keep = mask * (pos < C)  # overflow dropped
 
-    # combine [N, E, C]: gate weight at (expert, slot); dispatch = nonzero
+    # combine [G, S, E, C]: gate weight at (expert, slot); dispatch ≠ 0
     slot_oh = jax.nn.one_hot(pos.astype(jnp.int32), C, dtype=jnp.float32)
-    ce = slot_oh * keep[..., None]  # [N, k, E, C]
-    combine = jnp.einsum("nk,nkec->nec", gate_vals, ce)
+    ce = slot_oh * keep[..., None]  # [G, S, k, E, C]
+    combine = jnp.einsum("gsk,gskec->gsec", gate_vals, ce)
     dispatch = (combine > 0).astype(x.dtype)
 
-    xin = jnp.einsum("nec,nw->ecw", dispatch, xf.astype(x.dtype))  # [E, C, W]
+    xin = jnp.einsum("gsec,gsw->gecw", dispatch, xg.astype(x.dtype))  # [G,E,C,W]
     fc_k = p["fc"]["kernel"].astype(x.dtype)
-    h = jnp.einsum("ecw,ewh->ech", xin, fc_k) + p["fc"]["bias"].astype(x.dtype)[:, None]
+    h = (
+        jnp.einsum("gecw,ewh->gech", xin, fc_k)
+        + p["fc"]["bias"].astype(x.dtype)[None, :, None]
+    )
     h = ACTIVATIONS[activation](h)
     proj_k = p["proj"]["kernel"].astype(x.dtype)
     ye = (
-        jnp.einsum("ech,ehw->ecw", h, proj_k)
-        + p["proj"]["bias"].astype(x.dtype)[:, None]
+        jnp.einsum("gech,ehw->gecw", h, proj_k)
+        + p["proj"]["bias"].astype(x.dtype)[None, :, None]
     )
-    y = jnp.einsum("nec,ecw->nw", combine.astype(x.dtype), ye)
+    y = jnp.einsum("gsec,gecw->gsw", combine.astype(x.dtype), ye)
 
-    # Switch load-balance loss over first choices
-    f = jnp.mean(mask[:, 0, :], axis=0)  # fraction routed per expert
-    P = jnp.mean(probs, axis=0)  # mean router prob per expert
-    aux = E * jnp.sum(f * P)
+    # Switch load-balance loss over first choices (per group, averaged —
+    # GShard computes it per group the same way)
+    f = jnp.mean(mask[:, :, 0, :], axis=1)  # [G, E] fraction routed
+    P = jnp.mean(probs, axis=1)  # [G, E] mean router prob
+    aux = jnp.mean(E * jnp.sum(f * P, axis=-1))
     return y.reshape(B, T, W), aux
 
 
