@@ -13,11 +13,13 @@ whole SCST step (greedy rollout, sampled rollout, reward, policy gradient)
 is ONE jitted XLA program with static shapes.
 
 Decoding is a `lax.scan` over a fixed-size token buffer (no Python loop, no
-dynamic shapes): each step re-runs the decoder over the full padded buffer
-and reads the logit at the current position. With causal attention the
-positions beyond the cursor are never attended to, so the padding garbage is
-inert. At captioner scale (width 256-512, <=45 positions) the O(L^2) re-run
-is far cheaper than the dispatch overhead a KV-cache path would add.
+dynamic shapes) with a KV cache carried through the scan: the prefix rows
+are prefilled once, then each step runs the decoder blocks on ONE new row
+(`layers.block_apply_cached` — K/V appended via `dynamic_update_slice`,
+scores masked to the causal window), so total decode block work is O(L)
+rows instead of the O(L^2) full-buffer re-run per token. Both paths live
+in the same single jitted program (no extra dispatches); `use_cache=False`
+keeps the full re-run as the parity oracle (tested equal).
 
 Generation semantics mirror the reference's `model.generate` call
 (`sinhcaption.py:184-196`): greedy or sampled with top-k 50 / top-p 0.9,
@@ -36,6 +38,7 @@ import jax.numpy as jnp
 
 from evr_tpu.models.layers import (
     block_apply,
+    block_apply_cached,
     init_block,
     init_linear,
     init_layer_norm,
@@ -190,6 +193,7 @@ def generate(
     top_k: int = 50,
     top_p: float = 0.9,
     dtype: jnp.dtype = jnp.float32,
+    use_cache: bool = True,
 ) -> tuple[jax.Array, jax.Array]:
     """Decode captions for a batch of image embeddings.
 
@@ -197,34 +201,87 @@ def generate(
     is SOT; generation stops at EOT (which is included and marked valid, like
     HF's eos handling); positions after EOT are 0 (CLIP padding). A rollout
     that never emits EOT gets EOT forced into its final slot.
+
+    ``use_cache=True`` (default) decodes incrementally with a per-block KV
+    cache carried through the scan (`layers.block_apply_cached`): the prefix
+    is prefilled once and each step runs the blocks on one new row. Same
+    single jitted program, same numerics as the full re-run
+    (``use_cache=False``, kept as the parity oracle — tested equal).
     """
     B = image_emb.shape[0]
     if rng is None:
         rng = jax.random.PRNGKey(0)
     buf0 = jnp.zeros((B, cfg.buf_len), jnp.int32).at[:, 0].set(cfg.sot_id)
 
-    def step(carry, i):
-        buf, done, key = carry
-        key, sub = jax.random.split(key)
-        logits = caption_logits(params, cfg, image_emb, buf, dtype)
-        cur = jnp.take_along_axis(logits, jnp.full((B, 1, 1), i), axis=1)[:, 0]
+    def pick_next(cur, sub):
         cur = cur.at[:, cfg.sot_id].set(-jnp.inf)  # never re-emit SOT
         if sample:
             nxt = _sample_filtered(sub, cur, top_k, top_p, temperature)
         else:
             nxt = jnp.argmax(cur, axis=-1)
-        nxt = nxt.astype(jnp.int32)
-        emitted = jnp.where(done, 0, nxt)  # pad after EOT
-        buf = jax.lax.dynamic_update_index_in_dim(buf, emitted, i + 1, axis=1)
-        valid_here = ~done
-        done = done | (nxt == cfg.eot_id)
-        return (buf, done, key), valid_here
+        return nxt.astype(jnp.int32)
 
-    (buf, done, _), valid_steps = jax.lax.scan(
-        step,
-        (buf0, jnp.zeros((B,), jnp.bool_), rng),
-        jnp.arange(cfg.max_new_tokens),
-    )
+    if use_cache:
+        H, W = cfg.heads, cfg.width
+        hd = W // H
+        emb = params["token_embedding"].astype(dtype)
+        pos_emb = params["pos_embedding"].astype(dtype)
+
+        # prefill: prefix soft tokens fill cache rows 0..prefix_len-1
+        x = image_prefix(params, cfg, image_emb).astype(dtype)
+        x = x + pos_emb[: cfg.prefix_len]
+        caches = []
+        for blk in params["blocks"]:
+            kc = jnp.zeros((B, cfg.seq_len, H, hd), dtype)
+            vc = jnp.zeros((B, cfg.seq_len, H, hd), dtype)
+            x, kc, vc = block_apply_cached(x, blk, H, kc, vc, 0)
+            caches.append((kc, vc))
+
+        def step(carry, i):
+            buf, done, key, caches = carry
+            key, sub = jax.random.split(key)
+            tok = jax.lax.dynamic_index_in_dim(buf, i, axis=1, keepdims=False)
+            p_abs = cfg.prefix_len + i  # absolute position of buf[:, i]
+            x = emb[tok][:, None, :] + jax.lax.dynamic_slice_in_dim(
+                pos_emb, p_abs, 1, axis=0
+            )
+            new_caches = []
+            for blk, (kc, vc) in zip(params["blocks"], caches):
+                x, kc, vc = block_apply_cached(x, blk, cfg.heads, kc, vc, p_abs)
+                new_caches.append((kc, vc))
+            h = layer_norm(x, params["ln_final"])[:, 0]
+            cur = (h @ emb.T).astype(jnp.float32)
+            nxt = pick_next(cur, sub)
+            emitted = jnp.where(done, 0, nxt)  # pad after EOT
+            buf = jax.lax.dynamic_update_index_in_dim(buf, emitted, i + 1, axis=1)
+            valid_here = ~done
+            done = done | (nxt == cfg.eot_id)
+            return (buf, done, key, tuple(new_caches)), valid_here
+
+        (buf, done, _, _), valid_steps = jax.lax.scan(
+            step,
+            (buf0, jnp.zeros((B,), jnp.bool_), rng, tuple(caches)),
+            jnp.arange(cfg.max_new_tokens),
+        )
+    else:
+
+        def step(carry, i):
+            buf, done, key = carry
+            key, sub = jax.random.split(key)
+            logits = caption_logits(params, cfg, image_emb, buf, dtype)
+            cur = jnp.take_along_axis(logits, jnp.full((B, 1, 1), i), axis=1)[:, 0]
+            nxt = pick_next(cur, sub)
+            emitted = jnp.where(done, 0, nxt)  # pad after EOT
+            buf = jax.lax.dynamic_update_index_in_dim(buf, emitted, i + 1, axis=1)
+            valid_here = ~done
+            done = done | (nxt == cfg.eot_id)
+            return (buf, done, key), valid_here
+
+        (buf, done, _), valid_steps = jax.lax.scan(
+            step,
+            (buf0, jnp.zeros((B,), jnp.bool_), rng),
+            jnp.arange(cfg.max_new_tokens),
+        )
     # force EOT into the last slot for rollouts that never stopped, so CLIP's
     # argmax-EOT pooling finds a pool position
     last = buf[:, -1]

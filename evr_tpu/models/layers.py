@@ -258,6 +258,62 @@ def _final_block_row(
     return xc + linear(h, p["mlp"]["proj"])
 
 
+def block_apply_cached(
+    x_new: jax.Array,
+    p: Params,
+    n_heads: int,
+    k_cache: jax.Array,
+    v_cache: jax.Array,
+    pos: jax.Array | int,
+    activation: str = "quick_gelu",
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Incremental causal residual block with a KV cache.
+
+    ``x_new``: [B, S, W] activations for absolute positions
+    ``pos .. pos+S-1`` (``pos`` may be a traced scalar — scan-friendly).
+    ``k_cache``/``v_cache``: [B, T_max, heads, head_dim] rolling caches;
+    rows ``pos .. pos+S-1`` are overwritten, later rows are masked out of
+    the attention (so stale/zero rows are inert). Row-for-row it computes
+    exactly what ``block_apply(causal=True)`` computes for those rows
+    (same fp32 score/softmax math, same −1e9 mask), but touches only the
+    new rows' Q/out-proj/MLP — the autoregressive decode path
+    (models.captioner.generate) runs O(T) total block work instead of the
+    O(T²) full re-run per emitted token.
+
+    Returns ``(y_new, k_cache, v_cache)`` with the updated caches.
+    """
+    B, S, W = x_new.shape
+    d = W // n_heads
+    ap = p["attn"]
+    T_max = k_cache.shape[1]
+
+    y = layer_norm(x_new, p["ln_1"])
+    qkv = linear(y, ap["qkv"])  # [B, S, 3W]
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+    q = q.reshape(B, S, n_heads, d)
+    k = k.reshape(B, S, n_heads, d).astype(k_cache.dtype)
+    v = v.reshape(B, S, n_heads, d).astype(v_cache.dtype)
+    start = (0, jnp.asarray(pos, jnp.int32), 0, 0)
+    k_cache = jax.lax.dynamic_update_slice(k_cache, k, start)
+    v_cache = jax.lax.dynamic_update_slice(v_cache, v, start)
+
+    scale = 1.0 / math.sqrt(d)
+    logits = (
+        jnp.einsum("bshd,bthd->bhst", q, k_cache).astype(jnp.float32) * scale
+    )
+    # key t is visible to new row s iff t <= pos + s (causal window)
+    valid = jnp.arange(T_max)[None, :] <= (
+        jnp.asarray(pos, jnp.int32) + jnp.arange(S)[:, None]
+    )
+    logits = jnp.where(valid[None, None, :, :], logits, jnp.float32(-1e9))
+    w = jax.nn.softmax(logits, axis=-1).astype(x_new.dtype)
+    o = jnp.einsum("bhst,bthd->bshd", w, v_cache.astype(x_new.dtype))
+    xc = x_new + linear(o.reshape(B, S, W), ap["out"])
+    h = linear(layer_norm(xc, p["ln_2"]), p["mlp"]["fc"])
+    h = ACTIVATIONS[activation](h)
+    return xc + linear(h, p["mlp"]["proj"]), k_cache, v_cache
+
+
 def block_apply(
     x: jax.Array,
     p: Params,

@@ -105,6 +105,50 @@ def test_topk1_sampling_matches_greedy(cap_params):
     assert bool(jnp.all(greedy == sampled))
 
 
+def test_kv_cache_matches_full_rerun_greedy(cap_params):
+    """The KV-cached scan decoder (default) must reproduce the full-buffer
+    re-run decode exactly: same greedy tokens AND same valid mask."""
+    feats = _features(5)
+    t_cache, v_cache = generate(cap_params, CAP_CFG, feats, sample=False)
+    t_full, v_full = generate(
+        cap_params, CAP_CFG, feats, sample=False, use_cache=False
+    )
+    assert bool(jnp.all(t_cache == t_full))
+    assert bool(jnp.all(v_cache == v_full))
+
+
+def test_kv_cache_matches_full_rerun_sampled(cap_params):
+    """Same rng → same filtered-sampling trajectory on both decode paths
+    (logits agree to float eps, so the categorical draws coincide)."""
+    feats = _features(4)
+    kw = dict(rng=jax.random.PRNGKey(11), sample=True, top_k=8, top_p=0.9)
+    t_cache, _ = generate(cap_params, CAP_CFG, feats, **kw)
+    t_full, _ = generate(cap_params, CAP_CFG, feats, use_cache=False, **kw)
+    assert bool(jnp.all(t_cache == t_full))
+
+
+def test_block_apply_cached_matches_block_apply():
+    """Incremental cached block == full causal block, row for row, under
+    arbitrary prefill/step splits."""
+    from evr_tpu.models.layers import block_apply, block_apply_cached, init_block
+
+    H, W, T, B = 2, 32, 9, 3
+    blk = init_block(jax.random.PRNGKey(3), W, 1)
+    x = jax.random.normal(jax.random.PRNGKey(4), (B, T, W), jnp.float32)
+    ref = block_apply(x, blk, H, causal=True)
+
+    kc = jnp.zeros((B, T, H, W // H), jnp.float32)
+    vc = jnp.zeros_like(kc)
+    outs = []
+    pos = 0
+    for size in (4, 1, 1, 3):  # prefill 4 rows, two single steps, a 3-row tail
+        y, kc, vc = block_apply_cached(x[:, pos : pos + size], blk, H, kc, vc, pos)
+        outs.append(y)
+        pos += size
+    got = jnp.concatenate(outs, axis=1)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-5, atol=2e-5)
+
+
 def test_sequence_logprob_matches_manual(cap_params):
     feats = _features(2)
     toks, valid = generate(
