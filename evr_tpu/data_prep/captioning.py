@@ -99,10 +99,12 @@ class PrefixCaptioner:
     whole folder is captioned (used by ``ingest.annotate_folder``).
     """
 
-    def __init__(self, engine, captioner_params, cap_cfg, tokenizer=None):
+    def __init__(
+        self, engine, captioner_params, cap_cfg, tokenizer=None, beam_size: int = 1
+    ):
         import jax
 
-        from evr_tpu.models.captioner import generate
+        from evr_tpu.models.captioner import beam_search, generate
 
         self.engine = engine
         self.params = captioner_params
@@ -113,9 +115,16 @@ class PrefixCaptioner:
             tokenizer = get_default_tokenizer()
         self.tokenizer = tokenizer
         cfg = cap_cfg
-        self._generate = jax.jit(
-            lambda params, feats: generate(params, cfg, feats, sample=False)
-        )
+        if beam_size > 1:
+            self._generate = jax.jit(
+                lambda params, feats: beam_search(
+                    params, cfg, feats, beam_size=beam_size
+                )
+            )
+        else:
+            self._generate = jax.jit(
+                lambda params, feats: generate(params, cfg, feats, sample=False)
+            )
         # one compiled decode program: pad to the engine's batch size so a
         # corpus of many folder sizes doesn't trigger a compile per shape
         self._chunk = max(1, int(getattr(engine, "batch_size", 32)))

@@ -292,6 +292,126 @@ def generate(
     return buf, valid
 
 
+def beam_search(
+    params: Params,
+    cfg: CaptionerConfig,
+    image_emb: jax.Array,
+    beam_size: int = 4,
+    length_penalty: float = 0.0,
+    dtype: jnp.dtype = jnp.float32,
+) -> tuple[jax.Array, jax.Array]:
+    """Beam-search caption decoding (KV-cached, static shapes).
+
+    Goes beyond the reference's greedy/sampled `model.generate` call
+    (`Backend/sinhcaption.py:184-196`): maintains ``beam_size`` hypotheses
+    per image inside one `lax.scan` — per step, every live beam proposes
+    its token distribution, the top-``beam_size`` of the K·V joint
+    candidates survive, and the per-block KV caches are re-gathered to the
+    surviving beams' parents. Finished beams (EOT emitted) are frozen and
+    compete with a single stay-done candidate so shapes stay static.
+
+    Returns ``(tokens [B, buf_len] int32, score [B] fp32)`` — the best
+    beam per image and its score: summed token logprob, divided by
+    ``length**length_penalty`` (GNMT-style) when ``length_penalty > 0``.
+    ``beam_size=1`` reproduces greedy `generate` exactly (tested).
+    """
+    B = image_emb.shape[0]
+    K = beam_size
+    H, W = cfg.heads, cfg.width
+    hd = W // H
+    V = cfg.vocab_size
+    emb = params["token_embedding"].astype(dtype)
+    pos_emb = params["pos_embedding"].astype(dtype)
+    NEG = jnp.float32(-1e9)
+
+    # prefill the image prefix once per image, then broadcast caches to beams
+    x = image_prefix(params, cfg, image_emb).astype(dtype) + pos_emb[: cfg.prefix_len]
+    caches = []
+    for blk in params["blocks"]:
+        kc = jnp.zeros((B, cfg.seq_len, H, hd), dtype)
+        vc = jnp.zeros((B, cfg.seq_len, H, hd), dtype)
+        x, kc, vc = block_apply_cached(x, blk, H, kc, vc, 0)
+        # [B, T, H, d] -> [B*K, T, H, d] (beam-major per image)
+        caches.append(
+            tuple(
+                jnp.repeat(c, K, axis=0) for c in (kc, vc)
+            )
+        )
+
+    buf0 = jnp.zeros((B, K, cfg.buf_len), jnp.int32).at[:, :, 0].set(cfg.sot_id)
+    # only beam 0 is live at the start (all beams hold the identical SOT
+    # prefix; keeping duplicates would waste the beam on K copies)
+    logp0 = jnp.full((B, K), -jnp.inf, jnp.float32).at[:, 0].set(0.0)
+    done0 = jnp.zeros((B, K), jnp.bool_)
+    lens0 = jnp.zeros((B, K), jnp.int32)  # generated tokens incl. EOT
+
+    def step(carry, i):
+        buf, logp, done, lens, caches = carry
+        tok = jax.lax.dynamic_index_in_dim(buf, i, axis=2, keepdims=False)  # [B, K]
+        p_abs = cfg.prefix_len + i
+        xx = emb[tok.reshape(B * K)][:, None, :] + jax.lax.dynamic_slice_in_dim(
+            pos_emb, p_abs, 1, axis=0
+        )
+        new_caches = []
+        for blk, (kc, vc) in zip(params["blocks"], caches):
+            xx, kc, vc = block_apply_cached(xx, blk, H, kc, vc, p_abs)
+            new_caches.append((kc, vc))
+        h = layer_norm(xx, params["ln_final"])[:, 0]
+        logits = (h @ emb.T).astype(jnp.float32).reshape(B, K, V)
+        # true token logprobs (full-vocab normalisation, so accumulated beam
+        # scores equal sequence_logprob of the returned tokens); the SOT ban
+        # is a selection-time mask, not a renormalisation
+        step_logp = jax.nn.log_softmax(logits, axis=-1)
+        step_logp = step_logp.at[:, :, cfg.sot_id].set(-jnp.inf)
+
+        # live beams propose all V continuations; done beams propose exactly
+        # one frozen candidate (token 0 pad at unchanged score)
+        cand = jnp.where(done[:, :, None], NEG, logp[:, :, None] + step_logp)
+        frozen = jnp.where(done, logp, NEG)  # [B, K]
+        cand = cand.at[:, :, 0].max(frozen)  # pad-token slot carries the frozen beam
+        flat = cand.reshape(B, K * V)
+        top_scores, top_idx = jax.lax.top_k(flat, K)  # [B, K]
+        parent = top_idx // V  # [B, K] source beam
+        token = (top_idx % V).astype(jnp.int32)  # [B, K]
+
+        parent_done = jnp.take_along_axis(done, parent, axis=1)
+        token = jnp.where(parent_done, 0, token)  # frozen beams stay padded
+        new_done = parent_done | (token == cfg.eot_id)
+        new_lens = jnp.take_along_axis(lens, parent, axis=1) + jnp.where(
+            parent_done, 0, 1
+        )
+
+        buf = jnp.take_along_axis(buf, parent[:, :, None], axis=1)
+        buf = jax.lax.dynamic_update_index_in_dim(buf, token, i + 1, axis=2)
+
+        # re-gather each block's caches to the surviving beams' parents
+        gather = (jnp.arange(B)[:, None] * K + parent).reshape(B * K)
+        new_caches = tuple(
+            (kc[gather], vc[gather]) for kc, vc in new_caches
+        )
+        return (buf, top_scores, new_done, new_lens, new_caches), None
+
+    (buf, logp, done, lens, _), _ = jax.lax.scan(
+        step,
+        (buf0, logp0, done0, lens0, tuple(caches)),
+        jnp.arange(cfg.max_new_tokens),
+    )
+
+    # force EOT into the final slot of never-finished beams (argmax-EOT
+    # pooling invariant, same as generate())
+    last = buf[:, :, -1]
+    buf = buf.at[:, :, -1].set(jnp.where(done, last, cfg.eot_id))
+    lens = jnp.where(done, lens, lens + 1)
+
+    score = logp
+    if length_penalty > 0.0:
+        score = logp / jnp.maximum(lens, 1).astype(jnp.float32) ** length_penalty
+    best = jnp.argmax(score, axis=1)  # [B]
+    tokens = jnp.take_along_axis(buf, best[:, None, None], axis=1)[:, 0]
+    best_score = jnp.take_along_axis(score, best[:, None], axis=1)[:, 0]
+    return tokens, best_score
+
+
 def tokens_to_context(
     tokens: jax.Array, context_length: int = 77, eot_id: int | None = None
 ) -> jax.Array:

@@ -149,6 +149,58 @@ def test_block_apply_cached_matches_block_apply():
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-5, atol=2e-5)
 
 
+def test_beam_size_1_matches_greedy(cap_params):
+    from evr_tpu.models.captioner import beam_search
+
+    feats = _features(4)
+    greedy, _ = generate(cap_params, CAP_CFG, feats, sample=False)
+    beamed, _ = beam_search(cap_params, CAP_CFG, feats, beam_size=1)
+    assert bool(jnp.all(greedy == beamed))
+
+
+def test_beam_search_score_consistent_and_beats_greedy(cap_params):
+    """The returned score must equal the teacher-forced logprob of the
+    returned tokens, and a 4-beam search must score >= greedy (deterministic
+    for fixed params)."""
+    from evr_tpu.models.captioner import beam_search
+    from evr_tpu.training.scst import _valid_from_tokens
+
+    feats = _features(5)
+    toks, score = beam_search(cap_params, CAP_CFG, feats, beam_size=4)
+    valid = _valid_from_tokens(toks, CAP_CFG.eot_id)
+    recomputed = sequence_logprob(cap_params, CAP_CFG, feats, toks, valid)
+    # a rollout that never emits EOT gets one FORCED into its last slot,
+    # which the beam never scored — restrict the exact check to rows whose
+    # EOT is provably natural (i.e. not sitting in the final slot)
+    natural = np.asarray(toks[:, -1] != CAP_CFG.eot_id)
+    if natural.any():
+        np.testing.assert_allclose(
+            np.asarray(score)[natural],
+            np.asarray(recomputed)[natural],
+            rtol=1e-4,
+            atol=1e-4,
+        )
+
+    # greedy via the same machinery (beam_size=1) has identical score
+    # semantics, so the comparison is apples-to-apples
+    _, g_score = beam_search(cap_params, CAP_CFG, feats, beam_size=1)
+    assert bool(jnp.all(score >= np.asarray(g_score) - 1e-5))
+
+
+def test_beam_search_eot_invariants(cap_params):
+    from evr_tpu.models.captioner import beam_search
+
+    toks, _ = beam_search(cap_params, CAP_CFG, _features(4), beam_size=3)
+    assert toks.shape == (4, CAP_CFG.buf_len)
+    assert bool(jnp.all(toks[:, 0] == SOT))
+    assert bool(jnp.all(jnp.sum(toks == EOT, axis=1) == 1))
+    assert bool(jnp.all(jnp.sum(toks == SOT, axis=1) == 1))
+    toks_np = np.asarray(toks)
+    for row in toks_np:
+        eot_pos = int(np.argmax(row == EOT))
+        assert (row[eot_pos + 1 :] == 0).all()
+
+
 def test_sequence_logprob_matches_manual(cap_params):
     feats = _features(2)
     toks, valid = generate(
