@@ -44,6 +44,10 @@ def main(argv=None):
     parser.add_argument("--cap-heads", type=int, default=8)
     parser.add_argument("--save-dir", default="checkpoints_scst")
     parser.add_argument("--demo", type=int, default=3, help="decode this many captions at the end")
+    parser.add_argument(
+        "--beam-size", type=int, default=1,
+        help="demo decode beam width (1 = greedy; >1 uses beam_search)",
+    )
     parser.add_argument("--seed", type=int, default=42)
     args = parser.parse_args(argv)
 
@@ -127,7 +131,14 @@ def main(argv=None):
 
         tok = get_default_tokenizer()
         demo = jnp.asarray(feats[: args.demo])
-        toks, _ = generate(trainer.params, cap_cfg, demo, sample=False)
+        if args.beam_size > 1:
+            from evr_tpu.models.captioner import beam_search
+
+            toks, _ = beam_search(
+                trainer.params, cap_cfg, demo, beam_size=args.beam_size
+            )
+        else:
+            toks, _ = generate(trainer.params, cap_cfg, demo, sample=False)
         for i, text in enumerate(decode_tokens(tok, toks, cap_cfg.eot_id)):
             print(f"demo[{i}]: {text!r}")
 

@@ -344,6 +344,7 @@ def test_train_captioner_cli(tmp_path):
             "--cap-heads", "2",
             "--save-dir", str(tmp_path / "ckpt"),
             "--demo", "2",
+            "--beam-size", "2",
         ]
     )
     assert (tmp_path / "ckpt" / "history.json").exists()
