@@ -285,18 +285,28 @@ def run_blocks_moe(
 ) -> tuple[jax.Array, jax.Array]:
     """Mixed dense/MoE block stack: blocks holding a ``"moe"`` subtree route
     through `moe_block_apply`; the rest stay on the dense `layers.block_apply`
-    path (fused Pallas kernels on TPU). Returns (x, summed aux loss)."""
+    path (fused Pallas kernels on TPU). Honors ``cfg.remat`` like the dense
+    `clip._run_blocks` loop (per-block jax.checkpoint, exact numerics).
+    Returns (x, summed aux loss)."""
     from .layers import block_apply
+
+    dense_apply = block_apply
+    sparse_apply = moe_block_apply
+    if getattr(cfg, "remat", False):
+        dense_apply = jax.checkpoint(block_apply, static_argnums=(2, 3, 4, 5))
+        sparse_apply = jax.checkpoint(
+            moe_block_apply, static_argnums=(2, 3, 4, 5, 6)
+        )
 
     aux_total = jnp.float32(0.0)
     for bp in blocks:
         if "moe" in bp:
-            x, aux = moe_block_apply(
+            x, aux = sparse_apply(
                 x, bp, n_heads, moe, causal, cfg.attn_impl, cfg.activation
             )
             aux_total = aux_total + aux
         else:
-            x = block_apply(x, bp, n_heads, causal, cfg.attn_impl, cfg.activation)
+            x = dense_apply(x, bp, n_heads, causal, cfg.attn_impl, cfg.activation)
     return x, aux_total
 
 

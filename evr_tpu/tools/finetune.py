@@ -39,6 +39,12 @@ def main(argv=None):
         "(arxiv 2212.00794); 0.5 ≈ 1.7x faster steps at small quality cost",
     )
     parser.add_argument(
+        "--remat", action="store_true",
+        help="rematerialise transformer blocks in the backward pass "
+        "(jax.checkpoint): ~depth x per-block activation HBM saved per step "
+        "for one extra forward -- enables bigger batches / deeper towers",
+    )
+    parser.add_argument(
         "--lora-rank", type=int, default=0,
         help="LoRA parameter-efficient fine-tune (arxiv 2106.09685): train "
         "rank-r adapters on the block linears, base CLIP frozen; a merged "
@@ -177,6 +183,7 @@ def main(argv=None):
         freeze_layers=args.freeze_layers,
         save_dir=args.save_dir,
         patch_drop=args.patch_drop,
+        remat=args.remat,
         contrastive_loss=args.loss,
         save_every_steps=args.save_every_steps,
         lora_rank=args.lora_rank,

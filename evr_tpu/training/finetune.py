@@ -89,6 +89,13 @@ class TrainConfig:
     # small contrastive-quality cost. 0.0 disables (inference always runs
     # the full sequence).
     patch_drop: float = 0.0
+    # Rematerialise each transformer block in the backward pass
+    # (jax.checkpoint, `models.clip.CLIPConfig.remat`): activations are
+    # recomputed instead of stored, cutting training HBM roughly by the
+    # per-block activation footprint × depth at the cost of one extra
+    # forward — the standard TPU memory↔FLOPs lever for deep/wide towers
+    # (ViT-L/H) or large per-chip batches. Numerics are exact (tested).
+    remat: bool = False
     # LoRA parameter-efficient fine-tuning (arxiv 2106.09685,
     # `training.lora`): rank > 0 freezes the whole base CLIP (logit_scale
     # stays trainable) and trains rank-r adapters on the block linears,
@@ -314,6 +321,10 @@ class Trainer:
         `evr_tpu.parallel.fsdp`) — same math, bounded per-chip HBM."""
         self.model_cfg = model_cfg
         self.cfg = cfg or TrainConfig()
+        if self.cfg.remat and not model_cfg.remat:
+            import dataclasses as _dc
+
+            self.model_cfg = model_cfg = _dc.replace(model_cfg, remat=True)
         self.cls_cfg = cls_cfg or (
             ClassifierConfig(embed_dim=model_cfg.embed_dim)
             if classifier_params is not None

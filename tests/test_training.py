@@ -129,6 +129,68 @@ def test_mesh_step_matches_single_device(rng):
     np.testing.assert_allclose(p1, p2, rtol=1e-4, atol=1e-6)
 
 
+def test_remat_step_exact(rng):
+    """cfg.remat=True (jax.checkpoint per block) must produce bit-equal fp32
+    params after a train step — remat trades FLOPs for memory, never math."""
+    from evr_tpu.training.finetune import TrainState
+
+    batch_np = tiny_batch(rng, 8)
+    results = []
+    for remat in (False, True):
+        cfg, clip_params, cls = _make_params()
+        params = {"clip": clip_params, "classifier": cls}
+        tc = TrainConfig(
+            freeze_layers=0, lr=1e-4, batch_size=8,
+            compute_dtype="float32", remat=remat,
+        )
+        trainer = Trainer(cfg, clip_params, tc, classifier_params=cls,
+                          log_fn=lambda s: None)
+        assert trainer.model_cfg.remat is remat
+        opt = make_optimizer(tc, params)
+        step, _ = make_train_step(
+            trainer.model_cfg, ClassifierConfig(embed_dim=32), tc, opt
+        )
+        fresh = jax.tree.map(lambda a: jnp.asarray(np.array(a)), params)
+        state = TrainState(
+            params=fresh, opt_state=opt.init(fresh),
+            step=jnp.zeros((), jnp.int32),
+        )
+        batch = {k: jnp.asarray(v) for k, v in batch_np.items()}
+        state, metrics = step(state, batch, jax.random.PRNGKey(0))
+        results.append((float(metrics["total_loss"]),
+                        np.asarray(state.params["clip"]["visual"]["proj"])))
+
+    (l0, p0), (l1, p1) = results
+    np.testing.assert_allclose(l0, l1, rtol=1e-6)
+    np.testing.assert_allclose(p0, p1, rtol=1e-5, atol=1e-7)
+
+
+def test_remat_moe_step_exact(rng):
+    """remat composes with the MoE towers (run_moe_blocks wraps both the
+    dense and sparse block applies in jax.checkpoint)."""
+    from evr_tpu.models.moe import MoEConfig
+    from evr_tpu.training.finetune import TrainState
+
+    batch_np = tiny_batch(rng, 8)
+    moe = MoEConfig(n_experts=2, router_k=2, moe_every=2)
+    results = []
+    for remat in (False, True):
+        cfg, clip_params, cls = _make_params()
+        tc = TrainConfig(
+            freeze_layers=0, lr=1e-4, batch_size=8,
+            compute_dtype="float32", remat=remat, moe=moe,
+        )
+        trainer = Trainer(cfg, clip_params, tc, classifier_params=cls,
+                          log_fn=lambda s: None)
+        batch = {k: jnp.asarray(v) for k, v in batch_np.items()}
+        state, metrics = trainer.train_step(
+            trainer.state, batch, jax.random.PRNGKey(0)
+        )
+        results.append(float(metrics["total_loss"]))
+
+    np.testing.assert_allclose(results[0], results[1], rtol=1e-6)
+
+
 def test_trainer_fit_and_checkpoint(rng, tmp_path):
     cfg, clip_params, cls = _make_params()
     tc = TrainConfig(
