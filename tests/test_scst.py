@@ -187,6 +187,23 @@ def test_beam_search_score_consistent_and_beats_greedy(cap_params):
     assert bool(jnp.all(score >= np.asarray(g_score) - 1e-5))
 
 
+def test_beam_score_monotone_in_beam_size(cap_params):
+    """Empirical regression pin: on this fixed model, widening the beam
+    improves (or ties) the best score. (Beam search is NOT guaranteed
+    monotone in width in general — a wider frontier can evict a prefix a
+    narrower beam would have kept — so this pins observed behaviour, it
+    does not assert a theorem.)"""
+    from evr_tpu.models.captioner import beam_search
+
+    feats = _features(4)
+    scores = []
+    for k in (1, 2, 4):
+        _, s = beam_search(cap_params, CAP_CFG, feats, beam_size=k)
+        scores.append(np.asarray(s))
+    assert bool((scores[1] >= scores[0] - 1e-5).all())
+    assert bool((scores[2] >= scores[1] - 1e-5).all())
+
+
 def test_beam_search_eot_invariants(cap_params):
     from evr_tpu.models.captioner import beam_search
 
