@@ -48,7 +48,9 @@ def shard_moe_params(mesh: Mesh, params, expert_axis: str = "expert"):
     return jax.tree.map(jax.device_put, params, shardings)
 
 
-def ep_state_shardings(params, optimizer, mesh: Mesh, expert_axis: str = "expert"):
+def ep_state_shardings(
+    params, optimizer, mesh: Mesh, expert_axis: str = "expert", ema: bool = False
+):
     """Sharding pytree for a full ``TrainState`` under expert parallelism:
     expert-stacked leaves (params AND their AdamW moments) sharded on dim 0
     over ``expert_axis``, everything else replicated — the training analog
@@ -94,4 +96,6 @@ def ep_state_shardings(params, optimizer, mesh: Mesh, expert_axis: str = "expert
         params=param_sh,
         opt_state=opt_sh,
         step=NamedSharding(mesh, P()),
+        # the EMA tree is params-shaped, so it shards exactly like them
+        ema_params=param_sh if ema else None,
     )

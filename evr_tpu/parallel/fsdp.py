@@ -76,6 +76,7 @@ def fsdp_state_shardings(
     mesh: Mesh,
     axis: str = "data",
     min_size: int = DEFAULT_MIN_SIZE,
+    ema: bool = False,
 ):
     """Sharding pytree for a full ``TrainState`` (params, opt_state, step).
 
@@ -92,6 +93,8 @@ def fsdp_state_shardings(
         params=param_sh,
         opt_state=opt_sh,
         step=NamedSharding(mesh, P()),
+        # the EMA tree is params-shaped, so it shards exactly like them
+        ema_params=param_sh if ema else None,
     )
 
 

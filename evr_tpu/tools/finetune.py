@@ -39,6 +39,12 @@ def main(argv=None):
         "(arxiv 2212.00794); 0.5 ≈ 1.7x faster steps at small quality cost",
     )
     parser.add_argument(
+        "--ema-decay", type=float, default=0.0,
+        help="Polyak/EMA weight averaging decay (e.g. 0.999); the EMA tree "
+        "updates inside the jitted step, shards like the params under "
+        "fsdp/expert-parallel, and is saved as payload['ema']. 0 disables",
+    )
+    parser.add_argument(
         "--remat", action="store_true",
         help="rematerialise transformer blocks in the backward pass "
         "(jax.checkpoint): ~depth x per-block activation HBM saved per step "
@@ -184,6 +190,7 @@ def main(argv=None):
         save_dir=args.save_dir,
         patch_drop=args.patch_drop,
         remat=args.remat,
+        ema_decay=args.ema_decay,
         contrastive_loss=args.loss,
         save_every_steps=args.save_every_steps,
         lora_rank=args.lora_rank,

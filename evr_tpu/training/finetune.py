@@ -112,6 +112,13 @@ class TrainConfig:
     # expert-parallel: experts AND their optimizer moments shard over the
     # 'expert' axis (`parallel.ep.ep_state_shardings`). None disables.
     moe: Any = None
+    # Exponential moving average of the params (Polyak averaging): 0.0
+    # disables; e.g. 0.999 keeps ema = d*ema + (1-d)*params after every
+    # update, inside the same jitted step. The EMA tree shards exactly like
+    # the params under fsdp/ep and is saved in checkpoints as payload["ema"]
+    # — serve it via EmbeddingEngine for the usual eval-quality win on long
+    # fine-tunes. Validation during fit stays on the raw params.
+    ema_decay: float = 0.0
 
 
 @chex.dataclass
@@ -119,6 +126,7 @@ class TrainState:
     params: Any
     opt_state: Any
     step: jax.Array
+    ema_params: Any = None
 
 
 def _cosine_epoch_schedule(base_lr: float, cfg: TrainConfig, steps_per_epoch: int):
@@ -265,8 +273,20 @@ def make_train_step(
         updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         metrics["grad_norm"] = optax.global_norm(grads)
+        ema = state.ema_params
+        if cfg.ema_decay > 0.0 and ema is not None:
+            d = jnp.float32(cfg.ema_decay)
+            ema = jax.tree.map(
+                lambda e, p: (e.astype(jnp.float32) * d
+                              + p.astype(jnp.float32) * (1.0 - d)).astype(e.dtype),
+                ema,
+                params,
+            )
         return (
-            TrainState(params=params, opt_state=opt_state, step=state.step + 1),
+            TrainState(
+                params=params, opt_state=opt_state, step=state.step + 1,
+                ema_params=ema,
+            ),
             metrics,
         )
 
@@ -389,13 +409,14 @@ class Trainer:
                 "fsdp=True with an 'expert' mesh axis is unsupported — pick "
                 "one state layout (ZeRO-3 over data, or experts over expert)"
             )
+        ema_on = self.cfg.ema_decay > 0.0
         if fsdp:
             if mesh is None:
                 raise ValueError("fsdp=True requires a mesh")
             from evr_tpu.parallel.fsdp import fsdp_state_shardings, shard_tree
 
             self._state_shardings = state_shardings = fsdp_state_shardings(
-                params, self.optimizer, mesh
+                params, self.optimizer, mesh, ema=ema_on
             )
             params = shard_tree(params, state_shardings.params)
             self.state = TrainState(
@@ -404,6 +425,7 @@ class Trainer:
                     self.optimizer.init(params), state_shardings.opt_state
                 ),
                 step=jnp.zeros((), jnp.int32),
+                ema_params=jax.tree.map(jnp.copy, params) if ema_on else None,
             )
         elif expert_parallel:
             # experts + their AdamW moments live E/n-per-device over the
@@ -412,7 +434,7 @@ class Trainer:
             from evr_tpu.parallel.fsdp import shard_tree
 
             self._state_shardings = state_shardings = ep_state_shardings(
-                params, self.optimizer, mesh
+                params, self.optimizer, mesh, ema=ema_on
             )
             params = shard_tree(params, state_shardings.params)
             self.state = TrainState(
@@ -421,12 +443,19 @@ class Trainer:
                     self.optimizer.init(params), state_shardings.opt_state
                 ),
                 step=jnp.zeros((), jnp.int32),
+                ema_params=jax.tree.map(jnp.copy, params) if ema_on else None,
             )
         else:
             self.state = TrainState(
                 params=params,
                 opt_state=self.optimizer.init(params),
                 step=jnp.zeros((), jnp.int32),
+                # a real copy, not an alias: the jitted step donates the
+                # state buffers, and double-donating an aliased leaf is UB
+                ema_params=(
+                    jax.tree.map(lambda a: jnp.copy(jnp.asarray(a)), params)
+                    if ema_on else None
+                ),
             )
         self.train_step, self.eval_step = make_train_step(
             model_cfg, self.cls_cfg, self.cfg, self.optimizer, mesh,
@@ -501,6 +530,8 @@ class Trainer:
             # self-describing MoE checkpoints: serving loaders rebuild the
             # MoEConfig from the payload (models.moe.MoEConfig(**payload["moe"]))
             payload["moe"] = dataclasses.asdict(self.cfg.moe)
+        if self.state.ema_params is not None:
+            payload["ema"] = to_host(self.state.ema_params)
         if primary and path.exists():
             import shutil
 
@@ -554,10 +585,21 @@ class Trainer:
         # multihost dp: leave host numpy — the jitted step's in_shardings
         # globalize replicated inputs; jnp.asarray would COMMIT leaves to
         # one local device and conflict with the multi-process sharding
+        ema = payload.get("ema")
+        if ema is None and self.cfg.ema_decay > 0.0:
+            ema = payload["params"]  # pre-EMA checkpoint: restart from params
+        if ema is not None and self.cfg.ema_decay > 0.0:
+            if self._state_shardings is not None:
+                ema = jax.device_put(ema, self._state_shardings.params)
+            elif not self._multihost:
+                ema = jax.tree.map(lambda a: jnp.copy(jnp.asarray(a)), ema)
+        else:
+            ema = None
         self.state = TrainState(
             params=params,
             opt_state=opt_state,
             step=jnp.asarray(payload["step"], jnp.int32),
+            ema_params=ema,
         )
         return payload
 

@@ -191,6 +191,74 @@ def test_remat_moe_step_exact(rng):
     np.testing.assert_allclose(results[0], results[1], rtol=1e-6)
 
 
+def test_ema_math_and_checkpoint_roundtrip(rng, tmp_path):
+    """EMA follows ema' = d*ema + (1-d)*params after every step, survives a
+    checkpoint round trip, and stays None when disabled."""
+    cfg, clip_params, cls = _make_params()
+    tc = TrainConfig(
+        freeze_layers=0, lr=1e-3, batch_size=8, compute_dtype="float32",
+        ema_decay=0.9, save_dir=str(tmp_path / "ckpt"),
+    )
+    trainer = Trainer(cfg, clip_params, tc, classifier_params=cls,
+                      log_fn=lambda s: None)
+    p0 = jax.tree.map(np.asarray, trainer.state.params)
+    e0 = jax.tree.map(np.asarray, trainer.state.ema_params)
+    np.testing.assert_array_equal(
+        p0["clip"]["visual"]["proj"], e0["clip"]["visual"]["proj"]
+    )
+
+    batch = {k: jnp.asarray(v) for k, v in tiny_batch(rng, 8).items()}
+    trainer.state, _ = trainer.train_step(trainer.state, batch, jax.random.PRNGKey(0))
+    p1 = np.asarray(trainer.state.params["clip"]["visual"]["proj"])
+    e1 = np.asarray(trainer.state.ema_params["clip"]["visual"]["proj"])
+    expect = 0.9 * e0["clip"]["visual"]["proj"] + 0.1 * p1
+    np.testing.assert_allclose(e1, expect, rtol=1e-6, atol=1e-7)
+    assert np.abs(e1 - p1).max() > 0  # EMA lags the raw params
+
+    trainer.save_checkpoint("ema_test", epoch=0, metrics={"x": 1.0})
+    trainer2 = Trainer(cfg, clip_params, tc, classifier_params=cls,
+                       log_fn=lambda s: None)
+    payload = trainer2.restore_checkpoint("ema_test")
+    assert "ema" in payload
+    np.testing.assert_allclose(
+        np.asarray(trainer2.state.ema_params["clip"]["visual"]["proj"]),
+        e1, rtol=1e-7,
+    )
+
+    # disabled → no EMA tree anywhere
+    tc_off = TrainConfig(freeze_layers=0, batch_size=8, compute_dtype="float32")
+    t_off = Trainer(cfg, clip_params, tc_off, classifier_params=cls,
+                    log_fn=lambda s: None)
+    assert t_off.state.ema_params is None
+    st, _ = t_off.train_step(t_off.state, batch, jax.random.PRNGKey(0))
+    assert st.ema_params is None
+
+
+def test_ema_fsdp_exact_vs_single_device(rng):
+    """EMA under fsdp (sharded ema tree) matches the single-device EMA."""
+    mesh = get_mesh(len(jax.devices()))
+    batch_np = tiny_batch(rng, 8)
+    results = []
+    for use_fsdp, mesh_arg in ((False, None), (True, mesh)):
+        cfg, clip_params, cls = _make_params()
+        tc = TrainConfig(
+            freeze_layers=0, lr=1e-3, batch_size=8,
+            compute_dtype="float32", ema_decay=0.95,
+        )
+        trainer = Trainer(cfg, clip_params, tc, classifier_params=cls,
+                          mesh=mesh_arg, fsdp=use_fsdp, log_fn=lambda s: None)
+        batch = {k: jnp.asarray(v) for k, v in batch_np.items()}
+        trainer.state, _ = trainer.train_step(
+            trainer.state, batch, jax.random.PRNGKey(0)
+        )
+        results.append(
+            np.asarray(
+                jax.device_get(trainer.state.ema_params["clip"]["visual"]["proj"])
+            )
+        )
+    np.testing.assert_allclose(results[0], results[1], rtol=1e-5, atol=1e-7)
+
+
 def test_trainer_fit_and_checkpoint(rng, tmp_path):
     cfg, clip_params, cls = _make_params()
     tc = TrainConfig(
