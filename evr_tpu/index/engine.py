@@ -69,9 +69,14 @@ def stage_image_fast(path, image_size: int = 224) -> np.ndarray:
     return stage_array_fast(np.ascontiguousarray(img[:, :, ::-1]), image_size)
 
 
-def load_orbax_checkpoint(path):
+def load_orbax_checkpoint(path, prefer_ema: bool = False):
     """Load a Trainer orbax checkpoint (or a ``lora_merged`` export) for
     serving.
+
+    ``prefer_ema=True`` serves the Polyak-averaged weights
+    (``payload["ema"]``, written when training ran with
+    ``TrainConfig.ema_decay > 0``) instead of the raw final params; it
+    falls back to the raw params when the checkpoint carries no EMA tree.
 
     Returns ``{"clip": params, "classifier": params_or_None,
     "moe": MoEConfig_or_None}``. MoE checkpoints are self-describing
@@ -91,6 +96,8 @@ def load_orbax_checkpoint(path):
     # orbax requires absolute paths; CLI users pass relative ones
     payload = ocp.StandardCheckpointer().restore(str(pathlib.Path(path).resolve()))
     params = payload["params"]
+    if prefer_ema and payload.get("ema") is not None:
+        params = payload["ema"]
     if isinstance(params, dict) and "clip" in params:
         clip_params = params["clip"]
         classifier = params.get("classifier")
@@ -268,7 +275,7 @@ class EmbeddingEngine:
     @classmethod
     def from_checkpoint(
         cls, checkpoint_path, model_name: str = "ViT-B/32",
-        name: str = "finetuned", **engine_kwargs,
+        name: str = "finetuned", prefer_ema: bool = False, **engine_kwargs,
     ) -> "EmbeddingEngine":
         """Build an engine serving ``checkpoint_path``, whatever its kind:
         a reference-format ``.pt`` file, a Trainer orbax directory, or a
@@ -279,7 +286,7 @@ class EmbeddingEngine:
 
         blob = None
         if pathlib.Path(checkpoint_path).is_dir():
-            blob = load_orbax_checkpoint(checkpoint_path)
+            blob = load_orbax_checkpoint(checkpoint_path, prefer_ema=prefer_ema)
         if blob is not None and blob["moe"] is not None:
             engine = cls(
                 model_name, params=blob["clip"], moe=blob["moe"], **engine_kwargs
@@ -287,7 +294,7 @@ class EmbeddingEngine:
             engine.register_model(name, blob["clip"], blob["classifier"])
         else:
             engine = cls(model_name, **engine_kwargs)
-            engine.load_finetuned(checkpoint_path, name)
+            engine.load_finetuned(checkpoint_path, name, prefer_ema=prefer_ema)
         engine.set_active_model(name)
         return engine
 
@@ -300,16 +307,20 @@ class EmbeddingEngine:
             "classifier_cfg": classifier_cfg or ClassifierConfig(embed_dim=self.cfg.embed_dim),
         }
 
-    def load_finetuned(self, checkpoint_path, name: str = "finetuned") -> None:
+    def load_finetuned(
+        self, checkpoint_path, name: str = "finetuned", prefer_ema: bool = False
+    ) -> None:
         """Load a fine-tune checkpoint: a reference-format ``.pt`` file
         (`embedding_service.py:103-120` equivalent) or a Trainer orbax
         checkpoint directory (incl. ``lora_merged`` exports). MoE orbax
         checkpoints need the engine constructed with the matching
-        ``moe=`` config (the encode programs are built at init)."""
+        ``moe=`` config (the encode programs are built at init).
+        ``prefer_ema=True`` serves ``payload["ema"]`` when present (orbax
+        checkpoints only; .pt files carry no EMA tree)."""
         import pathlib
 
         if pathlib.Path(checkpoint_path).is_dir():
-            blob = load_orbax_checkpoint(checkpoint_path)
+            blob = load_orbax_checkpoint(checkpoint_path, prefer_ema=prefer_ema)
             if blob["moe"] is not None and self.moe is None:
                 raise ValueError(
                     "MoE checkpoint: construct the engine with its config — "

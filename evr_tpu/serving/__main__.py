@@ -13,6 +13,12 @@ def main():
         "--checkpoint", default=None, help="optional fine-tuned .pt checkpoint"
     )
     parser.add_argument(
+        "--use-ema", action="store_true",
+        help="serve the EMA (Polyak-averaged) weights from the checkpoint "
+        "(payload['ema'], written by finetune --ema-decay); falls back to "
+        "the raw params when absent",
+    )
+    parser.add_argument(
         "--shard-index",
         action="store_true",
         help="shard the frame index + encode batches across all visible devices",
@@ -77,7 +83,7 @@ def main():
         transcriber = AssemblyAITranscriber()
     engine = EmbeddingEngine(args.model, mesh=mesh, params_dtype=args.params_dtype)
     if args.checkpoint:
-        engine.load_finetuned(args.checkpoint)
+        engine.load_finetuned(args.checkpoint, prefer_ema=args.use_ema)
     from evr_tpu.utils import get_logger
 
     log = get_logger("evr_tpu.serving")

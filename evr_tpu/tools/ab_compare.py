@@ -22,6 +22,12 @@ def main(argv=None):
     parser.add_argument("--queries", nargs="+", required=True)
     parser.add_argument("--model", default="ViT-B/32")
     parser.add_argument("--checkpoint", required=True, help="fine-tuned .pt")
+    parser.add_argument(
+        "--use-ema", action="store_true",
+        help="serve the EMA (Polyak-averaged) weights from the checkpoint "
+        "(payload['ema'], written by finetune --ema-decay); falls back to "
+        "the raw params when absent",
+    )
     parser.add_argument("--top-k", type=int, default=10)
     parser.add_argument("--output", default="all_retrieval_results.json")
     parser.add_argument("--histogram", default=None, help="optional sim-histogram PNG")
@@ -32,7 +38,7 @@ def main(argv=None):
     from evr_tpu.index import EmbeddingEngine, FrameIndex
 
     engine = EmbeddingEngine(args.model)
-    engine.load_finetuned(args.checkpoint)
+    engine.load_finetuned(args.checkpoint, prefer_ema=args.use_ema)
 
     results: dict = {}
     sims_by_model: dict[str, list] = {}

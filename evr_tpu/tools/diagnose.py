@@ -31,7 +31,7 @@ def main(argv=None):
 
     engine = EmbeddingEngine(args.model)
     if args.checkpoint:
-        engine.load_finetuned(args.checkpoint)
+        engine.load_finetuned(args.checkpoint, prefer_ema=args.use_ema)
         engine.set_active_model("finetuned")
 
     report = diagnostics.run_all(engine.params, freeze_layers=args.freeze_layers)
@@ -40,6 +40,12 @@ def main(argv=None):
     size = engine.cfg.vision.image_size
     feats = engine.encode_staged_images(
         (rng.random((8, size, size, 3)) * 255).astype(np.uint8), normalise=True
+    )
+    parser.add_argument(
+        "--use-ema", action="store_true",
+        help="serve the EMA (Polyak-averaged) weights from the checkpoint "
+        "(payload['ema'], written by finetune --ema-decay); falls back to "
+        "the raw params when absent",
     )
     report["embedding_norms"] = diagnostics.check_embedding_norms(feats)
     report["batch_size_sweep"] = diagnostics.batch_size_sweep(

@@ -21,6 +21,12 @@ def main(argv=None):
     parser.add_argument("--excel", default=None, help="3-column Excel/CSV test set")
     parser.add_argument("--model", default="ViT-B/32")
     parser.add_argument("--checkpoint", default=None, help="fine-tuned checkpoint to compare: .pt file or Trainer orbax dir")
+    parser.add_argument(
+        "--use-ema", action="store_true",
+        help="serve the EMA (Polyak-averaged) weights from the checkpoint "
+        "(payload['ema'], written by finetune --ema-decay); falls back to "
+        "the raw params when absent",
+    )
     parser.add_argument("--max-images", type=int, default=1000)
     parser.add_argument("--output-dir", default="comparison_results")
     parser.add_argument(
@@ -69,7 +75,9 @@ def main(argv=None):
         comp.register(
             "clip_finetuned",
             lambda: EngineAdapter(
-                EmbeddingEngine.from_checkpoint(args.checkpoint, args.model),
+                EmbeddingEngine.from_checkpoint(
+                    args.checkpoint, args.model, prefer_ema=args.use_ema
+                ),
                 "finetuned",
             ),
         )
@@ -98,7 +106,7 @@ def _run_classification(args):
     engines = {"original": lambda: EmbeddingEngine(args.model)}
     if args.checkpoint:
         engines["finetuned"] = lambda: EmbeddingEngine.from_checkpoint(
-            args.checkpoint, args.model
+            args.checkpoint, args.model, prefer_ema=args.use_ema
         )
 
     paths, labels = [], []

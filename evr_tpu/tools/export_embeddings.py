@@ -21,6 +21,12 @@ def main(argv=None):
     parser.add_argument("--out", required=True, help="output .npy path")
     parser.add_argument("--model", default="ViT-B/32")
     parser.add_argument("--checkpoint", default=None)
+    parser.add_argument(
+        "--use-ema", action="store_true",
+        help="serve the EMA (Polyak-averaged) weights from the checkpoint "
+        "(payload['ema'], written by finetune --ema-decay); falls back to "
+        "the raw params when absent",
+    )
     parser.add_argument("--chunk-size", type=int, default=1000)
     parser.add_argument("--batch-size", type=int, default=256)
     args = parser.parse_args(argv)
@@ -32,7 +38,8 @@ def main(argv=None):
 
     if args.checkpoint:
         engine = EmbeddingEngine.from_checkpoint(
-            args.checkpoint, args.model, batch_size=args.batch_size
+            args.checkpoint, args.model, batch_size=args.batch_size,
+            prefer_ema=args.use_ema,
         )
     else:
         engine = EmbeddingEngine(args.model, batch_size=args.batch_size)

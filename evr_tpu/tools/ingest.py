@@ -19,6 +19,12 @@ def main(argv=None):
     parser.add_argument("--data-root", default="data")
     parser.add_argument("--model", default="ViT-B/32")
     parser.add_argument("--checkpoint", default=None)
+    parser.add_argument(
+        "--use-ema", action="store_true",
+        help="serve the EMA (Polyak-averaged) weights from the checkpoint "
+        "(payload['ema'], written by finetune --ema-decay); falls back to "
+        "the raw params when absent",
+    )
     parser.add_argument("--scene-threshold", type=float, default=30.0)
     parser.add_argument("--uniform", type=int, default=None,
                         help="use uniform sampling of N frames instead of scene detection")
@@ -30,7 +36,7 @@ def main(argv=None):
     from evr_tpu.query import MetadataStore
 
     if args.checkpoint:
-        engine = EmbeddingEngine.from_checkpoint(args.checkpoint, args.model)
+        engine = EmbeddingEngine.from_checkpoint(args.checkpoint, args.model, prefer_ema=args.use_ema)
     else:
         engine = EmbeddingEngine(args.model)
     data_root = DataRootConfig(args.data_root).ensure()

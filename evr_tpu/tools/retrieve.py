@@ -29,6 +29,12 @@ def main(argv=None):
         "--retrieval-mode", choices=["contrastive", "classification"], default="contrastive"
     )
     parser.add_argument(
+        "--use-ema", action="store_true",
+        help="serve the EMA (Polyak-averaged) weights from the checkpoint "
+        "(payload['ema'], written by finetune --ema-decay); falls back to "
+        "the raw params when absent",
+    )
+    parser.add_argument(
         "--violence-filter",
         type=float,
         default=None,
@@ -76,7 +82,7 @@ def main(argv=None):
     else:
         if args.checkpoint:
             # .pt file, Trainer orbax dir, or MoE orbax — all served
-            engine = EmbeddingEngine.from_checkpoint(args.checkpoint, args.model)
+            engine = EmbeddingEngine.from_checkpoint(args.checkpoint, args.model, prefer_ema=args.use_ema)
         else:
             engine = EmbeddingEngine(args.model)
 

@@ -225,6 +225,20 @@ def test_ema_math_and_checkpoint_roundtrip(rng, tmp_path):
         e1, rtol=1e-7,
     )
 
+    # serving the averaged weights: prefer_ema picks payload["ema"]
+    from evr_tpu.index.engine import load_orbax_checkpoint
+
+    ckpt = str(tmp_path / "ckpt" / "ema_test")
+    raw = load_orbax_checkpoint(ckpt)
+    avg = load_orbax_checkpoint(ckpt, prefer_ema=True)
+    np.testing.assert_allclose(
+        np.asarray(avg["clip"]["visual"]["proj"]), e1, rtol=1e-7
+    )
+    assert np.abs(
+        np.asarray(raw["clip"]["visual"]["proj"])
+        - np.asarray(avg["clip"]["visual"]["proj"])
+    ).max() > 0
+
     # disabled → no EMA tree anywhere
     tc_off = TrainConfig(freeze_layers=0, batch_size=8, compute_dtype="float32")
     t_off = Trainer(cfg, clip_params, tc_off, classifier_params=cls,
