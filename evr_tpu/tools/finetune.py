@@ -39,6 +39,16 @@ def main(argv=None):
         "(arxiv 2212.00794); 0.5 ≈ 1.7x faster steps at small quality cost",
     )
     parser.add_argument(
+        "--warmup-steps", type=int, default=0,
+        help="linear LR warmup steps before the cosine schedule (0 = "
+        "reference-parity scheduling, no warmup)",
+    )
+    parser.add_argument(
+        "--adam-mu-dtype", choices=["float32", "bfloat16"], default="float32",
+        help="AdamW first-moment storage dtype; bfloat16 halves the mu "
+        "tree's HBM (update math stays fp32)",
+    )
+    parser.add_argument(
         "--ema-decay", type=float, default=0.0,
         help="Polyak/EMA weight averaging decay (e.g. 0.999); the EMA tree "
         "updates inside the jitted step, shards like the params under "
@@ -191,6 +201,8 @@ def main(argv=None):
         patch_drop=args.patch_drop,
         remat=args.remat,
         ema_decay=args.ema_decay,
+        warmup_steps=args.warmup_steps,
+        adam_mu_dtype=args.adam_mu_dtype,
         contrastive_loss=args.loss,
         save_every_steps=args.save_every_steps,
         lora_rank=args.lora_rank,

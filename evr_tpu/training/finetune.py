@@ -119,6 +119,15 @@ class TrainConfig:
     # — serve it via EmbeddingEngine for the usual eval-quality win on long
     # fine-tunes. Validation during fit stays on the raw params.
     ema_decay: float = 0.0
+    # AdamW first-moment dtype: "bfloat16" halves the mu tree's HBM (optax
+    # mu_dtype; update math still runs fp32 — the moment is merely STORED
+    # bf16). nu (second moment) stays fp32: its large dynamic range is what
+    # bf16 truncation actually hurts. Composes with fsdp/ep sharding.
+    adam_mu_dtype: str = "float32"
+    # Linear LR warmup over this many steps before the cosine schedule
+    # (standard for CLIP-style contrastive training — the reference has no
+    # warmup; 0 keeps exact reference-parity scheduling).
+    warmup_steps: int = 0
 
 
 @chex.dataclass
@@ -148,13 +157,25 @@ def make_optimizer(
 ) -> optax.GradientTransformation:
     labels = param_group_labels(params, cfg.freeze_layers)
 
+    mu_dtype = jnp.bfloat16 if cfg.adam_mu_dtype == "bfloat16" else None
+
     def adamw(lr_scale: float):
+        schedule = _cosine_epoch_schedule(cfg.lr * lr_scale, cfg, steps_per_epoch)
+        if cfg.warmup_steps > 0:
+            schedule = optax.join_schedules(
+                [
+                    optax.linear_schedule(0.0, cfg.lr * lr_scale, cfg.warmup_steps),
+                    schedule,
+                ],
+                [cfg.warmup_steps],
+            )
         return optax.adamw(
-            learning_rate=_cosine_epoch_schedule(cfg.lr * lr_scale, cfg, steps_per_epoch),
+            learning_rate=schedule,
             b1=cfg.betas[0],
             b2=cfg.betas[1],
             eps=cfg.eps,
             weight_decay=cfg.weight_decay,
+            mu_dtype=mu_dtype,
         )
 
     transforms = {

@@ -191,6 +191,75 @@ def test_remat_moe_step_exact(rng):
     np.testing.assert_allclose(results[0], results[1], rtol=1e-6)
 
 
+def test_warmup_first_step_is_zero_lr(rng):
+    """With warmup, step 0's learning rate is 0 → params identical after the
+    first update; without it, the cosine schedule starts at full lr."""
+    from evr_tpu.training.finetune import TrainState
+
+    batch_np = tiny_batch(rng, 8)
+    for warmup, expect_move in ((0, True), (5, False)):
+        cfg, clip_params, cls = _make_params()
+        params = {"clip": clip_params, "classifier": cls}
+        tc = TrainConfig(
+            freeze_layers=0, lr=1e-3, batch_size=8,
+            compute_dtype="float32", warmup_steps=warmup,
+        )
+        opt = make_optimizer(tc, params)
+        step, _ = make_train_step(cfg, ClassifierConfig(embed_dim=32), tc, opt)
+        fresh = jax.tree.map(lambda a: jnp.asarray(np.array(a)), params)
+        state = TrainState(
+            params=fresh, opt_state=opt.init(fresh),
+            step=jnp.zeros((), jnp.int32),
+        )
+        before = np.asarray(state.params["clip"]["visual"]["proj"]).copy()
+        batch = {k: jnp.asarray(v) for k, v in batch_np.items()}
+        state, _ = step(state, batch, jax.random.PRNGKey(0))
+        after = np.asarray(state.params["clip"]["visual"]["proj"])
+        moved = np.abs(after - before).max() > 0
+        assert moved is expect_move or bool(moved) == expect_move
+        if warmup:
+            # by the end of warmup the lr is live again
+            for i in range(1, 7):
+                state, _ = step(state, batch, jax.random.PRNGKey(i))
+            assert np.abs(
+                np.asarray(state.params["clip"]["visual"]["proj"]) - before
+            ).max() > 0
+
+
+def test_bf16_adam_moments(rng):
+    """adam_mu_dtype='bfloat16' stores the first moment bf16 (half the HBM)
+    and training still optimises."""
+    cfg, clip_params, cls = _make_params()
+    params = {"clip": clip_params, "classifier": cls}
+    tc = TrainConfig(
+        freeze_layers=0, lr=1e-3, batch_size=8,
+        compute_dtype="float32", adam_mu_dtype="bfloat16",
+    )
+    opt = make_optimizer(tc, params)
+    opt_state = opt.init(params)
+    mu_dtypes = {
+        str(leaf.dtype)
+        for leaf in jax.tree.leaves(opt_state)
+        if hasattr(leaf, "dtype") and leaf.ndim > 0
+    }
+    assert "bfloat16" in mu_dtypes  # mu tree stored bf16
+    assert "float32" in mu_dtypes  # nu tree stays fp32
+
+    from evr_tpu.training.finetune import TrainState
+
+    step, _ = make_train_step(cfg, ClassifierConfig(embed_dim=32), tc, opt)
+    state = TrainState(
+        params=jax.tree.map(jnp.asarray, params), opt_state=opt_state,
+        step=jnp.zeros((), jnp.int32),
+    )
+    batch = {k: jnp.asarray(v) for k, v in tiny_batch(rng, 8).items()}
+    losses = []
+    for i in range(6):
+        state, metrics = step(state, batch, jax.random.PRNGKey(i))
+        losses.append(float(metrics["total_loss"]))
+    assert losses[-1] < losses[0]
+
+
 def test_ema_math_and_checkpoint_roundtrip(rng, tmp_path):
     """EMA follows ema' = d*ema + (1-d)*params after every step, survives a
     checkpoint round trip, and stays None when disabled."""
