@@ -417,7 +417,11 @@ class Trainer:
                 self.cfg.lora_rank,
                 targets=self.cfg.lora_targets,
             )
-        params = jax.tree.map(jnp.asarray, params)
+        # fresh device copies, never aliases of the caller's arrays: the
+        # jitted step DONATES the state buffers, so aliasing would silently
+        # delete the caller's params after the first train step (and break
+        # constructing a second Trainer from the same tree)
+        params = jax.tree.map(lambda a: jnp.copy(jnp.asarray(a)), params)
         self.optimizer = make_optimizer(self.cfg, params, steps_per_epoch)
         self._state_shardings = state_shardings = None
         expert_parallel = (

@@ -342,6 +342,45 @@ def test_ema_fsdp_exact_vs_single_device(rng):
     np.testing.assert_allclose(results[0], results[1], rtol=1e-5, atol=1e-7)
 
 
+def test_training_options_compose(rng, tmp_path):
+    """Kitchen-sink composition guard: remat + EMA + warmup + bf16 moments +
+    patch-drop + grad-accumulation all enabled in ONE Trainer — the step
+    runs, optimises, autosaves and round-trips."""
+    cfg, clip_params, cls = _make_params()
+    tc = TrainConfig(
+        freeze_layers=0, lr=1e-3, batch_size=8, epochs=1,
+        compute_dtype="float32",
+        remat=True, ema_decay=0.9, warmup_steps=1,
+        adam_mu_dtype="bfloat16", patch_drop=0.25,
+        grad_accumulation_steps=2,
+        save_dir=str(tmp_path / "ckpt"),
+    )
+    trainer = Trainer(cfg, clip_params, tc, classifier_params=cls,
+                      log_fn=lambda s: None)
+    batch = {k: jnp.asarray(v) for k, v in tiny_batch(rng, 8).items()}
+    # per-step train losses are noisy under patch-drop; judge optimisation
+    # by the deterministic eval loss (full sequence, no masking)
+    before = float(trainer.eval_step(trainer.state, batch)["total_loss"])
+    for i in range(8):
+        trainer.state, metrics = trainer.train_step(
+            trainer.state, batch, jax.random.PRNGKey(i)
+        )
+        assert np.isfinite(float(metrics["total_loss"]))
+    after = float(trainer.eval_step(trainer.state, batch)["total_loss"])
+    assert after < before
+    assert trainer.state.ema_params is not None
+
+    trainer.save_checkpoint("combo", epoch=0, metrics={})
+    trainer2 = Trainer(cfg, clip_params, tc, classifier_params=cls,
+                       log_fn=lambda s: None)
+    trainer2.restore_checkpoint("combo")
+    assert trainer2.state.ema_params is not None
+    trainer2.state, m = trainer2.train_step(
+        trainer2.state, batch, jax.random.PRNGKey(99)
+    )
+    assert np.isfinite(float(m["total_loss"]))
+
+
 def test_trainer_fit_and_checkpoint(rng, tmp_path):
     cfg, clip_params, cls = _make_params()
     tc = TrainConfig(
