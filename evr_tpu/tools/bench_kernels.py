@@ -249,12 +249,56 @@ def bench_roofline(reps: int) -> None:
           f"inside the fused kernels)")
 
 
+def bench_captioner(reps: int) -> None:
+    """Caption decode: KV-cached scan vs full-buffer re-run (PERF.md
+    'Caption decoding'). Production captioner scale (width 512, 4 layers,
+    prefix 10, 30 new tokens), sampled rollout at B=64 — the exact shape
+    ScstTrainer rolls out twice per step."""
+    import time
+
+    import jax
+    import jax.numpy as jnp
+
+    from evr_tpu.models.captioner import (
+        CaptionerConfig,
+        generate,
+        init_captioner_params,
+    )
+
+    if jax.default_backend() == "tpu":
+        cfg, B = CaptionerConfig(), 64
+    else:  # dev-box smoke shape: the full config takes ~80 s/rollout on CPU
+        cfg, B = CaptionerConfig(width=64, layers=1, heads=2, prefix_len=3,
+                                 max_new_tokens=6), 8
+    params = init_captioner_params(jax.random.PRNGKey(0), cfg)
+    feats = jax.random.normal(jax.random.PRNGKey(1), (B, cfg.image_dim), jnp.float32)
+    results = {}
+    for use_cache in (False, True):
+        f = jax.jit(
+            lambda p, x, uc=use_cache: generate(
+                p, cfg, x, sample=True, rng=jax.random.PRNGKey(3), use_cache=uc
+            )[0]
+        )
+        f(params, feats).block_until_ready()
+        best = float("inf")
+        n = max(1, reps // 10)
+        for _ in range(3):
+            t0 = time.perf_counter()
+            for _ in range(n):
+                float(jnp.sum(f(params, feats)))
+            best = min(best, (time.perf_counter() - t0) / n * 1000)
+        label = "kv-cached decode" if use_cache else "full re-run decode"
+        print(f"{label:42s}: {best:8.1f} ms/rollout (B={feats.shape[0]})", flush=True)
+        results[use_cache] = best
+    print(f"{'speedup':42s}: {results[False] / results[True]:8.2f}x", flush=True)
+
+
 def main() -> None:
     from evr_tpu.utils.platform_pin import pin_platform_from_env
 
     pin_platform_from_env()
     ap = argparse.ArgumentParser(description=__doc__)
-    ap.add_argument("what", choices=["block", "attention", "encode", "int8", "sweep", "roofline", "all"])
+    ap.add_argument("what", choices=["block", "attention", "encode", "int8", "sweep", "roofline", "captioner", "all"])
     ap.add_argument("--reps", type=int, default=20, help="chained applications per dispatch")
     args = ap.parse_args()
 
@@ -273,6 +317,7 @@ def main() -> None:
         "encode": bench_encode,
         "int8": bench_int8,
         "sweep": bench_sweep,
+        "captioner": bench_captioner,
         "roofline": bench_roofline,
     }
     for name, fn in runs.items():
