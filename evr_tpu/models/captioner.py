@@ -314,6 +314,12 @@ def beam_search(
     beam per image and its score: summed token logprob, divided by
     ``length**length_penalty`` (GNMT-style) when ``length_penalty > 0``.
     ``beam_size=1`` reproduces greedy `generate` exactly (tested).
+
+    A best-finished register shadows the frontier: every hypothesis records
+    its (penalised) score the step it emits EOT, so a finished hypothesis
+    transiently evicted from the top-K by live prefixes (whose scores can
+    only fall as they extend) is never lost — the final answer is the max
+    of the register and the surviving frontier.
     """
     B = image_emb.shape[0]
     K = beam_size
@@ -344,9 +350,16 @@ def beam_search(
     logp0 = jnp.full((B, K), -jnp.inf, jnp.float32).at[:, 0].set(0.0)
     done0 = jnp.zeros((B, K), jnp.bool_)
     lens0 = jnp.zeros((B, K), jnp.int32)  # generated tokens incl. EOT
+    fin_score0 = jnp.full((B,), -jnp.inf, jnp.float32)
+    fin_toks0 = jnp.zeros((B, cfg.buf_len), jnp.int32)
+
+    def penalise(raw, length):
+        if length_penalty > 0.0:
+            return raw / jnp.maximum(length, 1).astype(jnp.float32) ** length_penalty
+        return raw
 
     def step(carry, i):
-        buf, logp, done, lens, caches = carry
+        buf, logp, done, lens, fin_score, fin_toks, caches = carry
         tok = jax.lax.dynamic_index_in_dim(buf, i, axis=2, keepdims=False)  # [B, K]
         p_abs = cfg.prefix_len + i
         xx = emb[tok.reshape(B * K)][:, None, :] + jax.lax.dynamic_slice_in_dim(
@@ -389,11 +402,26 @@ def beam_search(
         new_caches = tuple(
             (kc[gather], vc[gather]) for kc, vc in new_caches
         )
-        return (buf, top_scores, new_done, new_lens, new_caches), None
 
-    (buf, logp, done, lens, _), _ = jax.lax.scan(
+        # record hypotheses finishing THIS step in the best-finished register
+        newly = new_done & ~parent_done  # [B, K]
+        pen = penalise(top_scores, new_lens)
+        cand_fin = jnp.where(newly, pen, -jnp.inf)  # [B, K]
+        k_best = jnp.argmax(cand_fin, axis=1)  # [B]
+        v_best = jnp.take_along_axis(cand_fin, k_best[:, None], axis=1)[:, 0]
+        row = jnp.take_along_axis(buf, k_best[:, None, None], axis=1)[:, 0]
+        improve = v_best > fin_score
+        fin_score = jnp.where(improve, v_best, fin_score)
+        fin_toks = jnp.where(improve[:, None], row, fin_toks)
+
+        return (
+            buf, top_scores, new_done, new_lens, fin_score, fin_toks,
+            new_caches,
+        ), None
+
+    (buf, logp, done, lens, fin_score, fin_toks, _), _ = jax.lax.scan(
         step,
-        (buf0, logp0, done0, lens0, tuple(caches)),
+        (buf0, logp0, done0, lens0, fin_score0, fin_toks0, tuple(caches)),
         jnp.arange(cfg.max_new_tokens),
     )
 
@@ -403,12 +431,15 @@ def beam_search(
     buf = buf.at[:, :, -1].set(jnp.where(done, last, cfg.eot_id))
     lens = jnp.where(done, lens, lens + 1)
 
-    score = logp
-    if length_penalty > 0.0:
-        score = logp / jnp.maximum(lens, 1).astype(jnp.float32) ** length_penalty
+    score = penalise(logp, lens)
     best = jnp.argmax(score, axis=1)  # [B]
     tokens = jnp.take_along_axis(buf, best[:, None, None], axis=1)[:, 0]
     best_score = jnp.take_along_axis(score, best[:, None], axis=1)[:, 0]
+
+    # the register wins when the frontier lost a better finished hypothesis
+    from_reg = fin_score > best_score
+    tokens = jnp.where(from_reg[:, None], fin_toks, tokens)
+    best_score = jnp.where(from_reg, fin_score, best_score)
     return tokens, best_score
 
 
