@@ -347,6 +347,48 @@ def test_trainer_moe_dp_ep_exact_vs_single_device(rng):
     )
 
 
+def test_trainer_moe_ep_ema_sharded(rng):
+    """EMA composes with expert parallelism: the EMA tree's expert-stacked
+    leaves shard over 'expert' like the params, and the averaged kernels
+    match the single-device EMA bit-for-bit."""
+    from jax.sharding import PartitionSpec as P
+
+    from evr_tpu.parallel import get_mesh
+    from evr_tpu.training.finetune import TrainConfig, Trainer
+
+    cfg = _cfg()
+    batch = _train_batch(rng, cfg)
+    tc = TrainConfig(
+        batch_size=8, epochs=1, freeze_layers=2, compute_dtype="float32",
+        moe=MoEConfig(n_experts=4, router_k=2, capacity_factor=2.0),
+        ema_decay=0.9,
+    )
+    tr1 = Trainer(
+        cfg, init_clip_params(jax.random.PRNGKey(0), cfg), tc, log_fn=lambda *_: None
+    )
+    st1, _ = tr1.train_step(tr1.state, batch, jax.random.PRNGKey(0))
+
+    mesh = get_mesh(8, axis_names=("data", "expert"), shape=(2, 4))
+    tr = Trainer(
+        cfg, init_clip_params(jax.random.PRNGKey(0), cfg), tc,
+        mesh=mesh, log_fn=lambda *_: None,
+    )
+    ema_kern = tr.state.ema_params["clip"]["visual"]["blocks"][1]["moe"]["fc"]["kernel"]
+    assert ema_kern.sharding.spec == P("expert", None, None)
+    st, _ = tr.train_step(tr.state, batch, jax.random.PRNGKey(0))
+    np.testing.assert_allclose(
+        np.asarray(
+            jax.device_get(
+                st.ema_params["clip"]["visual"]["blocks"][1]["moe"]["fc"]["kernel"]
+            )
+        ),
+        np.asarray(
+            st1.ema_params["clip"]["visual"]["blocks"][1]["moe"]["fc"]["kernel"]
+        ),
+        atol=2e-6,
+    )
+
+
 def test_trainer_moe_patch_drop_runs(rng):
     """FLIP patch masking composes with the sparse vision tower (capacity is
     computed from the kept-token count inside the traced program)."""
