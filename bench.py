@@ -215,6 +215,13 @@ def _enable_compile_cache():
 def main() -> None:
     import sys
 
+    # Bounded liveness probe: the relayed TPU backend can wedge
+    # indefinitely (CLAUDE.md); fall back to CPU (warned, and recorded in
+    # the JSON extras) rather than hang the driver's bench run.
+    from evr_tpu.utils.tpu_guard import ensure_live_backend
+
+    backend_probe = ensure_live_backend()
+
     import jax
     import jax.numpy as jnp
 
@@ -406,6 +413,7 @@ def main() -> None:
                 "unit": "frames/s",
                 "vs_baseline": round(compute_fps / REFERENCE_GPU_FPS, 3),
                 "backend": backend,
+                "backend_probe": backend_probe,
                 "compute_fps_percall": round(compute_fps_percall, 2),
                 "e2e_relay_fps": round(e2e_fps, 2),
                 "h2d_MBps": round(h2d_mbps, 1),
