@@ -151,3 +151,60 @@ def test_progressive_phases(rng):
     assert labels3["clip"]["visual"]["blocks"][0]["ln_1"]["scale"] == "early"
     with pytest.raises(ValueError):
         trainer._enter_phase(2)
+
+
+# -- CatLIP (arXiv 2404.15653) ----------------------------------------------
+
+
+def test_concept_vocab_and_targets():
+    from evr_tpu.training.variants import build_concept_vocab, concept_targets
+
+    caps = [
+        "a man fighting in the street",
+        "the man holds a red umbrella",
+        "a dog running in the street",
+    ]
+    vocab = build_concept_vocab(caps, size=10, min_count=1)
+    assert "the" not in vocab and "a" not in vocab  # stopwords filtered
+    assert "man" in vocab and "street" in vocab
+    t = concept_targets(caps, vocab)
+    assert t.shape == (3, len(vocab))
+    assert t[0, vocab["man"]] == 1.0 and t[0, vocab["street"]] == 1.0
+    assert t[2, vocab["man"]] == 0.0 and t[2, vocab["dog"]] == 1.0
+    # min_count pruning
+    vocab2 = build_concept_vocab(caps, size=10, min_count=2)
+    assert "umbrella" not in vocab2 and "man" in vocab2
+
+
+def test_catlip_trainer_optimises_vision_only(rng):
+    from evr_tpu.training.variants import (
+        CatLIPTrainConfig,
+        CatLIPTrainer,
+        build_concept_vocab,
+        concept_targets,
+    )
+
+    cfg = tiny_cfg()
+    clip_params = init_clip_params(jax.random.PRNGKey(0), cfg)
+    caps = ["a man fighting", "a dog running", "a red car", "people on stage"] * 2
+    vocab = build_concept_vocab(caps, size=16, min_count=1)
+    targets = concept_targets(caps, vocab)
+    tr = CatLIPTrainer(
+        cfg, clip_params, vocab,
+        CatLIPTrainConfig(lr=1e-3, compute_dtype="float32"),
+    )
+    text_before = np.asarray(tr.params["clip"]["text"]["token_embedding"]).copy()
+    batch = {"images": tiny_batch(rng)["images"], "targets": targets}
+    losses = [tr.train_step(batch)["bce_loss"] for _ in range(6)]
+    assert losses[-1] < losses[0]
+    # text tower untouched (never run, never updated)
+    np.testing.assert_array_equal(
+        text_before, np.asarray(tr.params["clip"]["text"]["token_embedding"])
+    )
+    # vision tower moved, and the export is a full drop-in CLIP tree
+    out = tr.clip_params()
+    assert "text" in out and "visual" in out
+    assert np.abs(
+        np.asarray(out["visual"]["proj"])
+        - np.asarray(clip_params["visual"]["proj"])
+    ).max() > 0
