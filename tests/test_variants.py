@@ -208,3 +208,81 @@ def test_catlip_trainer_optimises_vision_only(rng):
         np.asarray(out["visual"]["proj"])
         - np.asarray(clip_params["visual"]["proj"])
     ).max() > 0
+
+
+
+# -- distillation (MobileCLIP/CLIP-KD style) --------------------------------
+
+
+def test_distill_kd_zero_when_student_is_teacher(rng):
+    """similarity_kd_loss is exactly 0 when student == teacher features."""
+    from evr_tpu.training.distill import similarity_kd_loss
+
+    f = np.random.default_rng(0).normal(size=(6, 32)).astype(np.float32)
+    f = f / np.linalg.norm(f, axis=-1, keepdims=True)
+    g = np.random.default_rng(1).normal(size=(6, 32)).astype(np.float32)
+    g = g / np.linalg.norm(g, axis=-1, keepdims=True)
+    zero = float(similarity_kd_loss(jnp.asarray(f), jnp.asarray(g),
+                                    jnp.asarray(f), jnp.asarray(g)))
+    assert abs(zero) < 1e-6
+    nonzero = float(similarity_kd_loss(jnp.asarray(g), jnp.asarray(f),
+                                       jnp.asarray(f), jnp.asarray(g)))
+    assert nonzero > 1e-3
+
+
+def test_distillation_trainer_optimises_and_freezes_teacher(rng):
+    from evr_tpu.training.distill import DistillConfig, DistillationTrainer
+
+    s_cfg = tiny_cfg()
+    # teacher: different width/depth, same embed_dim (align term allowed)
+    t_cfg = CLIPConfig(
+        embed_dim=32,
+        vision=VisionConfig(image_size=32, patch_size=8, width=96, layers=2, heads=4),
+        text=TextConfig(context_length=16, vocab_size=600, width=96, layers=2, heads=4),
+    )
+    student = init_clip_params(jax.random.PRNGKey(0), s_cfg)
+    teacher = init_clip_params(jax.random.PRNGKey(7), t_cfg)
+    tr = DistillationTrainer(
+        s_cfg, student, t_cfg, teacher,
+        DistillConfig(lr=1e-3, compute_dtype="float32",
+                      kd_weight=1.0, align_weight=0.5),
+    )
+    t_before = np.asarray(tr.teacher_params["visual"]["proj"]).copy()
+    batch = tiny_batch(rng)
+    losses = [tr.train_step(batch) for _ in range(6)]
+    assert losses[-1]["total_loss"] < losses[0]["total_loss"]
+    assert "align_loss" in losses[0]
+
+    # pure-KD stage (contrastive off): the student provably tracks the
+    # teacher's similarity structure
+    tr_kd = DistillationTrainer(
+        s_cfg, student, t_cfg, teacher,
+        DistillConfig(lr=1e-3, compute_dtype="float32",
+                      contrastive_weight=0.0, kd_weight=1.0),
+    )
+    kd_losses = [tr_kd.train_step(batch)["kd_loss"] for _ in range(6)]
+    assert kd_losses[-1] < kd_losses[0]
+    np.testing.assert_array_equal(
+        t_before, np.asarray(tr.teacher_params["visual"]["proj"])
+    )
+
+
+def test_distillation_dim_mismatch_needs_kd_only():
+    from evr_tpu.training.distill import DistillConfig, DistillationTrainer
+
+    s_cfg = tiny_cfg()
+    t_cfg = CLIPConfig(
+        embed_dim=48,
+        vision=VisionConfig(image_size=32, patch_size=8, width=96, layers=1, heads=4),
+        text=TextConfig(context_length=16, vocab_size=600, width=96, layers=1, heads=4),
+    )
+    student = init_clip_params(jax.random.PRNGKey(0), s_cfg)
+    teacher = init_clip_params(jax.random.PRNGKey(1), t_cfg)
+    with pytest.raises(ValueError):
+        DistillationTrainer(s_cfg, student, t_cfg, teacher,
+                            DistillConfig(align_weight=0.5))
+    # similarity-KD alone is dimension-agnostic
+    tr = DistillationTrainer(s_cfg, student, t_cfg, teacher,
+                             DistillConfig(compute_dtype="float32"))
+    m = tr.train_step(tiny_batch(np.random.default_rng(0)))
+    assert np.isfinite(m["total_loss"])
