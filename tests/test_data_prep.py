@@ -154,3 +154,43 @@ def test_retrieve_cli(tmp_path, monkeypatch):
     assert all(len(v) == 2 for v in results.values())
     assert all("similarity" in r for v in results.values() for r in v)
     assert grid.exists() and grid.stat().st_size > 0
+
+
+def test_distill_cli(tmp_path):
+    """Drive the distillation CLI end to end on the tiny geometry and serve
+    the resulting student checkpoint."""
+    import json
+
+    from PIL import Image
+
+    import numpy as np
+
+    from evr_tpu.index import EmbeddingEngine
+    from evr_tpu.tools import distill
+
+    imgs = tmp_path / "imgs"
+    imgs.mkdir()
+    caps = {}
+    rng = np.random.default_rng(0)
+    for i in range(8):
+        name = f"f{i}.jpg"
+        Image.fromarray(
+            (rng.random((64, 64, 3)) * 255).astype(np.uint8)
+        ).save(imgs / name)
+        caps[name] = {"caption": f"synthetic frame {i}", "category": "NonViolence"}
+    (tmp_path / "caps.json").write_text(json.dumps(caps))
+
+    distill.main([
+        "--train-json", str(tmp_path / "caps.json"),
+        "--data-dir", str(imgs),
+        "--student-model", "ViT-Tiny-Test",
+        "--teacher-model", "ViT-Tiny-Test",
+        "--epochs", "1", "--batch-size", "8",
+        "--save-dir", str(tmp_path / "out"),
+    ])
+    assert (tmp_path / "out" / "history.json").exists()
+    engine = EmbeddingEngine.from_checkpoint(
+        str(tmp_path / "out" / "student"), "ViT-Tiny-Test"
+    )
+    feats = engine.encode_texts(["a synthetic frame"])
+    assert np.isfinite(feats).all()
