@@ -155,19 +155,39 @@ def create_app(ctx: ServingContext, frontend_dist: str | None = None):
 
         start_time = time.time()
         data = request.get_json(silent=True) or {}
+        if not isinstance(data, dict):
+            return _json({"error": "request body must be a JSON object"}, 400)
         search_type = data.get("search_type", "text")
         query = data.get("query", "")
         image_url = data.get("image_url")
-        top_k = int(data.get("top_k", 10))
-        adaptive_threshold = float(data.get("adaptive_threshold", 0.5))
-        text_confidence = float(data.get("text_confidence", adaptive_threshold))
-        object_confidence = float(data.get("object_confidence", adaptive_threshold))
+        try:
+            top_k = int(data.get("top_k", 10))
+            adaptive_threshold = float(data.get("adaptive_threshold", 0.5))
+            text_confidence = float(data.get("text_confidence", adaptive_threshold))
+            object_confidence = float(
+                data.get("object_confidence", adaptive_threshold)
+            )
+        except (TypeError, ValueError):
+            return _json(
+                {"error": "top_k / threshold fields must be numeric"}, 400
+            )
         search_method = data.get("search_method", "text")
         keyword = data.get("keyword", "")
         object_keyword = data.get("object", "")
         enable_clip_similarity = data.get("enableClipSimilarity", False)
-
         model_name = data.get("model", "original")
+        # adversarial-input armor: every free-form field the strategies /
+        # tokenizer / cache key consume must be a string (a dict or list
+        # here used to surface as a 500 deep inside tokenization)
+        for field, v in (
+            ("search_type", search_type), ("query", query),
+            ("search_method", search_method), ("keyword", keyword),
+            ("object", object_keyword), ("model", model_name),
+        ):
+            if not isinstance(v, str):
+                return _json({"error": f"{field} must be a string"}, 400)
+        if image_url is not None and not isinstance(image_url, str):
+            return _json({"error": "image_url must be a string"}, 400)
         if model_name != ctx.engine.active_model:
             ctx.engine.set_active_model(model_name)
 
@@ -373,11 +393,23 @@ def create_app(ctx: ServingContext, frontend_dist: str | None = None):
         from evr_tpu.viz import generate_visualization
 
         data = request.get_json(silent=True) or {}
+        if not isinstance(data, dict):
+            return _json({"error": "request body must be a JSON object"}, 400)
         video_names = data.get("video_names")
-        n_neighbors = int(data.get("n_neighbors", 15))
-        min_dist = float(data.get("min_dist", 0.1))
+        if video_names is not None and (
+            not isinstance(video_names, list)
+            or not all(isinstance(v, str) for v in video_names)
+        ):
+            return _json({"error": "video_names must be a list of strings"}, 400)
+        try:
+            n_neighbors = int(data.get("n_neighbors", 15))
+            min_dist = float(data.get("min_dist", 0.1))
+        except (TypeError, ValueError):
+            return _json({"error": "n_neighbors/min_dist must be numeric"}, 400)
         metric = data.get("metric", "cosine")
         method = data.get("method", "auto")
+        if not isinstance(metric, str) or not isinstance(method, str):
+            return _json({"error": "metric/method must be strings"}, 400)
         key = (
             "-".join(sorted(video_names)) if video_names else "all",
             n_neighbors,
@@ -454,8 +486,10 @@ def create_app(ctx: ServingContext, frontend_dist: str | None = None):
                 )
             return _json(payload)
         data = request.get_json(silent=True) or {}
+        if not isinstance(data, dict):
+            return _json({"error": "request body must be a JSON object"}, 400)
         model_name = data.get("model")
-        if not model_name:
+        if not model_name or not isinstance(model_name, str):
             return _json({"error": "Model name is required"}, 400)
         if ctx.engine.set_active_model(model_name):
             return _json({"success": True, "active_model": ctx.engine.active_model})

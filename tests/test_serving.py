@@ -352,3 +352,26 @@ def test_boot_restores_state(client):
     app2 = create_app(ctx2)
     events = get_json(Client(app2).get("/api/video/video-1/events"))
     assert events
+
+
+def test_malformed_payload_fuzz(client):
+    """Adversarial inputs to every POST route must come back as structured
+    JSON 4xx — never an unhandled exception / HTML traceback."""
+    routes = ["/api/search", "/api/visualization/umap", "/api/models/set_active"]
+    payloads = [
+        "not json at all",
+        "{\"unterminated\": ",
+        json.dumps({"search_type": 12345, "query": {"nested": "dict"}}),
+        json.dumps({"query": "x" * 100_000, "search_method": "no_such_method"}),
+        json.dumps({"search_type": "image", "image_data": "!!!not-base64!!!"}),
+        json.dumps([1, 2, 3]),  # list body where an object is expected
+        json.dumps({}),
+    ]
+    for route in routes:
+        for body in payloads:
+            resp = client.post(
+                route, data=body, headers={"Content-Type": "application/json"}
+            )
+            assert resp.status_code < 500, (route, body[:40], resp.status_code)
+            out = json.loads(resp.get_data(as_text=True))  # structured JSON
+            assert isinstance(out, dict), (route, body[:40])
