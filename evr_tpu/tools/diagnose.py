@@ -20,6 +20,12 @@ def main(argv=None):
     parser = argparse.ArgumentParser(description="training pipeline diagnostics")
     parser.add_argument("--model", default="ViT-B/32")
     parser.add_argument("--checkpoint", default=None)
+    parser.add_argument(
+        "--use-ema", action="store_true",
+        help="serve the EMA (Polyak-averaged) weights from the checkpoint "
+        "(payload['ema'], written by finetune --ema-decay); falls back to "
+        "the raw params when absent",
+    )
     parser.add_argument("--freeze-layers", type=int, default=8)
     parser.add_argument("--batch-sizes", nargs="*", type=int, default=[1, 8, 16, 32])
     args = parser.parse_args(argv)
@@ -40,12 +46,6 @@ def main(argv=None):
     size = engine.cfg.vision.image_size
     feats = engine.encode_staged_images(
         (rng.random((8, size, size, 3)) * 255).astype(np.uint8), normalise=True
-    )
-    parser.add_argument(
-        "--use-ema", action="store_true",
-        help="serve the EMA (Polyak-averaged) weights from the checkpoint "
-        "(payload['ema'], written by finetune --ema-decay); falls back to "
-        "the raw params when absent",
     )
     report["embedding_norms"] = diagnostics.check_embedding_norms(feats)
     report["batch_size_sweep"] = diagnostics.batch_size_sweep(
