@@ -117,3 +117,19 @@ def test_composite_annotator_merges():
     out = CompositeAnnotator(a, b)("x.jpg")
     assert out["text_detections"] == [{"text": "A"}]
     assert out["object_detections"] == [{"class": "dog"}]
+
+
+def test_bench_kernels_captioner_smoke(capsys):
+    """bench_kernels' captioner mode runs end to end (CPU smoke shape)."""
+    import sys
+
+    from evr_tpu.tools import bench_kernels
+
+    argv = sys.argv
+    sys.argv = ["bench_kernels", "captioner", "--reps", "10"]
+    try:
+        bench_kernels.main()
+    finally:
+        sys.argv = argv
+    out = capsys.readouterr().out
+    assert "kv-cached decode" in out and "speedup" in out
