@@ -119,6 +119,51 @@ class QueryEngine:
         results.sort(key=lambda e: e.get("clip_similarity", 0), reverse=True)
         return results[:top_k]
 
+    # -- temporal chain search (beyond-reference capability) ---------------
+    def query_temporal(
+        self,
+        queries: list[str],
+        top_k: int = 5,
+        max_gap: int | None = None,
+        video_name: str | None = None,
+    ):
+        """Ordered multi-event chains ("X, then Y, then Z"): one batched
+        text encode for all sub-queries, one GEMM per candidate video, and
+        an exact O(K·n) DP over the frame axis (`query.temporal`). Each
+        result is the first step's event dict plus ``chain`` (per-step
+        events) and ``total_score``."""
+        from evr_tpu.query.temporal import temporal_search
+
+        if len(queries) < 2:
+            raise ValueError("temporal search needs at least 2 sub-queries")
+        processed = [self.preprocess(q) for q in queries]
+        chains = temporal_search(
+            self.engine.encode_texts, self.index, processed,
+            top_k=top_k, max_gap=max_gap, video_name=video_name,
+        )
+        results = []
+        for ch in chains:
+            steps = []
+            for fname, score in zip(ch.frame_names, ch.step_scores):
+                hit = SearchHit(ch.video, fname, score, -1, -1)
+                frame = self._frame_for_hit(hit)
+                if frame is None:
+                    steps.append(
+                        {"video": ch.video, "frame": fname,
+                         "clip_similarity": score}
+                    )
+                    continue
+                ev = self._format_event(
+                    ch.video, frame, {"clip_similarity": score}
+                )
+                ev["clip_similarity"] = score
+                steps.append(ev)
+            entry = dict(steps[0]) if steps else {"video": ch.video}
+            entry["chain"] = steps
+            entry["total_score"] = ch.total_score
+            results.append(entry)
+        return results
+
     # -- 2. text_adaptive -------------------------------------------------
     def query_text_adaptive(
         self,

@@ -188,6 +188,23 @@ def create_app(ctx: ServingContext, frontend_dist: str | None = None):
                 return _json({"error": f"{field} must be a string"}, 400)
         if image_url is not None and not isinstance(image_url, str):
             return _json({"error": "image_url must be a string"}, 400)
+        queries_list = data.get("queries")
+        max_gap = data.get("max_gap")
+        if search_method == "temporal":
+            if (
+                not isinstance(queries_list, list)
+                or len(queries_list) < 2
+                or not all(isinstance(q, str) and q for q in queries_list)
+            ):
+                return _json(
+                    {"error": "temporal search needs 'queries': "
+                              "a list of >= 2 non-empty strings"}, 400
+                )
+            if max_gap is not None:
+                try:
+                    max_gap = int(max_gap)
+                except (TypeError, ValueError):
+                    return _json({"error": "max_gap must be an integer"}, 400)
         if model_name != ctx.engine.active_model:
             ctx.engine.set_active_model(model_name)
 
@@ -201,7 +218,7 @@ def create_app(ctx: ServingContext, frontend_dist: str | None = None):
             model_name, ctx.index.version, search_type, query, image_url,
             top_k, adaptive_threshold, text_confidence, object_confidence,
             search_method, keyword, object_keyword, bool(enable_clip_similarity),
-            video_name,
+            video_name, tuple(queries_list or ()), max_gap,
         )
         cached = ctx.search_cache.get(cache_key)
         if cached is not None:
@@ -216,6 +233,12 @@ def create_app(ctx: ServingContext, frontend_dist: str | None = None):
                 )
             except ValueError as e:
                 return _json({"error": str(e)}, 400)
+        elif search_type == "text" and search_method == "temporal":
+            # ordered multi-event chain search (beyond-reference capability)
+            results = qe.query_temporal(
+                queries_list, top_k=top_k, max_gap=max_gap,
+                video_name=video_name,
+            )
         elif search_type == "text" and query:
             if search_method == "text_clip":
                 results = qe.query_text_clip(query, top_k, video_name)

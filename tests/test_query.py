@@ -252,3 +252,59 @@ def test_reference_metadata_fixture(reference_fixtures):
     assert len(store.frames("Violence_2")) == len(records)
     fr = store.frames("Violence_2")[0]
     assert fr.frameid.endswith(".jpg")
+
+
+# -- temporal chain search ---------------------------------------------------
+
+
+def test_chain_dp_ordering_and_gap():
+    from evr_tpu.query.temporal import chain_dp
+
+    # K=2 over 5 frames: best unordered pair would be (3, 1) but ordering
+    # forces f1 < f2
+    s = np.array(
+        [
+            [0.1, 0.2, 0.1, 0.9, 0.1],  # step 1 peaks at frame 3
+            [0.1, 0.8, 0.1, 0.1, 0.5],  # step 2 peaks at frame 1 (before!)
+        ],
+        np.float32,
+    )
+    total, chain = chain_dp(s)
+    assert chain == [3, 4]  # step1@3 then step2@4 (0.9+0.5), not 3→1
+    assert total == pytest.approx(1.4)
+
+    # gap constraint: with max_gap=1 the chain 0→4 is illegal
+    s2 = np.array(
+        [[0.9, 0.0, 0.0, 0.0, 0.0], [0.0, 0.0, 0.0, 0.0, 0.9]], np.float32
+    )
+    total_u, chain_u = chain_dp(s2)
+    assert chain_u == [0, 4]
+    total_g, chain_g = chain_dp(s2, max_gap=1)
+    assert chain_g != [0, 4]
+
+    # infeasible: more steps than frames
+    total_i, chain_i = chain_dp(np.zeros((3, 2), np.float32))
+    assert chain_i == [] and total_i == float("-inf")
+
+
+def test_query_temporal_chains(setup):
+    fake = setup.engine
+    fake.encode_texts = lambda qs: np.stack(
+        [fake.get_text_features(q) for q in qs]
+    )
+    results = setup.query_temporal(["fight", "danger sign"], top_k=3)
+    assert results, "expected at least one chain"
+    best = results[0]
+    # frame 10 (fight) precedes frame 20 (danger sign) in testvid
+    assert [s["id"] for s in best["chain"]] == ["event-10", "event-20"]
+    assert best["total_score"] == pytest.approx(2.0)
+    assert best["id"] == "event-10"  # representative = first step
+
+    # reversed order scores strictly lower (DP enforces f1 < f2)
+    rev = setup.query_temporal(["danger sign", "fight"], top_k=3)
+    assert rev[0]["total_score"] < best["total_score"]
+
+
+def test_query_temporal_needs_two(setup):
+    with pytest.raises(ValueError):
+        setup.query_temporal(["only one"])

@@ -375,3 +375,39 @@ def test_malformed_payload_fuzz(client):
             assert resp.status_code < 500, (route, body[:40], resp.status_code)
             out = json.loads(resp.get_data(as_text=True))  # structured JSON
             assert isinstance(out, dict), (route, body[:40])
+
+
+def test_search_temporal_chain(client):
+    """search_method='temporal': ordered multi-event chains via the search
+    route (beyond-reference capability)."""
+    resp = client.post(
+        "/api/search",
+        data=json.dumps(
+            {
+                "search_type": "text",
+                "search_method": "temporal",
+                "queries": ["a red frame", "a blue frame"],
+                "top_k": 2,
+            }
+        ),
+        headers={"Content-Type": "application/json"},
+    )
+    assert resp.status_code == 200
+    out = get_json(resp)
+    results = out["events"]
+    if results:  # tiny fixture video may have < 2 frames indexed
+        chain = results[0]["chain"]
+        assert len(chain) == 2
+        # strictly increasing frame order within one video
+        f = [int(s["id"].split("-")[1]) for s in chain if "id" in s]
+        assert f == sorted(f)
+        assert "total_score" in results[0]
+
+    # missing/invalid queries list -> structured 400
+    bad = client.post(
+        "/api/search",
+        data=json.dumps({"search_type": "text", "search_method": "temporal",
+                         "queries": ["only one"]}),
+        headers={"Content-Type": "application/json"},
+    )
+    assert bad.status_code == 400
