@@ -70,6 +70,37 @@ class AssemblyAITranscriber:
         raise TimeoutError("transcription timed out")
 
 
+class LocalWhisperTranscriber:
+    """On-chip Whisper transcription (``evr_tpu.models.whisper``) — the
+    zero-egress replacement for the reference's AssemblyAI network call
+    (`Backend/app.py:766-850`).
+
+    Wraps a ``WhisperASR`` (params + config + detokenizer are deployment
+    assets — this image ships neither weights nor the Whisper BPE vocab, so
+    deployments without them leave the provider unset and the route answers
+    501, same gating as the OCR/YOLO annotators). ``language_prompts`` maps
+    the route's language codes (e.g. ``"en_us"``/``"vi"``) to forced header
+    token-id lists; unknown codes fall back to the ASR's default prompt.
+
+    Input format: PCM WAV via the stdlib (ffmpeg is absent here); wire a
+    host decoder ahead of this provider for webm/ogg uploads.
+    """
+
+    def __init__(self, asr, language_prompts: dict[str, list[int]] | None = None):
+        self.asr = asr
+        self.language_prompts = language_prompts or {}
+
+    def __call__(self, audio_path: str, language: str = "en_us") -> str:
+        from evr_tpu.models.whisper import read_wav
+
+        audio = read_wav(audio_path, self.asr.cfg.sampling_rate)
+        prompt = self.language_prompts.get(language)
+        (out,) = self.asr.transcribe(audio, prompt_ids=prompt)
+        if isinstance(out, list):  # no detokenizer wired: return ids as text
+            return " ".join(str(i) for i in out)
+        return out
+
+
 class CallableTranscriber:
     """Adapter for any ``fn(audio_path, language) -> str`` (e.g. a local
     whisper install) so it can be wired as the serving transcriber."""
