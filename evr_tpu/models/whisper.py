@@ -707,3 +707,25 @@ class WhisperASR:
             ids = ids[prompt.shape[0]:]  # drop the forced header
             out.append(self.detokenize(ids) if self.detokenize else ids)
         return out
+
+    def transcribe_long(
+        self, audio: np.ndarray, prompt_ids: list[int] | None = None
+    ) -> list[int] | str:
+        """Transcribe audio longer than one window ([S], any length).
+
+        The waveform is cut into consecutive ``chunk_length``-second windows
+        which decode as ONE batch (one dispatch, windows fill the batch
+        axis the device parallelises over) and the per-window outputs are
+        concatenated. Boundary words can split across windows — the
+        timestamp-conditioned shifting of the original CLI is a host-side
+        refinement deployments can layer on top.
+        """
+        n = self.cfg.n_samples
+        num_windows = max(1, math.ceil(audio.shape[-1] / n))
+        windows = np.stack(
+            [pad_or_trim(audio[i * n : (i + 1) * n], n) for i in range(num_windows)]
+        )
+        outs = self.transcribe(windows, prompt_ids=prompt_ids)
+        if self.detokenize:
+            return " ".join(o.strip() for o in outs if o.strip())
+        return [t for o in outs for t in o]

@@ -85,6 +85,7 @@ def main(argv=None):
     comp.run_evaluation(dataset)
     print(comp.format_table())
     print(f"wrote {comp.save_json()}")
+    print(f"wrote {comp.save_csv()}")
     chart = comp.save_charts()
     if chart:
         print(f"wrote {chart}")

@@ -55,6 +55,13 @@ def main(argv=None):
         "fsdp/expert-parallel, and is saved as payload['ema']. 0 disables",
     )
     parser.add_argument(
+        "--gradcache-chunks", type=int, default=0,
+        help="GradCache (arxiv 2101.06983): split each batch into N chunks "
+        "so encoder activation memory is O(B/N) while the contrastive "
+        "negative pool stays the FULL batch; gradients are exactly the "
+        "direct step's (one extra forward). 0 disables",
+    )
+    parser.add_argument(
         "--remat", action="store_true",
         help="rematerialise transformer blocks in the backward pass "
         "(jax.checkpoint): ~depth x per-block activation HBM saved per step "
@@ -200,6 +207,7 @@ def main(argv=None):
         save_dir=args.save_dir,
         patch_drop=args.patch_drop,
         remat=args.remat,
+        gradcache_chunks=args.gradcache_chunks,
         ema_decay=args.ema_decay,
         warmup_steps=args.warmup_steps,
         adam_mu_dtype=args.adam_mu_dtype,

@@ -128,6 +128,15 @@ class TrainConfig:
     # (standard for CLIP-style contrastive training — the reference has no
     # warmup; 0 keeps exact reference-parity scheduling).
     warmup_steps: int = 0
+    # GradCache chunked contrastive step (arXiv 2101.06983,
+    # `training.gradcache`): split the batch into N chunks so peak encoder
+    # activation memory is O(B/N) while the in-batch negative pool stays the
+    # FULL batch — gradients are mathematically identical to the direct
+    # step (a memory schedule, not an approximation; tested). Costs one
+    # extra encoder forward. 0/1 disables. Composes with remat, fsdp, dp
+    # meshes, siglip and the classifier head; unsupported with moe/lora/
+    # patch_drop (rejected at construction).
+    gradcache_chunks: int = 0
 
 
 @chex.dataclass
@@ -287,10 +296,60 @@ def make_train_step(
             metrics = {**metrics, "total_loss": loss, "moe_aux": aux_moe}
         return loss, metrics
 
+    use_gradcache = cfg.gradcache_chunks > 1
+    if use_gradcache:
+        if cfg.moe is not None or cfg.lora_rank > 0 or cfg.patch_drop > 0.0:
+            raise ValueError(
+                "gradcache_chunks > 1 is unsupported with moe/lora/patch_drop"
+            )
+        from .gradcache import gradcache_value_and_grad
+
+        def encode_fn(params, cb):
+            x = cb["images"].astype(jnp.float32) / 255.0
+            x = (x - mean) / std
+            return {
+                "img": encode_image(params["clip"], model_cfg, x, dtype=dtype),
+                "txt": encode_text(
+                    params["clip"], model_cfg, cb["tokens"], dtype=dtype
+                ),
+            }
+
+        def head_fn(params, emb, aux):
+            clip_p = params["clip"]
+            img_n = emb["img"] / jnp.linalg.norm(emb["img"], axis=-1, keepdims=True)
+            txt_n = emb["txt"] / jnp.linalg.norm(emb["txt"], axis=-1, keepdims=True)
+            cls_logits = None
+            if cls_cfg is not None and params.get("classifier") is not None:
+                cls_logits = classifier_forward(
+                    params["classifier"], cls_cfg, img_n,
+                    deterministic=False, rng=aux["rng"],
+                )
+            return combined_clip_loss(
+                img_n,
+                txt_n,
+                clip_p["logit_scale"],
+                class_logits=cls_logits,
+                class_labels=aux.get("labels"),
+                contrastive_weight=cfg.contrastive_weight,
+                classification_weight=cfg.classification_weight,
+                label_smoothing=cfg.label_smoothing,
+                contrastive_impl=cfg.contrastive_loss,
+                logit_bias=clip_p.get("logit_bias"),
+            )
+
+        gc_vag = gradcache_value_and_grad(encode_fn, head_fn, cfg.gradcache_chunks)
+
     def step(state: TrainState, batch, rng):
-        (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params, batch, rng
-        )
+        if use_gradcache:
+            (_, metrics), grads = gc_vag(
+                state.params,
+                {"images": batch["images"], "tokens": batch["tokens"]},
+                {"labels": batch.get("labels"), "rng": rng},
+            )
+        else:
+            (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                state.params, batch, rng
+            )
         updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         metrics["grad_norm"] = optax.global_norm(grads)

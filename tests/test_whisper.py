@@ -251,6 +251,26 @@ def test_whisper_asr_wrapper_end_to_end():
     assert txt.endswith("tokens>")
 
 
+def test_transcribe_long_windows_match_per_window_decode():
+    import jax
+
+    cfg = WHISPER_SIZES["tiny-test"]
+    params = init_whisper_params(jax.random.PRNGKey(9), cfg)
+    asr = WhisperASR(params, cfg, prompt_ids=[cfg.sot_id], max_len=8)
+    rng = np.random.default_rng(10)
+    # 2.5 windows worth of audio -> 3 windows
+    audio = rng.standard_normal(int(2.5 * cfg.n_samples)).astype(np.float32)
+    long_ids = asr.transcribe_long(audio)
+    per_window = []
+    for i in range(3):
+        w = pad_or_trim(audio[i * cfg.n_samples : (i + 1) * cfg.n_samples], cfg.n_samples)
+        per_window.extend(asr.transcribe(w)[0])
+    assert long_ids == per_window
+    # detokenizer path joins window texts
+    asr.detokenize = lambda ids: "w"
+    assert asr.transcribe_long(audio) == "w w w"
+
+
 def test_published_sizes_table():
     assert WHISPER_SIZES["tiny"].d_model == 384
     assert WHISPER_SIZES["large-v3"].num_mel_bins == 128
