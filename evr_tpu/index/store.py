@@ -405,6 +405,7 @@ class VideoRegistry:
         "video_path",
         "frames_dir",
         "embedding_model",  # which model produced the embeddings (app.py:655)
+        "transcript_file",  # optional ASR transcript (ingest/transcripts.py)
     )
 
     def __init__(self, mapping_path):

@@ -2,6 +2,13 @@ from .scene import detect_scenes, content_curve, cuts_from_curve, ContentDetecto
 from .frames import extract_scene_frames, extract_uniform_frames
 from .annotate import build_frame_record, Annotator, NullAnnotator, annotate_folder
 from .pipeline import ingest_video, IngestResult
+from .transcripts import (
+    SegmentTranscriber,
+    WhisperSegmentTranscriber,
+    build_video_transcript,
+    load_transcript,
+    transcript_path_for,
+)
 
 __all__ = [
     "detect_scenes",
@@ -16,4 +23,9 @@ __all__ = [
     "annotate_folder",
     "ingest_video",
     "IngestResult",
+    "SegmentTranscriber",
+    "WhisperSegmentTranscriber",
+    "build_video_transcript",
+    "load_transcript",
+    "transcript_path_for",
 ]

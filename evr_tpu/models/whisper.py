@@ -729,3 +729,39 @@ class WhisperASR:
         if self.detokenize:
             return " ".join(o.strip() for o in outs if o.strip())
         return [t for o in outs for t in o]
+
+    def transcribe_segments(
+        self, audio: np.ndarray, prompt_ids: list[int] | None = None
+    ) -> list[dict]:
+        """Transcribe to time-anchored segments for the searchable-transcript
+        index (`ingest/transcripts.py` / `MetadataStore.add_transcript`).
+
+        Same one-batch windowing as ``transcribe_long``; each window becomes
+        ``{"start": s, "end": s, "text": str}`` at window granularity (the
+        model's notimestamps header is the cheap greedy path — finer
+        word-level timestamps need the timestamp-token decode, a host-side
+        refinement). Windows with empty text are dropped. Without a
+        detokenizer, ``text`` is the space-joined token ids (still
+        searchable/exact-matchable)."""
+        n = self.cfg.n_samples
+        duration = audio.shape[-1] / self.cfg.sampling_rate
+        num_windows = max(1, math.ceil(audio.shape[-1] / n))
+        windows = np.stack(
+            [pad_or_trim(audio[i * n : (i + 1) * n], n) for i in range(num_windows)]
+        )
+        outs = self.transcribe(windows, prompt_ids=prompt_ids)
+        segments = []
+        for i, out in enumerate(outs):
+            text = (
+                out.strip() if self.detokenize else " ".join(str(t) for t in out)
+            )
+            if not text:
+                continue
+            segments.append(
+                {
+                    "start": i * float(self.cfg.chunk_length),
+                    "end": min((i + 1) * float(self.cfg.chunk_length), duration),
+                    "text": text,
+                }
+            )
+        return segments

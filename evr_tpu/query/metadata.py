@@ -28,6 +28,11 @@ from .text import fold_accents
 CAPTION_CONF = 0.65
 TAG_CONF = 0.75
 OCR_OBJECT_SCALE = 0.7
+# ASR transcript hit: between caption (0.65) and tag (0.75) — transcripts
+# are machine-generated like captions but time-anchored like detections.
+# (Beyond-reference: the reference's Whisper probe, `content/file_test_prob/
+# test_subtitles.py`, never fed transcripts into search.)
+SPEECH_CONF = 0.70
 
 
 @dataclass
@@ -55,6 +60,9 @@ class MetadataStore:
         self._by_frameidx: dict[str, dict[int, FrameRecord]] = {}
         self._by_frameid: dict[str, dict[str, FrameRecord]] = {}
         self._fps: dict[str, float] = {}
+        # ASR transcripts: per video, time-ordered (start, end, text_lower,
+        # text_folded, text_original) segments
+        self._transcripts: dict[str, list[tuple[float, float, str, str, str]]] = {}
 
     # -- loading ----------------------------------------------------------
     def add_video(self, name: str, records: list[dict], fps: float = 25.0) -> None:
@@ -85,6 +93,33 @@ class MetadataStore:
     def load_video_json(self, name: str, path, fps: float = 25.0) -> None:
         records = json.loads(pathlib.Path(path).read_text(encoding="utf-8"))
         self.add_video(name, records, fps)
+
+    def add_transcript(self, name: str, segments: list[dict]) -> None:
+        """Attach ASR transcript segments (``ingest/transcripts.py`` schema:
+        ``[{"start": s, "end": s, "text": str}, ...]``) to a video. Text is
+        pre-folded once; segments are kept time-sorted for the per-frame
+        timestamp probe."""
+        segs = []
+        for seg in segments:
+            text = str(seg.get("text", "")).strip()
+            if not text:
+                continue
+            low, folded = _fold_pair(text)
+            segs.append(
+                (float(seg.get("start", 0.0)), float(seg.get("end", 0.0)),
+                 low, folded, text)
+            )
+        segs.sort(key=lambda s: s[0])
+        self._transcripts[name] = segs
+
+    def load_transcript_json(self, name: str, path) -> None:
+        payload = json.loads(pathlib.Path(path).read_text(encoding="utf-8"))
+        if isinstance(payload, dict):
+            payload = payload.get("segments", [])
+        self.add_transcript(name, payload)
+
+    def has_transcript(self, video: str) -> bool:
+        return bool(self._transcripts.get(video))
 
     # -- lookups ----------------------------------------------------------
     def videos(self) -> list[str]:
@@ -127,6 +162,60 @@ class MetadataStore:
         for fr in self._videos.get(video, []):
             if self.keyword_best_match(fr, keyword) > 0.0:
                 out.append(fr.frameid)
+                if limit is not None and len(out) >= limit:
+                    break
+        return out
+
+    def speech_matches(
+        self, video: str, keyword: str
+    ) -> list[tuple[float, float, str]]:
+        """Transcript segments whose text contains the keyword
+        (accent-insensitive, same `_contains` semantics as every other text
+        source) → time-sorted ``(start, end, original_text)``."""
+        q_low = keyword.lower()
+        q_folded = fold_accents(q_low)
+        return [
+            (start, end, text)
+            for start, end, low, folded, text in self._transcripts.get(video, [])
+            if self._contains(q_low, q_folded, low, folded)
+        ]
+
+    def speech_best_match(
+        self, video: str, frame: FrameRecord, keyword: str
+    ) -> tuple[float, str]:
+        """(confidence, segment text) for the transcript segment covering the
+        frame's timestamp (frameidx/fps) when it contains the keyword;
+        (0.0, "") otherwise. Confidence is the flat SPEECH_CONF — ASR output
+        carries no per-word score on the greedy path."""
+        t = frame.frameidx / self.fps(video)
+        q_low = keyword.lower()
+        q_folded = fold_accents(q_low)
+        for start, end, low, folded, text in self._transcripts.get(video, []):
+            if start <= t < end and self._contains(q_low, q_folded, low, folded):
+                return SPEECH_CONF, text
+        return 0.0, ""
+
+    def speech_frames(
+        self, video: str, keyword: str, limit: int | None = None
+    ) -> list[tuple[FrameRecord, str]]:
+        """Frames whose timestamp falls inside a keyword-matching transcript
+        segment → ``(frame, segment_text)`` in frame order. O(F + S) merge
+        over the time-sorted frames and segments."""
+        segs = self.speech_matches(video, keyword)
+        if not segs:
+            return []
+        fps = self.fps(video)
+        out = []
+        si = 0
+        for fr in sorted(self._videos.get(video, []), key=lambda f: f.frameidx):
+            t = fr.frameidx / fps
+            while si < len(segs) and segs[si][1] <= t:
+                si += 1
+            if si >= len(segs):
+                break
+            start, end, text = segs[si]
+            if start <= t < end:
+                out.append((fr, text))
                 if limit is not None and len(out) >= limit:
                     break
         return out

@@ -381,6 +381,71 @@ class QueryEngine:
         results.sort(key=lambda e: e["confidence"], reverse=True)
         return results[:top_k]
 
+    # -- speech strategies (beyond-reference: searchable ASR transcripts) --
+    def query_speech(
+        self,
+        keyword: str,
+        top_k: int,
+        video_name: str | None = None,
+    ):
+        """Frames inside transcript segments whose spoken text contains the
+        keyword (accent-insensitive). Beyond-reference: the reference probed
+        Whisper subtitles (`content/file_test_prob/test_subtitles.py`) but
+        never indexed them; here transcripts are a first-class match source
+        like OCR text. Flat SPEECH_CONF confidence (greedy ASR carries no
+        per-word score); events carry the matched segment text + bounds."""
+        from .metadata import SPEECH_CONF
+
+        videos = [video_name] if video_name else self.metadata.videos()
+        results = []
+        for video in videos:
+            for frame, seg_text in self.metadata.speech_frames(video, keyword):
+                event = self._format_event(video, frame, {"clip_similarity": 0.0})
+                event["confidence"] = SPEECH_CONF
+                event["speech_confidence"] = SPEECH_CONF
+                event["speech_text"] = seg_text
+                event["detection_type"] = "speech"
+                results.append(event)
+        results.sort(key=lambda e: e.get("confidence", 0), reverse=True)
+        return results[:top_k]
+
+    def query_text_speech(
+        self,
+        query: str,
+        adaptive_threshold: float,
+        top_k: int,
+        keyword: str | None = None,
+        video_name: str | None = None,
+    ):
+        """CLIP semantic candidates restricted to frames whose covering
+        transcript segment contains the keyword — the speech analog of
+        text_keyword (same fusion: confidence = max(clip, speech))."""
+        keyword_to_use = keyword if keyword else query
+        processed = self.preprocess(query)
+        results = []
+        for hit in self._candidates(processed, top_k, video_name):
+            if hit.score < adaptive_threshold:
+                continue
+            frame = self._frame_for_hit(hit)
+            if frame is None:
+                continue
+            conf, seg_text = self.metadata.speech_best_match(
+                hit.video, frame, keyword_to_use
+            )
+            if conf <= 0.0:
+                continue
+            event = self._format_event(
+                hit.video, frame, {"clip_similarity": hit.score}
+            )
+            event["confidence"] = max(hit.score, conf)
+            event["clip_similarity"] = hit.score
+            event["speech_confidence"] = conf
+            event["speech_text"] = seg_text
+            event["detection_type"] = "speech+clip"
+            results.append(event)
+        results.sort(key=lambda e: e["confidence"], reverse=True)
+        return results[:top_k]
+
     # -- dispatch ---------------------------------------------------------
     def search(self, method: str, **kwargs):
         try:
@@ -400,6 +465,9 @@ SEARCH_METHOD_DISPATCH: dict[str, Callable] = {
     "object_only": QueryEngine.query_object,
     "text_object": QueryEngine.query_text_object,
     "text_object_keyword": QueryEngine.query_text_object_keyword,
+    # beyond-reference: searchable ASR transcripts
+    "speech_only": QueryEngine.query_speech,
+    "text_speech": QueryEngine.query_text_speech,
 }
 
 SEARCH_METHODS = tuple(SEARCH_METHOD_DISPATCH)

@@ -277,6 +277,18 @@ def create_app(ctx: ServingContext, frontend_dist: str | None = None):
                     object_confidence=object_confidence,
                     video_name=video_name,
                 )
+            elif search_method == "speech_only":
+                # beyond-reference: searchable ASR transcripts
+                actual = keyword if keyword else query
+                results = qe.query_speech(actual, top_k, video_name)
+            elif search_method == "text_speech":
+                results = qe.query_text_speech(
+                    query,
+                    adaptive_threshold,
+                    top_k,
+                    keyword=keyword if keyword else query,
+                    video_name=video_name,
+                )
             else:  # "text_adaptive" and the fallback default
                 results = qe.query_text_adaptive(
                     query, adaptive_threshold, top_k, video_name

@@ -160,6 +160,22 @@ class ServingContext:
             if video_path and resolve(video_path).exists():
                 fps = video_fps(resolve(video_path))
             self.metadata.add_video(name, records, fps=fps)
+            # ASR transcript (speech search): registry field first, then the
+            # `{video}_transcript.json` sidecar convention
+            tr_path = resolve(entry.get("transcript_file", ""))
+            if not (entry.get("transcript_file") and tr_path.exists()):
+                from evr_tpu.ingest.transcripts import transcript_path_for
+
+                tr_path = transcript_path_for(meta_path, name)
+            if tr_path.exists():
+                try:
+                    self.metadata.load_transcript_json(name, tr_path)
+                except (ValueError, KeyError) as e:
+                    from evr_tpu.utils import get_logger
+
+                    get_logger("evr_tpu.serving").warning(
+                        "skipping unreadable transcript %s: %s", tr_path, e
+                    )
             loaded.append(name)
         return loaded
 

@@ -39,6 +39,8 @@ INDEX_HTML = """<!doctype html>
     <option value="object_only">object_only</option>
     <option value="text_object">text_object</option>
     <option value="text_object_keyword">text_object_keyword</option>
+    <option value="speech_only">speech_only</option>
+    <option value="text_speech">text_speech</option>
   </select>
   <input type="number" id="thr" value="0.2" step="0.05" min="0" max="1" title="adaptive threshold">
   <input type="number" id="topk" value="12" min="1" max="50" title="top k">

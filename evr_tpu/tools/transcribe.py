@@ -46,6 +46,13 @@ def main(argv=None):
                         help="forced header token ids (default: [sot])")
     parser.add_argument("--max-len", type=int, default=224)
     parser.add_argument("--json", action="store_true", dest="as_json")
+    parser.add_argument(
+        "--segments-out", default=None, metavar="DIR",
+        help="write searchable transcript artifacts ({video}_transcript.json, "
+        "ingest/transcripts.py schema) into DIR instead of printing text; "
+        "the video name is the WAV stem. Point DIR at the metadata dir and "
+        "the serving boot picks them up for speech search automatically",
+    )
     args = parser.parse_args(argv)
 
     from evr_tpu.models.whisper import (
@@ -82,6 +89,27 @@ def main(argv=None):
     prompt = args.prompt_ids if args.prompt_ids is not None else [cfg.sot_id]
     asr = WhisperASR(params, cfg, prompt_ids=prompt, max_len=args.max_len,
                      detokenize=detok)
+
+    if args.segments_out:
+        import pathlib
+
+        from evr_tpu.ingest.transcripts import (
+            WhisperSegmentTranscriber,
+            build_video_transcript,
+        )
+
+        out_dir = pathlib.Path(args.segments_out)
+        transcriber = WhisperSegmentTranscriber(asr, prompt_ids=args.prompt_ids)
+        results = {}
+        for path in args.audio:
+            name = pathlib.Path(path).stem
+            out_path = out_dir / f"{name}_transcript.json"
+            payload = build_video_transcript(
+                path, name, transcriber, out_path, cfg.sampling_rate
+            )
+            results[path] = payload
+            print(f"wrote {out_path} ({len(payload['segments'])} segments)")
+        return results
 
     results = {}
     for path in args.audio:

@@ -190,6 +190,7 @@ def test_triple_strategy(setup):
 
 def test_dispatch_table(setup):
     assert set(SEARCH_METHODS) == {
+        # the reference's 7 strategies
         "text_clip",
         "text_adaptive",
         "keyword_only",
@@ -197,6 +198,9 @@ def test_dispatch_table(setup):
         "object_only",
         "text_object",
         "text_object_keyword",
+        # beyond-reference: searchable ASR transcripts
+        "speech_only",
+        "text_speech",
     }
     r = setup.search("text_clip", query="fight", top_k=1)
     assert len(r) == 1
