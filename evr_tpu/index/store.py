@@ -59,6 +59,8 @@ class FrameIndex:
         mesh_axis: str = "data",
         device_dtype: str = "float32",
         search_impl: str = "xla",
+        ivf_nprobe: int = 32,
+        ivf_clusters: int | None = None,
     ):
         """``device_dtype``: 'float32' (exact — use for rank-parity eval),
         'bfloat16' (2× less HBM bandwidth), or 'int8' (4× less: symmetric
@@ -67,19 +69,38 @@ class FrameIndex:
         between rows whose fp32 scores differ by less than the quantisation
         step (~1e-2 int8) — acceptable for serving.
 
-        ``search_impl``: 'xla' (default — one GEMM + lax.top_k) or 'pallas'
+        ``search_impl``: 'xla' (default — one GEMM + lax.top_k), 'pallas'
         (fused tile-streaming kernel, `ops/retrieval_pallas.py`; never
         materialises the [Q, N] score matrix in HBM — measured ~14% faster
         at multi-million-row scale, see PERF.md; falls back to XLA when the
-        padded row count doesn't tile or the index is mesh-sharded)."""
+        padded row count doesn't tile or the index is mesh-sharded), or
+        'ivf' (approximate inverted-file tier, `index/ivf.py` — global
+        searches probe ``ivf_nprobe`` of ``ivf_clusters`` k-means lists
+        instead of reading every row; nprobe = n_clusters is bit-exact
+        brute force. Video-scoped searches always run exact (a single
+        video's row range is small). ``ivf_clusters=None`` → ~√N. Not
+        combinable with int8 storage or a device mesh — at mesh scale the
+        sharded exact path already wins, see PERF.md)."""
         self.embed_dim = embed_dim
         self.pad_multiple = pad_multiple
         self.mesh = mesh
         self.mesh_axis = mesh_axis
         self.device_dtype = device_dtype
-        if search_impl not in ("xla", "pallas"):
+        if search_impl not in ("xla", "pallas", "ivf"):
             raise ValueError(f"unknown search_impl {search_impl!r}")
+        if search_impl == "ivf" and device_dtype == "int8":
+            raise ValueError(
+                "search_impl='ivf' supports float32/bfloat16 storage only"
+            )
+        if search_impl == "ivf" and mesh is not None:
+            raise ValueError(
+                "search_impl='ivf' is single-device; use the sharded exact "
+                "path (mesh=...) for scale-out"
+            )
         self.search_impl = search_impl
+        self.ivf_nprobe = ivf_nprobe
+        self.ivf_clusters = ivf_clusters
+        self._ivf = None
         self._videos: dict[str, VideoEntry] = {}
         self._embeddings: dict[str, np.ndarray] = {}
         self._order: list[str] = []
@@ -129,6 +150,9 @@ class FrameIndex:
             or name in self._videos
             or self.mesh is not None
             or self._row_scales is not None
+            # IVF lists are built at rebuild time; an in-place append would
+            # leave the new rows invisible to probes
+            or self.search_impl == "ivf"
         ):
             return False
         n = len(emb)
@@ -219,6 +243,22 @@ class FrameIndex:
         full = np.zeros((padded, self.embed_dim), dtype=np.float32)
         if mats:
             full[:total] = np.concatenate(mats, axis=0)
+        self._ivf = None
+        if self.search_impl == "ivf" and total > 1:
+            from evr_tpu.index.ivf import IVFIndex
+
+            k = self.ivf_clusters or max(1, int(round(total**0.5)))
+            self._ivf = IVFIndex().build(
+                full[:total],
+                n_clusters=min(k, total),
+                capacity_factor=1.3,
+                iters=6,
+                dtype=(
+                    "bfloat16"
+                    if self.device_dtype == "bfloat16"
+                    else "float32"
+                ),
+            )
         self._row_scales = None
         if self.device_dtype == "bfloat16":
             full = jnp.asarray(full).astype(jnp.bfloat16)
@@ -262,6 +302,22 @@ class FrameIndex:
         self._ensure_built()
         start, end = self._range_for(video_name)
         k = max(1, min(top_k, end - start))
+        # IVF tier: global (unscoped) searches probe inverted lists instead
+        # of reading every row; scoped searches fall through to the exact
+        # path (one video's range is small enough that exact is cheaper
+        # than probing). Results padded to the promised k with -inf/-1 when
+        # the reachable candidate set is smaller.
+        if self.search_impl == "ivf" and video_name is None and self._ivf is not None:
+            scores, rows = self._ivf.search(
+                np.atleast_2d(np.asarray(queries, np.float32)),
+                k,
+                nprobe=self.ivf_nprobe,
+            )
+            if scores.shape[1] < k:
+                pad = ((0, 0), (0, k - scores.shape[1]))
+                scores = np.pad(scores, pad, constant_values=-np.inf)
+                rows = np.pad(rows, pad, constant_values=-1)
+            return scores, rows
         q = jnp.asarray(np.atleast_2d(np.asarray(queries, np.float32)))
 
         use_sharded = (

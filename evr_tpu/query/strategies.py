@@ -69,7 +69,17 @@ class QueryEngine:
         # without the full interface (e.g. test stubs). batch_window_ms
         # additionally coalesces concurrent queries into one dispatch.
         self._searcher = None
-        if hasattr(embedding_engine, "tokenizer") and hasattr(embedding_engine, "params"):
+        use_fused = (
+            hasattr(embedding_engine, "tokenizer")
+            and hasattr(embedding_engine, "params")
+            # The fused searcher runs the exact GEMM over the index
+            # snapshot; an IVF-tier index must dispatch through
+            # FrameIndex.search so queries actually probe the inverted
+            # lists (the two-step path still caches text features — at
+            # IVF scale the candidate GEMM dominates, not the encode).
+            and getattr(index, "search_impl", None) != "ivf"
+        )
+        if use_fused:
             from evr_tpu.index.fused_search import TextSearcher
 
             self._searcher = TextSearcher(

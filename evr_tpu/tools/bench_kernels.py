@@ -293,12 +293,69 @@ def bench_captioner(reps: int) -> None:
     print(f"{'speedup':42s}: {results[False] / results[True]:8.2f}x", flush=True)
 
 
+def bench_ivf(reps: int, ns=(100_000, 1_000_000), d: int = 512) -> None:
+    """IVF ANN vs brute-force GEMM at growing corpus sizes (recall@10 shown
+    so the speed/recall trade is visible in one table)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from evr_tpu.index.ivf import IVFIndex
+
+    rng = np.random.default_rng(0)
+    nq = 32
+    for n in ns:
+        emb = rng.standard_normal((n, d)).astype(np.float32)
+        emb /= np.linalg.norm(emb, axis=1, keepdims=True)
+        q = emb[rng.integers(0, n, nq)] + 0.05 * rng.standard_normal(
+            (nq, d)
+        ).astype(np.float32)
+        q = (q / np.linalg.norm(q, axis=1, keepdims=True)).astype(np.float32)
+
+        emb_dev = jnp.asarray(emb)
+        q_dev = jnp.asarray(q)
+
+        @jax.jit
+        def brute(qq, ee):
+            return jax.lax.top_k(qq @ ee.T, 10)
+
+        bs, br = brute(q_dev, emb_dev)
+        bs.block_until_ready()
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            for _ in range(reps):
+                brute(q_dev, emb_dev)[0].block_until_ready()
+            best = min(best, (time.perf_counter() - t0) / reps * 1000)
+        b_rows = np.asarray(br)
+        print(f"N={n:>9,}  brute GEMM           : {best:8.2f} ms/batch({nq})")
+
+        k = 1024 if n >= 1_000_000 else (256 if n >= 100_000 else max(8, n // 100))
+        idx = IVFIndex().build(emb, n_clusters=k, capacity_factor=1.3, iters=6)
+        for nprobe in (8, 32, 64):
+            s, rows = idx.search(q, 10, nprobe=nprobe)  # compile+warm
+            best = float("inf")
+            for _ in range(3):
+                t0 = time.perf_counter()
+                for _ in range(reps):
+                    idx.search(q, 10, nprobe=nprobe)
+                best = min(best, (time.perf_counter() - t0) / reps * 1000)
+            rec = sum(
+                len(set(r.tolist()) & set(b.tolist()))
+                for r, b in zip(rows, b_rows)
+            ) / b_rows.size
+            print(
+                f"N={n:>9,}  ivf k={k} nprobe={nprobe:>3}: {best:8.2f} ms/batch({nq})"
+                f"  recall@10={rec:.3f}"
+            )
+
+
 def main() -> None:
     from evr_tpu.utils.platform_pin import pin_platform_from_env
 
     pin_platform_from_env()
     ap = argparse.ArgumentParser(description=__doc__)
-    ap.add_argument("what", choices=["block", "attention", "encode", "int8", "sweep", "roofline", "captioner", "all"])
+    ap.add_argument("what", choices=["block", "attention", "encode", "int8", "sweep", "roofline", "captioner", "ivf", "all"])
     ap.add_argument("--reps", type=int, default=20, help="chained applications per dispatch")
     args = ap.parse_args()
 
@@ -319,6 +376,7 @@ def main() -> None:
         "sweep": bench_sweep,
         "captioner": bench_captioner,
         "roofline": bench_roofline,
+        "ivf": bench_ivf,
     }
     for name, fn in runs.items():
         if args.what in (name, "all"):

@@ -1,0 +1,276 @@
+"""IVF ANN index: k-means invariants, exactness at nprobe=n_clusters,
+overflow-pool completeness, recall curve on clustered data, persistence.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+
+from evr_tpu.index.ivf import IVFIndex, kmeans
+
+
+def _normed(x):
+    return x / np.linalg.norm(x, axis=1, keepdims=True)
+
+
+def _clustered_corpus(rng, n=1200, d=32, n_centers=24):
+    centers = _normed(rng.standard_normal((n_centers, d)).astype(np.float32))
+    assign = rng.integers(0, n_centers, n)
+    x = centers[assign] + 0.15 * rng.standard_normal((n, d)).astype(np.float32)
+    return _normed(x.astype(np.float32))
+
+
+def _brute(emb, q, k):
+    scores = q @ emb.T
+    rows = np.argsort(-scores, axis=1)[:, :k]
+    return np.take_along_axis(scores, rows, axis=1), rows
+
+
+def test_kmeans_shapes_and_normalisation():
+    rng = np.random.default_rng(0)
+    x = _normed(rng.standard_normal((300, 16)).astype(np.float32))
+    cents, assign = kmeans(jax.random.PRNGKey(0), x, 8, iters=5)
+    assert cents.shape == (8, 16) and assign.shape == (300,)
+    np.testing.assert_allclose(
+        np.linalg.norm(np.asarray(cents), axis=1), 1.0, rtol=1e-5
+    )
+    assert set(np.asarray(assign)) <= set(range(8))
+    # assignments are the argmax of the returned centroids
+    expected = np.argmax(x @ np.asarray(cents).T, axis=1)
+    np.testing.assert_array_equal(np.asarray(assign), expected)
+
+
+def test_full_probe_matches_brute_force():
+    """nprobe = n_clusters covers every row (lists + overflow) → exact."""
+    rng = np.random.default_rng(1)
+    emb = _clustered_corpus(rng, n=600, d=16, n_centers=12)
+    idx = IVFIndex().build(emb, n_clusters=12, capacity_factor=1.2, seed=0)
+    # capacity_factor 1.2 on clustered data guarantees a non-trivial overflow
+    assert int(idx.overflow.shape[0]) > 0
+    q = _normed(rng.standard_normal((5, 16)).astype(np.float32))
+    b_scores, b_rows = _brute(emb, q, 10)
+    scores, rows = idx.search(q, 10, nprobe=12)
+    np.testing.assert_allclose(scores, b_scores, rtol=1e-5, atol=1e-6)
+    np.testing.assert_array_equal(rows, b_rows)
+
+
+def test_every_row_lives_exactly_once():
+    rng = np.random.default_rng(2)
+    emb = _clustered_corpus(rng, n=500, d=16, n_centers=10)
+    idx = IVFIndex().build(emb, n_clusters=10, capacity_factor=1.1)
+    lists = np.asarray(idx.list_rows)
+    placed = list(lists[lists >= 0]) + list(np.asarray(idx.overflow))
+    assert sorted(placed) == list(range(500))
+
+
+def test_recall_curve_on_clustered_data():
+    rng = np.random.default_rng(3)
+    emb = _clustered_corpus(rng, n=2000, d=32, n_centers=24)
+    idx = IVFIndex().build(emb, n_clusters=24, capacity_factor=1.5, seed=1)
+    # queries near corpus points (the retrieval regime)
+    q = _normed(
+        emb[rng.integers(0, 2000, 16)]
+        + 0.05 * rng.standard_normal((16, 32)).astype(np.float32)
+    )
+    _, b_rows = _brute(emb, q, 10)
+
+    def recall(nprobe):
+        _, rows = idx.search(q, 10, nprobe=nprobe)
+        hits = sum(
+            len(set(r.tolist()) & set(b.tolist())) for r, b in zip(rows, b_rows)
+        )
+        return hits / b_rows.size
+
+    r4, r12, r24 = recall(4), recall(12), recall(24)
+    assert r24 == 1.0               # full probe is exact
+    assert r12 >= r4 - 1e-9         # monotone in nprobe
+    assert r12 >= 0.9               # half the clusters ≈ near-exact here
+    assert r4 >= 0.5
+
+
+def test_padding_and_small_k_edge_cases():
+    rng = np.random.default_rng(4)
+    emb = _normed(rng.standard_normal((40, 8)).astype(np.float32))
+    idx = IVFIndex().build(emb, n_clusters=8, capacity_factor=1.0)
+    # nprobe=1 with tiny lists: requested k may exceed reachable candidates
+    scores, rows = idx.search(emb[:2], 20, nprobe=1)
+    assert scores.shape == rows.shape
+    # unreachable slots are masked (-inf score, row -1)
+    assert ((rows >= 0) == np.isfinite(scores)).all()
+    # the query's own row is always reachable under nprobe>=1? Not guaranteed
+    # (capacity overflow), but the top hit must be a real row
+    assert (rows[:, 0] >= 0).all()
+    # single query, 1-D input
+    s1, r1 = idx.search(emb[0], 5, nprobe=8)
+    assert s1.shape == (1, 5)
+    assert r1[0, 0] == 0 and s1[0, 0] == pytest.approx(1.0, abs=1e-5)
+
+
+def test_build_validation_and_search_before_build():
+    rng = np.random.default_rng(5)
+    emb = _normed(rng.standard_normal((10, 4)).astype(np.float32))
+    with pytest.raises(ValueError, match="n_clusters"):
+        IVFIndex().build(emb, n_clusters=11)
+    with pytest.raises(ValueError, match="before build"):
+        IVFIndex().search(emb[:1], 3, nprobe=1)
+
+
+def test_save_load_roundtrip(tmp_path):
+    rng = np.random.default_rng(6)
+    emb = _clustered_corpus(rng, n=300, d=16, n_centers=6)
+    idx = IVFIndex().build(emb, n_clusters=6)
+    q = _normed(rng.standard_normal((3, 16)).astype(np.float32))
+    s0, r0 = idx.search(q, 5, nprobe=3)
+    path = tmp_path / "ivf.npz"
+    idx.save(path)
+    idx2 = IVFIndex.load(path)
+    s1, r1 = idx2.search(q, 5, nprobe=3)
+    np.testing.assert_allclose(s1, s0, rtol=1e-6)
+    np.testing.assert_array_equal(r1, r0)
+
+# -- FrameIndex integration (search_impl="ivf") ---------------------------
+
+
+def _frame_index(impl="ivf", **kw):
+    from evr_tpu.index import FrameIndex
+
+    return FrameIndex(embed_dim=16, pad_multiple=64, search_impl=impl, **kw)
+
+
+def _add_corpus(idx, rng, n_videos=3, frames=120):
+    for v in range(n_videos):
+        emb = _normed(
+            rng.standard_normal((frames, 16)).astype(np.float32)
+        )
+        idx.add_video(f"vid{v}", emb)
+
+
+def test_frame_index_ivf_full_probe_matches_exact_impl():
+    """FrameIndex(search_impl='ivf') with nprobe >= n_clusters returns the
+    same rows/scores as the exact XLA impl on the same corpus."""
+    rng = np.random.default_rng(10)
+    exact = _frame_index("xla")
+    ivf = _frame_index("ivf", ivf_clusters=8, ivf_nprobe=8)
+    _add_corpus(exact, np.random.default_rng(10))
+    _add_corpus(ivf, np.random.default_rng(10))
+    q = _normed(rng.standard_normal((4, 16)).astype(np.float32))
+    es, er = exact.search_raw(q, 7)
+    s, r = ivf.search_raw(q, 7)
+    np.testing.assert_array_equal(r, er)
+    np.testing.assert_allclose(s, es, rtol=1e-5, atol=1e-6)
+
+
+def test_frame_index_ivf_scoped_search_is_exact():
+    """Video-scoped searches bypass IVF (exact path) — identical to xla."""
+    rng = np.random.default_rng(11)
+    exact = _frame_index("xla")
+    ivf = _frame_index("ivf", ivf_clusters=8, ivf_nprobe=1)  # tiny nprobe
+    _add_corpus(exact, np.random.default_rng(11))
+    _add_corpus(ivf, np.random.default_rng(11))
+    q = _normed(rng.standard_normal((2, 16)).astype(np.float32))
+    es, er = exact.search_raw(q, 5, video_name="vid1")
+    s, r = ivf.search_raw(q, 5, video_name="vid1")
+    np.testing.assert_array_equal(r, er)
+    np.testing.assert_allclose(s, es, rtol=1e-5, atol=1e-6)
+
+
+def test_frame_index_ivf_upload_after_build_is_searchable():
+    """add_video after build() must rebuild the lists (the in-place append
+    fast path is disabled under IVF) — new rows are probe-reachable."""
+    rng = np.random.default_rng(12)
+    idx = _frame_index("ivf", ivf_clusters=6, ivf_nprobe=6)
+    _add_corpus(idx, rng, n_videos=2)
+    idx.build()
+    new = _normed(rng.standard_normal((50, 16)).astype(np.float32))
+    idx.add_video("late", new)
+    hits = idx.search(new[:1], 1)
+    assert hits[0][0].video == "late" and hits[0][0].frame_index == 0
+
+
+def test_frame_index_ivf_search_hits_resolve():
+    """SearchHit resolution works through the IVF path (finite scores only)."""
+    rng = np.random.default_rng(13)
+    idx = _frame_index("ivf", ivf_clusters=6, ivf_nprobe=2)
+    _add_corpus(idx, rng)
+    q = _normed(rng.standard_normal((1, 16)).astype(np.float32))
+    hits = idx.search(q, 5)[0]
+    assert 1 <= len(hits) <= 5
+    for h in hits:
+        assert h.video in ("vid0", "vid1", "vid2")
+        assert np.isfinite(h.score)
+
+
+def test_frame_index_ivf_rejects_int8_and_mesh():
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="float32/bfloat16"):
+        _frame_index("ivf", device_dtype="int8")
+
+    class FakeMesh:  # anything non-None must be rejected before use
+        pass
+
+    with _pytest.raises(ValueError, match="single-device"):
+        _frame_index("ivf", mesh=FakeMesh())
+
+
+def test_frame_index_ivf_bfloat16_storage_ranks_sanely():
+    """bf16 IVF storage: full probe still finds each row's own query."""
+    rng = np.random.default_rng(14)
+    idx = _frame_index(
+        "ivf", device_dtype="bfloat16", ivf_clusters=6, ivf_nprobe=6
+    )
+    _add_corpus(idx, rng, n_videos=1, frames=100)
+    emb = idx.get_embeddings("vid0")
+    s, r = idx.search_raw(emb[:8], 1)
+    np.testing.assert_array_equal(r[:, 0], np.arange(8))
+
+
+def test_query_engine_routes_around_fused_searcher_for_ivf():
+    """A full-interface engine normally gets the fused TextSearcher; with an
+    IVF index the QueryEngine must use FrameIndex.search so probes happen."""
+    import jax
+    from evr_tpu.index import EmbeddingEngine, FrameIndex
+    from evr_tpu.query import MetadataStore, QueryEngine
+    from evr_tpu.models.clip import CLIPConfig, TextConfig, VisionConfig
+
+    small = CLIPConfig(
+        embed_dim=16,
+        vision=VisionConfig(image_size=32, patch_size=16, width=32, layers=1, heads=2),
+        text=TextConfig(width=32, layers=1, heads=2),
+    )
+    engine = EmbeddingEngine(cfg=small, batch_size=2)
+    exact = QueryEngine(engine, FrameIndex(embed_dim=16), MetadataStore())
+    assert exact._searcher is not None
+    ivf = QueryEngine(
+        engine, FrameIndex(embed_dim=16, search_impl="ivf"), MetadataStore()
+    )
+    assert ivf._searcher is None
+
+
+def test_query_text_clip_through_ivf_index():
+    """End-to-end strategy query over an IVF index finds the aligned frame."""
+    from evr_tpu.query import MetadataStore, QueryEngine
+
+    from tests.test_query import FakeEngine, _frame
+
+    dim = 16
+    fake = FakeEngine(dim)
+    fake.register("fight", 1)
+    rng = np.random.default_rng(20)
+    emb = _normed(0.1 * rng.standard_normal((64, dim)).astype(np.float32))
+    emb[7] = 0.0
+    emb[7, 1] = 1.0  # frame 7 aligned with "fight"
+    from evr_tpu.index import FrameIndex
+
+    idx = FrameIndex(
+        embed_dim=dim, pad_multiple=64, search_impl="ivf",
+        ivf_clusters=8, ivf_nprobe=8,
+    )
+    idx.add_video("testvid", emb, [f"{i}.jpg" for i in range(64)])
+    store = MetadataStore()
+    store.add_video("testvid", [_frame(i) for i in range(64)])
+    qe = QueryEngine(fake, idx, store)
+    events = qe.query_text_clip("fight", top_k=3)
+    assert events and events[0]["id"] == "event-7"
+    assert events[0]["clip_similarity"] == pytest.approx(1.0, abs=1e-5)

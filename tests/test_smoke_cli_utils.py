@@ -133,3 +133,12 @@ def test_bench_kernels_captioner_smoke(capsys):
         sys.argv = argv
     out = capsys.readouterr().out
     assert "kv-cached decode" in out and "speedup" in out
+
+
+def test_bench_kernels_ivf_smoke(capsys):
+    """bench_kernels' ivf mode runs end to end (CPU smoke corpus)."""
+    from evr_tpu.tools import bench_kernels
+
+    bench_kernels.bench_ivf(reps=1, ns=(2000,), d=32)
+    out = capsys.readouterr().out
+    assert "brute GEMM" in out and "recall@10" in out
