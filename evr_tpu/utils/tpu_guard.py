@@ -38,6 +38,14 @@ def ensure_live_backend(timeout_s: float | None = None) -> str:
     Timeout defaults to 240 s, overridable via ``EVR_TPU_PROBE_TIMEOUT``.
     """
     if os.environ.get("JAX_PLATFORMS", "").strip().lower() == "cpu":
+        # The env var alone does NOT win here: the sitecustomize
+        # force-registers the relay platform at jax-config level, so an
+        # operator-pinned CPU process would still boot (and possibly hang
+        # on) the relay. Re-assert the pin at config level before
+        # returning (same pattern as utils.platform_pin).
+        from evr_tpu.utils.platform_pin import pin_platform_from_env
+
+        pin_platform_from_env()
         return "cpu"
     if timeout_s is None:
         timeout_s = float(os.environ.get("EVR_TPU_PROBE_TIMEOUT", "240"))

@@ -10,11 +10,16 @@ import jax
 from evr_tpu.utils.tpu_guard import ensure_live_backend
 
 
-def test_cpu_pinned_env_is_noop():
+def test_cpu_pinned_env_also_pins_config():
+    """JAX_PLATFORMS=cpu must short-circuit the probe AND re-assert the pin
+    at jax-config level: the sitecustomize force-registers the relay
+    platform at config level, so the env var alone would still boot (and
+    possibly hang on) the wedged relay."""
     old = os.environ.get("JAX_PLATFORMS")
     os.environ["JAX_PLATFORMS"] = "cpu"
     try:
         assert ensure_live_backend(timeout_s=5) == "cpu"
+        assert jax.config.jax_platforms == "cpu"
     finally:
         if old is None:
             os.environ.pop("JAX_PLATFORMS", None)
