@@ -1,4 +1,5 @@
 from .metadata import MetadataStore
+from .diversify import mmr_order, mmr_select
 from .events import format_event_for_frontend
 from .strategies import QueryEngine, SEARCH_METHODS
 from .translate import DictionaryTranslator, VI_EN_PHRASES
@@ -16,6 +17,8 @@ __all__ = [
     "format_event_for_frontend",
     "QueryEngine",
     "SEARCH_METHODS",
+    "mmr_order",
+    "mmr_select",
     "fold_accents",
     "QueryPreprocessor",
     "VietnamesePreprocessor",

@@ -90,7 +90,13 @@ class QueryEngine:
     def _candidates(
         self, processed_text: str, top_k: int, video_name: str | None
     ) -> list[SearchHit]:
-        k = top_k * CANDIDATE_OVERFETCH
+        return self._candidates_n(
+            processed_text, top_k * CANDIDATE_OVERFETCH, video_name
+        )
+
+    def _candidates_n(
+        self, processed_text: str, k: int, video_name: str | None
+    ) -> list[SearchHit]:
         if self._searcher is not None:
             scores, rows = self._searcher.search(processed_text, k, video_name)
             hits = []
@@ -116,10 +122,39 @@ class QueryEngine:
         return format_event_for_frontend(data, fps=self.metadata.fps(video))
 
     # -- 1. text_clip -----------------------------------------------------
-    def query_text_clip(self, query: str, top_k: int, video_name: str | None = None):
+    def _mmr(self, hits: list[SearchHit], lam: float, k: int) -> list[SearchHit]:
+        """Diverse subset selection over candidate hits (`query.diversify`):
+        keeps min(k, len) hits balancing relevance against similarity to the
+        already-selected set. Embeddings come free from the index (the rows
+        that produced the scores); callers may still re-sort the selected
+        subset by score for display."""
+        import numpy as _np
+
+        from evr_tpu.query.diversify import mmr_select
+
+        if not hits:
+            return hits
+        vecs = _np.stack(
+            [
+                self.index.get_embeddings(h.video)[h.frame_index]
+                for h in hits
+            ]
+        )
+        return mmr_select(hits, vecs, lam, k)
+
+    def query_text_clip(
+        self,
+        query: str,
+        top_k: int,
+        video_name: str | None = None,
+        mmr_lambda: float | None = None,
+    ):
         processed = self.preprocess(query)
+        hits = self._candidates(processed, top_k, video_name)
+        if mmr_lambda is not None:
+            hits = self._mmr(hits, mmr_lambda, top_k)
         results = []
-        for hit in self._candidates(processed, top_k, video_name):
+        for hit in hits:
             frame = self._frame_for_hit(hit)
             if frame is None:
                 continue
@@ -181,12 +216,18 @@ class QueryEngine:
         adaptive_threshold: float,
         top_k: int,
         video_name: str | None = None,
+        mmr_lambda: float | None = None,
     ):
         processed = self.preprocess(query)
+        hits = [
+            h
+            for h in self._candidates(processed, top_k, video_name)
+            if h.score >= adaptive_threshold
+        ]
+        if mmr_lambda is not None:
+            hits = self._mmr(hits, mmr_lambda, top_k)
         results = []
-        for hit in self._candidates(processed, top_k, video_name):
-            if hit.score < adaptive_threshold:
-                continue
+        for hit in hits:
             frame = self._frame_for_hit(hit)
             if frame is None:
                 continue
@@ -456,6 +497,61 @@ class QueryEngine:
         results.sort(key=lambda e: e["confidence"], reverse=True)
         return results[:top_k]
 
+    # -- video-level retrieval (beyond-reference capability) ---------------
+    def query_videos(
+        self,
+        query: str,
+        top_k: int = 5,
+        frames_per_video: int = 3,
+        video_name: str | None = None,
+    ):
+        """Rank VIDEOS (not frames) for a query: each video scores the mean
+        of its top-``frames_per_video`` frame similarities — robust against
+        a single fluke frame, unlike a plain max, and against length bias,
+        unlike a mean over all frames. One over-fetched candidate search
+        (the same fused/exact dispatch every strategy uses), then a host
+        group-by over the handful of returned hits.
+
+        Returns one event per video — the best frame's event dict (so the
+        frontend renders it like any other result) with ``video_score``
+        (drives ``confidence``/rank), ``matched_frames`` and
+        ``top_frames`` added.
+        """
+        processed = self.preprocess(query)
+        total = self.index.total_frames
+        if total == 0:
+            return []
+        # over-fetch enough rows that top_k videos can each surface several
+        # frames even when one video dominates the global top of the list
+        k = min(total, max(top_k * 20, 100))
+        hits = self._candidates_n(processed, k, video_name)
+        by_video: dict[str, list[SearchHit]] = {}
+        for h in hits:
+            by_video.setdefault(h.video, []).append(h)
+        scored = []
+        for video, hs in by_video.items():
+            hs.sort(key=lambda h: h.score, reverse=True)
+            top = hs[: max(1, frames_per_video)]
+            scored.append((sum(h.score for h in top) / len(top), video, hs))
+        scored.sort(key=lambda t: t[0], reverse=True)
+        results = []
+        for video_score, video, hs in scored[:top_k]:
+            best = hs[0]
+            frame = self._frame_for_hit(best)
+            if frame is None:
+                continue
+            event = self._format_event(
+                video, frame, {"clip_similarity": best.score}
+            )
+            event["clip_similarity"] = best.score
+            # video-level score outranks the best frame's own confidence
+            event["confidence"] = float(video_score)
+            event["video_score"] = float(video_score)
+            event["matched_frames"] = len(hs)
+            event["top_frames"] = [h.frame_name for h in hs[:frames_per_video]]
+            results.append(event)
+        return results
+
     # -- dispatch ---------------------------------------------------------
     def search(self, method: str, **kwargs):
         try:
@@ -478,6 +574,8 @@ SEARCH_METHOD_DISPATCH: dict[str, Callable] = {
     # beyond-reference: searchable ASR transcripts
     "speech_only": QueryEngine.query_speech,
     "text_speech": QueryEngine.query_text_speech,
+    # beyond-reference: video-level ranking
+    "video": QueryEngine.query_videos,
 }
 
 SEARCH_METHODS = tuple(SEARCH_METHOD_DISPATCH)

@@ -171,6 +171,14 @@ def create_app(ctx: ServingContext, frontend_dist: str | None = None):
             return _json(
                 {"error": "top_k / threshold fields must be numeric"}, 400
             )
+        mmr_lambda = data.get("mmr_lambda")
+        if mmr_lambda is not None:
+            try:
+                mmr_lambda = float(mmr_lambda)
+            except (TypeError, ValueError):
+                return _json({"error": "mmr_lambda must be numeric"}, 400)
+            if not 0.0 <= mmr_lambda <= 1.0:
+                return _json({"error": "mmr_lambda must be in [0, 1]"}, 400)
         search_method = data.get("search_method", "text")
         keyword = data.get("keyword", "")
         object_keyword = data.get("object", "")
@@ -218,7 +226,7 @@ def create_app(ctx: ServingContext, frontend_dist: str | None = None):
             model_name, ctx.index.version, search_type, query, image_url,
             top_k, adaptive_threshold, text_confidence, object_confidence,
             search_method, keyword, object_keyword, bool(enable_clip_similarity),
-            video_name, tuple(queries_list or ()), max_gap,
+            video_name, tuple(queries_list or ()), max_gap, mmr_lambda,
         )
         cached = ctx.search_cache.get(cache_key)
         if cached is not None:
@@ -241,7 +249,14 @@ def create_app(ctx: ServingContext, frontend_dist: str | None = None):
             )
         elif search_type == "text" and query:
             if search_method == "text_clip":
-                results = qe.query_text_clip(query, top_k, video_name)
+                results = qe.query_text_clip(
+                    query, top_k, video_name, mmr_lambda=mmr_lambda
+                )
+            elif search_method == "video":
+                # beyond-reference: rank whole videos, best frame as the event
+                results = qe.query_videos(
+                    query, top_k=top_k, video_name=video_name
+                )
             elif search_method == "keyword_only":
                 actual = keyword if keyword else query
                 results = qe.query_keyword(actual, text_confidence, top_k, video_name)
@@ -291,7 +306,8 @@ def create_app(ctx: ServingContext, frontend_dist: str | None = None):
                 )
             else:  # "text_adaptive" and the fallback default
                 results = qe.query_text_adaptive(
-                    query, adaptive_threshold, top_k, video_name
+                    query, adaptive_threshold, top_k, video_name,
+                    mmr_lambda=mmr_lambda,
                 )
 
         for r in results:  # field guarantee pass (app.py:556-563)

@@ -201,6 +201,8 @@ def test_dispatch_table(setup):
         # beyond-reference: searchable ASR transcripts
         "speech_only",
         "text_speech",
+        # beyond-reference: video-level ranking
+        "video",
     }
     r = setup.search("text_clip", query="fight", top_k=1)
     assert len(r) == 1

@@ -411,3 +411,53 @@ def test_search_temporal_chain(client):
         headers={"Content-Type": "application/json"},
     )
     assert bad.status_code == 400
+
+
+def test_search_video_level(client):
+    """search_method='video': one event per VIDEO with video_score fields
+    (beyond-reference capability)."""
+    resp = client.post(
+        "/api/search",
+        json={
+            "search_type": "text",
+            "query": "a red frame",
+            "search_method": "video",
+            "top_k": 3,
+        },
+    )
+    assert resp.status_code == 200
+    events = get_json(resp)["events"]
+    assert events  # the fixture video always ranks
+    vids = [e["videoId"] for e in events]
+    assert len(vids) == len(set(vids))  # one event per video
+    for e in events:
+        assert "video_score" in e and "matched_frames" in e
+        assert e["confidence"] == pytest.approx(e["video_score"])
+
+
+def test_search_mmr_lambda(client):
+    """mmr_lambda diversifies text_clip results; invalid values -> 400."""
+    ok = client.post(
+        "/api/search",
+        json={
+            "search_type": "text",
+            "query": "a red frame",
+            "search_method": "text_clip",
+            "top_k": 2,
+            "mmr_lambda": 0.5,
+        },
+    )
+    assert ok.status_code == 200
+    assert get_json(ok)["events"]
+
+    for bad_val in ("nope", -0.2, 1.7):
+        bad = client.post(
+            "/api/search",
+            json={
+                "search_type": "text",
+                "query": "x",
+                "search_method": "text_clip",
+                "mmr_lambda": bad_val,
+            },
+        )
+        assert bad.status_code == 400, bad_val
