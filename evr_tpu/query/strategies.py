@@ -109,6 +109,37 @@ class QueryEngine:
         vec = self.engine.get_text_features(processed_text)
         return self.index.search(vec, k, video_name)[0]
 
+    def _negative_vec(
+        self, processed_text: str, negative_query: str, weight: float
+    ):
+        """Composite query direction ``normalise(q⁺ − w·q⁻)``: one vector,
+        so the downstream dispatch (exact GEMM, IVF probe, video grouping)
+        is unchanged. Both encodes hit the engine's text-feature cache."""
+        import numpy as _np
+
+        vp = _np.asarray(
+            self.engine.get_text_features(processed_text), _np.float32
+        ).reshape(-1)
+        vn = _np.asarray(
+            self.engine.get_text_features(self.preprocess(negative_query)),
+            _np.float32,
+        ).reshape(-1)
+        vp = vp / max(float(_np.linalg.norm(vp)), 1e-12)
+        vn = vn / max(float(_np.linalg.norm(vn)), 1e-12)
+        v = vp - float(weight) * vn
+        return v / max(float(_np.linalg.norm(v)), 1e-12)
+
+    def _candidates_negative(
+        self,
+        processed_text: str,
+        negative_query: str,
+        negative_weight: float,
+        k: int,
+        video_name: str | None,
+    ) -> list[SearchHit]:
+        vec = self._negative_vec(processed_text, negative_query, negative_weight)
+        return self.index.search(vec, k, video_name)[0]
+
     def _frame_for_hit(self, hit: SearchHit):
         try:
             frameidx = int(hit.frame_name.rsplit(".", 1)[0])
@@ -148,9 +179,21 @@ class QueryEngine:
         top_k: int,
         video_name: str | None = None,
         mmr_lambda: float | None = None,
+        negative_query: str | None = None,
+        negative_weight: float = 0.8,
     ):
+        """``negative_query`` ("crowd" but NOT "protest"): candidates are
+        scored against the composite direction normalise(q⁺ − w·q⁻), so
+        ``clip_similarity`` reflects the composite — frames similar to the
+        negative are pushed down the ranking, not hard-filtered."""
         processed = self.preprocess(query)
-        hits = self._candidates(processed, top_k, video_name)
+        if negative_query:
+            hits = self._candidates_negative(
+                processed, negative_query, negative_weight,
+                top_k * CANDIDATE_OVERFETCH, video_name,
+            )
+        else:
+            hits = self._candidates(processed, top_k, video_name)
         if mmr_lambda is not None:
             hits = self._mmr(hits, mmr_lambda, top_k)
         results = []

@@ -179,6 +179,13 @@ def create_app(ctx: ServingContext, frontend_dist: str | None = None):
                 return _json({"error": "mmr_lambda must be numeric"}, 400)
             if not 0.0 <= mmr_lambda <= 1.0:
                 return _json({"error": "mmr_lambda must be in [0, 1]"}, 400)
+        negative_query = data.get("negative_query")
+        if negative_query is not None and not isinstance(negative_query, str):
+            return _json({"error": "negative_query must be a string"}, 400)
+        try:
+            negative_weight = float(data.get("negative_weight", 0.8))
+        except (TypeError, ValueError):
+            return _json({"error": "negative_weight must be numeric"}, 400)
         search_method = data.get("search_method", "text")
         keyword = data.get("keyword", "")
         object_keyword = data.get("object", "")
@@ -227,6 +234,7 @@ def create_app(ctx: ServingContext, frontend_dist: str | None = None):
             top_k, adaptive_threshold, text_confidence, object_confidence,
             search_method, keyword, object_keyword, bool(enable_clip_similarity),
             video_name, tuple(queries_list or ()), max_gap, mmr_lambda,
+            negative_query, negative_weight,
         )
         cached = ctx.search_cache.get(cache_key)
         if cached is not None:
@@ -250,7 +258,9 @@ def create_app(ctx: ServingContext, frontend_dist: str | None = None):
         elif search_type == "text" and query:
             if search_method == "text_clip":
                 results = qe.query_text_clip(
-                    query, top_k, video_name, mmr_lambda=mmr_lambda
+                    query, top_k, video_name, mmr_lambda=mmr_lambda,
+                    negative_query=negative_query,
+                    negative_weight=negative_weight,
                 )
             elif search_method == "video":
                 # beyond-reference: rank whole videos, best frame as the event

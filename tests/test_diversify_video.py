@@ -147,3 +147,50 @@ def test_search_dispatch_includes_video():
     qe = _corpus_engine()
     events = qe.search("video", query="fight", top_k=2)
     assert len(events) == 2
+
+
+# -- negative queries ------------------------------------------------------
+
+
+def test_negative_query_demotes_negative_matches():
+    """'fight' NOT 'danger sign': frames aligned with the negative
+    direction drop below the composite-scored positive matches."""
+    dim = 16
+    fake = FakeEngine(dim)
+    fake.register("fight", 1)
+    fake.register("danger sign", 2)
+    qp, qn = fake.direction(1), fake.direction(2)
+
+    idx = FrameIndex(embed_dim=dim, pad_multiple=32)
+    store = MetadataStore()
+    # frame 0: pure fight; frame 1: fight+danger blend; frame 2: unrelated
+    emb = np.stack([
+        _normed(qp + 0.05 * np.roll(qp, 4)),
+        _normed(0.8 * qp + 0.8 * qn),
+        _normed(np.roll(qp, 5)),
+    ]).astype(np.float32)
+    idx.add_video("vid0", emb)
+    store.add_video("vid0", [_vframe(i, "vid0") for i in range(3)])
+    qe = QueryEngine(fake, idx, store)
+
+    plain = qe.query_text_clip("fight", top_k=3)
+    # without the negative, the blend frame ranks ahead of 'unrelated'
+    plain_ids = [e["id"] for e in plain]
+    assert plain_ids.index("event-1") < plain_ids.index("event-2")
+
+    neg = qe.query_text_clip(
+        "fight", top_k=3, negative_query="danger sign", negative_weight=1.0
+    )
+    neg_ids = [e["id"] for e in neg]
+    assert neg_ids[0] == "event-0"  # pure positive still wins
+    # the blend frame is demoted below where it sat without the negative
+    assert neg_ids.index("event-1") > plain_ids.index("event-1")
+
+
+def test_negative_query_weight_zero_keeps_positive_order():
+    qe = _corpus_engine()
+    plain = qe.query_text_clip("fight", top_k=4)
+    w0 = qe.query_text_clip(
+        "fight", top_k=4, negative_query="danger sign", negative_weight=0.0
+    )
+    assert [e["id"] for e in w0] == [e["id"] for e in plain]

@@ -461,3 +461,31 @@ def test_search_mmr_lambda(client):
             },
         )
         assert bad.status_code == 400, bad_val
+
+
+def test_search_negative_query(client):
+    """negative_query composes a q+ - w*q- direction; bad types -> 400."""
+    ok = client.post(
+        "/api/search",
+        json={
+            "search_type": "text",
+            "query": "a red frame",
+            "negative_query": "a blue frame",
+            "negative_weight": 0.5,
+            "search_method": "text_clip",
+            "top_k": 2,
+        },
+    )
+    assert ok.status_code == 200
+    assert "events" in get_json(ok)
+
+    bad = client.post(
+        "/api/search",
+        json={"search_type": "text", "query": "x", "negative_query": 7},
+    )
+    assert bad.status_code == 400
+    bad2 = client.post(
+        "/api/search",
+        json={"search_type": "text", "query": "x", "negative_weight": "??"},
+    )
+    assert bad2.status_code == 400
