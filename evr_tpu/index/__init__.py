@@ -1,5 +1,12 @@
 from .store import FrameIndex, VideoRegistry
 from .engine import EmbeddingEngine
 from .ivf import IVFIndex
+from .pq import PQIndex
 
-__all__ = ["FrameIndex", "VideoRegistry", "EmbeddingEngine", "IVFIndex"]
+__all__ = [
+    "FrameIndex",
+    "VideoRegistry",
+    "EmbeddingEngine",
+    "IVFIndex",
+    "PQIndex",
+]

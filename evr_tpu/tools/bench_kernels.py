@@ -350,12 +350,76 @@ def bench_ivf(reps: int, ns=(100_000, 1_000_000), d: int = 512) -> None:
             )
 
 
+def bench_pq(reps: int, ns=(100_000, 1_000_000), d: int = 512) -> None:
+    """PQ (ADC over uint8 codes) vs brute-force GEMM: latency, recall@10,
+    and resident bytes per row — the memory-tier trade in one table."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from evr_tpu.index.pq import PQIndex
+
+    rng = np.random.default_rng(0)
+    nq = 32
+    for n in ns:
+        emb = rng.standard_normal((n, d)).astype(np.float32)
+        emb /= np.linalg.norm(emb, axis=1, keepdims=True)
+        q = emb[rng.integers(0, n, nq)] + 0.05 * rng.standard_normal(
+            (nq, d)
+        ).astype(np.float32)
+        q = (q / np.linalg.norm(q, axis=1, keepdims=True)).astype(np.float32)
+
+        emb_dev, q_dev = jnp.asarray(emb), jnp.asarray(q)
+
+        @jax.jit
+        def brute(qq, ee):
+            return jax.lax.top_k(qq @ ee.T, 10)
+
+        bs, br = brute(q_dev, emb_dev)
+        bs.block_until_ready()
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            for _ in range(reps):
+                brute(q_dev, emb_dev)[0].block_until_ready()
+            best = min(best, (time.perf_counter() - t0) / reps * 1000)
+        b_rows = np.asarray(br)
+        print(
+            f"N={n:>9,}  brute fp32 ({4*d:>4}B/row): {best:8.2f} ms/batch({nq})"
+        )
+
+        sub = 64 if d % 64 == 0 else 32
+        idx = PQIndex().build(
+            emb, n_subspaces=sub, n_centroids=256, iters=6
+        )
+        for rerank in (None, 200):
+            idx.search(q, 10, rerank=rerank)  # compile+warm
+            best = float("inf")
+            for _ in range(3):
+                t0 = time.perf_counter()
+                for _ in range(reps):
+                    idx.search(q, 10, rerank=rerank)
+                best = min(best, (time.perf_counter() - t0) / reps * 1000)
+            _, rows = idx.search(q, 10, rerank=rerank)
+            rec = sum(
+                len(set(r.tolist()) & set(b.tolist()))
+                for r, b in zip(rows, b_rows)
+            ) / b_rows.size
+            label = f"pq S={sub} ({sub:>4}B/row)" + (
+                f" +rerank{rerank}" if rerank else ""
+            )
+            print(
+                f"N={n:>9,}  {label:22s}: {best:8.2f} ms/batch({nq})"
+                f"  recall@10={rec:.3f}"
+            )
+
+
 def main() -> None:
     from evr_tpu.utils.platform_pin import pin_platform_from_env
 
     pin_platform_from_env()
     ap = argparse.ArgumentParser(description=__doc__)
-    ap.add_argument("what", choices=["block", "attention", "encode", "int8", "sweep", "roofline", "captioner", "ivf", "all"])
+    ap.add_argument("what", choices=["block", "attention", "encode", "int8", "sweep", "roofline", "captioner", "ivf", "pq", "all"])
     ap.add_argument("--reps", type=int, default=20, help="chained applications per dispatch")
     args = ap.parse_args()
 
@@ -377,6 +441,7 @@ def main() -> None:
         "captioner": bench_captioner,
         "roofline": bench_roofline,
         "ivf": bench_ivf,
+        "pq": bench_pq,
     }
     for name, fn in runs.items():
         if args.what in (name, "all"):
