@@ -1,6 +1,7 @@
 from .store import FrameIndex, VideoRegistry
 from .engine import EmbeddingEngine
 from .ivf import IVFIndex
+from .ivfpq import IVFPQIndex
 from .pq import PQIndex
 
 __all__ = [
@@ -8,5 +9,6 @@ __all__ = [
     "VideoRegistry",
     "EmbeddingEngine",
     "IVFIndex",
+    "IVFPQIndex",
     "PQIndex",
 ]

@@ -414,12 +414,77 @@ def bench_pq(reps: int, ns=(100_000, 1_000_000), d: int = 512) -> None:
             )
 
 
+def bench_ivfpq(reps: int, ns=(100_000, 1_000_000), d: int = 512) -> None:
+    """IVF-PQ (probed + compressed) vs brute force: the full 100M-row
+    recipe at benchable scale — latency, recall@10, HBM bytes per row."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from evr_tpu.index.ivfpq import IVFPQIndex
+
+    rng = np.random.default_rng(0)
+    nq = 32
+    for n in ns:
+        emb = rng.standard_normal((n, d)).astype(np.float32)
+        emb /= np.linalg.norm(emb, axis=1, keepdims=True)
+        q = emb[rng.integers(0, n, nq)] + 0.05 * rng.standard_normal(
+            (nq, d)
+        ).astype(np.float32)
+        q = (q / np.linalg.norm(q, axis=1, keepdims=True)).astype(np.float32)
+
+        emb_dev, q_dev = jnp.asarray(emb), jnp.asarray(q)
+
+        @jax.jit
+        def brute(qq, ee):
+            return jax.lax.top_k(qq @ ee.T, 10)
+
+        bs, br = brute(q_dev, emb_dev)
+        bs.block_until_ready()
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            for _ in range(reps):
+                brute(q_dev, emb_dev)[0].block_until_ready()
+            best = min(best, (time.perf_counter() - t0) / reps * 1000)
+        b_rows = np.asarray(br)
+        print(f"N={n:>9,}  brute fp32 ({4*d:>4}B/row): {best:8.2f} ms/batch({nq})")
+
+        k = 1024 if n >= 1_000_000 else 256
+        sub = 64 if d % 64 == 0 else 32
+        idx = IVFPQIndex().build(
+            emb, n_clusters=k, n_subspaces=sub, n_centroids=256,
+            capacity_factor=1.3, coarse_iters=6, pq_iters=6,
+        )
+        bpr = idx.code_bytes // n + 4  # codes + row-id
+        for nprobe, rerank in ((32, None), (32, 200), (64, 200)):
+            idx.search(q, 10, nprobe=nprobe, rerank=rerank)  # warm
+            best = float("inf")
+            for _ in range(3):
+                t0 = time.perf_counter()
+                for _ in range(reps):
+                    idx.search(q, 10, nprobe=nprobe, rerank=rerank)
+                best = min(best, (time.perf_counter() - t0) / reps * 1000)
+            _, rows = idx.search(q, 10, nprobe=nprobe, rerank=rerank)
+            rec = sum(
+                len(set(r.tolist()) & set(b.tolist()))
+                for r, b in zip(rows, b_rows)
+            ) / b_rows.size
+            label = f"ivfpq k={k} np={nprobe}" + (
+                f" rr={rerank}" if rerank else ""
+            )
+            print(
+                f"N={n:>9,}  {label:22s} ({bpr:>3}B/row): {best:8.2f} "
+                f"ms/batch({nq})  recall@10={rec:.3f}"
+            )
+
+
 def main() -> None:
     from evr_tpu.utils.platform_pin import pin_platform_from_env
 
     pin_platform_from_env()
     ap = argparse.ArgumentParser(description=__doc__)
-    ap.add_argument("what", choices=["block", "attention", "encode", "int8", "sweep", "roofline", "captioner", "ivf", "pq", "all"])
+    ap.add_argument("what", choices=["block", "attention", "encode", "int8", "sweep", "roofline", "captioner", "ivf", "pq", "ivfpq", "all"])
     ap.add_argument("--reps", type=int, default=20, help="chained applications per dispatch")
     args = ap.parse_args()
 
@@ -442,6 +507,7 @@ def main() -> None:
         "roofline": bench_roofline,
         "ivf": bench_ivf,
         "pq": bench_pq,
+        "ivfpq": bench_ivfpq,
     }
     for name, fn in runs.items():
         if args.what in (name, "all"):

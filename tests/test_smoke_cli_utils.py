@@ -151,3 +151,12 @@ def test_bench_kernels_pq_smoke(capsys):
     bench_kernels.bench_pq(reps=1, ns=(1500,), d=32)
     out = capsys.readouterr().out
     assert "brute fp32" in out and "recall@10" in out and "rerank" in out
+
+
+def test_bench_kernels_ivfpq_smoke(capsys):
+    """bench_kernels' ivfpq mode runs end to end (CPU smoke corpus)."""
+    from evr_tpu.tools import bench_kernels
+
+    bench_kernels.bench_ivfpq(reps=1, ns=(2000,), d=32)
+    out = capsys.readouterr().out
+    assert "ivfpq" in out and "recall@10" in out
