@@ -79,7 +79,6 @@ class IVFIndex:
         self.centroids = None     # [k, D] device
         self.list_rows = None     # [k, C] int32 device, -1 padded
         self.overflow = None      # [O] int32 device (may be size 0)
-        self._search_jit = None
 
     @property
     def n_rows(self) -> int:
@@ -130,37 +129,34 @@ class IVFIndex:
         self.centroids = cents
         self.list_rows = jnp.asarray(lists)
         self.overflow = jnp.asarray(np.asarray(overflow, np.int32))
-        self._search_jit = None
         return self
 
-    def _make_search(self):
-        emb, cents = self.emb, self.centroids
-        list_rows, overflow = self.list_rows, self.overflow
-
-        @functools.partial(jax.jit, static_argnames=("top_k", "nprobe"))
-        def run(q, top_k: int, nprobe: int):
-            cscores = q @ cents.T                              # [B, k]
-            _, cids = jax.lax.top_k(cscores, nprobe)           # [B, nprobe]
-            cand = list_rows[cids].reshape(q.shape[0], -1)     # [B, nprobe*C]
-            if overflow.shape[0]:
-                cand = jnp.concatenate(
-                    [cand, jnp.broadcast_to(overflow, (q.shape[0], overflow.shape[0]))],
-                    axis=1,
-                )
-            valid = cand >= 0
-            gathered = emb[jnp.where(valid, cand, 0)]          # [B, M, D]
-            scores = jnp.einsum(
-                "bd,bmd->bm",
-                q.astype(emb.dtype),
-                gathered,
-                preferred_element_type=jnp.float32,
+    # Large arrays are ARGUMENTS, not closures: closed-over device arrays
+    # become jaxpr constants and wedge this environment's remote compiler
+    # (CLAUDE.md).
+    @staticmethod
+    @functools.partial(jax.jit, static_argnames=("top_k", "nprobe"))
+    def _probe_search(q, emb, cents, list_rows, overflow, top_k: int, nprobe: int):
+        cscores = q @ cents.T                              # [B, k]
+        _, cids = jax.lax.top_k(cscores, nprobe)           # [B, nprobe]
+        cand = list_rows[cids].reshape(q.shape[0], -1)     # [B, nprobe*C]
+        if overflow.shape[0]:
+            cand = jnp.concatenate(
+                [cand, jnp.broadcast_to(overflow, (q.shape[0], overflow.shape[0]))],
+                axis=1,
             )
-            scores = jnp.where(valid, scores, -jnp.inf)
-            top_scores, top_pos = jax.lax.top_k(scores, top_k)
-            top_rows = jnp.take_along_axis(cand, top_pos, axis=1)
-            return top_scores, top_rows
-
-        return run
+        valid = cand >= 0
+        gathered = emb[jnp.where(valid, cand, 0)]          # [B, M, D]
+        scores = jnp.einsum(
+            "bd,bmd->bm",
+            q.astype(emb.dtype),
+            gathered,
+            preferred_element_type=jnp.float32,
+        )
+        scores = jnp.where(valid, scores, -jnp.inf)
+        top_scores, top_pos = jax.lax.top_k(scores, top_k)
+        top_rows = jnp.take_along_axis(cand, top_pos, axis=1)
+        return top_scores, top_rows
 
     def search(
         self, queries: np.ndarray, top_k: int, nprobe: int
@@ -173,9 +169,10 @@ class IVFIndex:
         q = jnp.asarray(np.atleast_2d(np.asarray(queries, np.float32)))
         cap = self.list_rows.shape[1] * nprobe + int(self.overflow.shape[0])
         top_k = max(1, min(top_k, cap, self.n_rows))
-        if self._search_jit is None:
-            self._search_jit = self._make_search()
-        scores, rows = self._search_jit(q, top_k, nprobe)
+        scores, rows = self._probe_search(
+            q, self.emb, self.centroids, self.list_rows, self.overflow,
+            top_k, nprobe,
+        )
         scores = np.asarray(scores)
         rows = np.where(np.isfinite(scores), np.asarray(rows), -1)
         return scores, rows

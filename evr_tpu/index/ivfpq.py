@@ -53,8 +53,9 @@ class IVFPQIndex:
         self.overflow = None    # [O] int32
         self.codebooks = None   # [S, K, d] fp32 (residual quantizer)
         self.codes = None       # [N, S] uint8
+        self._coarse_assign = None  # [N] int32 (overflow scoring)
         self._originals = None  # [N, D] HOST fp32 (only if kept)
-        self._search_jit = None
+        self._codes_t = None    # [S, N] uint8 scan operand (lazy)
 
     @property
     def n_rows(self) -> int:
@@ -128,64 +129,69 @@ class IVFPQIndex:
         self.codes = codes.T.astype(jnp.uint8)       # [N, S]
         self._coarse_assign = jnp.asarray(assign_np)  # [N] (overflow scoring)
         self._originals = emb if keep_originals else None
-        self._search_jit = None
+        self._codes_t = None
         return self
 
-    def _make_search(self):
-        cents, list_rows = self.centroids, self.list_rows
-        overflow, books, codes = self.overflow, self.codebooks, self.codes
-        coarse_assign = self._coarse_assign
+    # Large arrays are ARGUMENTS, not closures: closed-over device arrays
+    # become jaxpr constants and wedge this environment's remote compiler
+    # (CLAUDE.md). The per-candidate codes are gathered PER SUBSPACE inside
+    # the scan ([B, M] per step from the [S, N] uint8 operand) — an
+    # up-front [B, M, S] gather would materialize GBs at the 100M-row
+    # geometry this tier targets.
+    @staticmethod
+    @functools.partial(jax.jit, static_argnames=("top_k", "nprobe"))
+    def _probe_adc_search(
+        q, cents, list_rows, overflow, coarse_assign, books, codes_t,
+        top_k: int, nprobe: int,
+    ):
+        b = q.shape[0]
+        s, k, ds = books.shape
+        qs = q.reshape(b, s, ds).transpose(1, 0, 2)        # [S, B, d]
+        tables = jnp.einsum(
+            "sbd,skd->sbk", qs, books,
+            preferred_element_type=jnp.float32,
+        )                                                   # [S, B, K]
 
-        @functools.partial(jax.jit, static_argnames=("top_k", "nprobe"))
-        def run(q, top_k: int, nprobe: int):
-            b = q.shape[0]
-            s, k, ds = books.shape
-            qs = q.reshape(b, s, ds).transpose(1, 0, 2)        # [S, B, d]
-            tables = jnp.einsum(
-                "sbd,skd->sbk", qs, books,
-                preferred_element_type=jnp.float32,
-            )                                                   # [S, B, K]
-
-            cscores = q @ cents.T                               # [B, k]
-            _, cids = jax.lax.top_k(cscores, nprobe)            # [B, nprobe]
-            cand = list_rows[cids].reshape(b, -1)               # [B, n*C]
-            # coarse term: the probed list's centroid score, broadcast to
-            # its rows (q·c of the row's OWN centroid — identical for every
-            # row in a list by construction)
-            coarse = jnp.repeat(
-                jnp.take_along_axis(cscores, cids, axis=1),
-                list_rows.shape[1],
+        cscores = q @ cents.T                               # [B, k]
+        _, cids = jax.lax.top_k(cscores, nprobe)            # [B, nprobe]
+        cand = list_rows[cids].reshape(b, -1)               # [B, n*C]
+        # coarse term: the probed list's centroid score, broadcast to
+        # its rows (q·c of the row's OWN centroid — identical for every
+        # row in a list by construction)
+        coarse = jnp.repeat(
+            jnp.take_along_axis(cscores, cids, axis=1),
+            list_rows.shape[1],
+            axis=1,
+        )                                                   # [B, n*C]
+        if overflow.shape[0]:
+            cand = jnp.concatenate(
+                [cand, jnp.broadcast_to(overflow, (b, overflow.shape[0]))],
                 axis=1,
-            )                                                   # [B, n*C]
-            if overflow.shape[0]:
-                cand = jnp.concatenate(
-                    [cand, jnp.broadcast_to(overflow, (b, overflow.shape[0]))],
-                    axis=1,
-                )
-                # overflow rows probe their own assigned centroid
-                over_c = coarse_assign[overflow]                # [O]
-                coarse = jnp.concatenate(
-                    [coarse, cscores[:, over_c]], axis=1
-                )
-            valid = cand >= 0
-            safe = jnp.where(valid, cand, 0)
-            cand_codes = codes[safe].astype(jnp.int32)          # [B, M, S]
-
-            # residual term: scan over subspaces, [B, M] working set
-            def body(acc, inputs):
-                table_s, code_s = inputs                        # [B,K],[B,M]
-                return acc + jnp.take_along_axis(table_s, code_s, axis=1), None
-
-            resid_score, _ = jax.lax.scan(
-                body,
-                jnp.zeros(cand.shape, jnp.float32),
-                (tables, cand_codes.transpose(2, 0, 1)),
             )
-            scores = jnp.where(valid, coarse + resid_score, -jnp.inf)
-            top_scores, top_pos = jax.lax.top_k(scores, top_k)
-            return top_scores, jnp.take_along_axis(cand, top_pos, axis=1)
+            # overflow rows probe their own assigned centroid
+            over_c = coarse_assign[overflow]                # [O]
+            coarse = jnp.concatenate(
+                [coarse, cscores[:, over_c]], axis=1
+            )
+        valid = cand >= 0
+        safe = jnp.where(valid, cand, 0)                    # [B, M] int32
 
-        return run
+        # residual term: scan over subspaces, [B, M] working set
+        def body(acc, inputs):
+            table_s, col_s = inputs                         # [B,K], [N]u8
+            code_s = col_s[safe]                            # [B, M]
+            return acc + jnp.take_along_axis(
+                table_s, code_s.astype(jnp.int32), axis=1
+            ), None
+
+        resid_score, _ = jax.lax.scan(
+            body,
+            jnp.zeros(cand.shape, jnp.float32),
+            (tables, codes_t),
+        )
+        scores = jnp.where(valid, coarse + resid_score, -jnp.inf)
+        top_scores, top_pos = jax.lax.top_k(scores, top_k)
+        return top_scores, jnp.take_along_axis(cand, top_pos, axis=1)
 
     def search(
         self,
@@ -206,9 +212,13 @@ class IVFPQIndex:
         cap = self.list_rows.shape[1] * nprobe + int(self.overflow.shape[0])
         fetch = max(1, min(top_k if rerank is None else max(top_k, rerank),
                            cap, self.n_rows))
-        if self._search_jit is None:
-            self._search_jit = self._make_search()
-        scores, rows = self._search_jit(q, fetch, nprobe)
+        if self._codes_t is None:
+            self._codes_t = self.codes.T  # [S, N] uint8 scan operand
+        scores, rows = self._probe_adc_search(
+            q, self.centroids, self.list_rows, self.overflow,
+            self._coarse_assign, self.codebooks, self._codes_t,
+            fetch, nprobe,
+        )
         scores, rows = np.asarray(scores), np.asarray(rows)
         rows = np.where(np.isfinite(scores), rows, -1)
         if rerank is None:

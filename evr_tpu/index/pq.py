@@ -83,7 +83,7 @@ class PQIndex:
         self.codebooks = None   # [S, K, d] device fp32
         self.codes = None       # [N, S] device uint8
         self._originals = None  # [N, D] HOST np.float32 (only if kept)
-        self._search_jit = None
+        self._codes_t = None    # [S, N] uint8 scan operand (lazy)
 
     @property
     def n_rows(self) -> int:
@@ -123,36 +123,35 @@ class PQIndex:
         self.codebooks = cents                       # [S, K, d]
         self.codes = assign.T.astype(jnp.uint8)      # [N, S]
         self._originals = emb if keep_originals else None
-        self._search_jit = None
+        self._codes_t = None
         return self
 
-    def _make_search(self):
-        books, codes = self.codebooks, self.codes
+    # Large arrays are ARGUMENTS, not closures: closed-over device arrays
+    # become jaxpr constants and wedge this environment's remote compiler
+    # (CLAUDE.md). Codes stay uint8 end-to-end — an int32 copy would 4x
+    # the very footprint this tier exists to shrink.
+    @staticmethod
+    @functools.partial(jax.jit, static_argnames=("top_k",))
+    def _adc_search(q, books, codes_t, top_k: int):
+        s, k, ds = books.shape
+        b = q.shape[0]
+        qs = q.reshape(b, s, ds).transpose(1, 0, 2)         # [S, B, d]
+        tables = jnp.einsum(
+            "sbd,skd->sbk", qs, books,
+            preferred_element_type=jnp.float32,
+        )                                                    # [S, B, K]
 
-        @functools.partial(jax.jit, static_argnames=("top_k",))
-        def run(q, top_k: int):
-            s, k, ds = books.shape
-            b = q.shape[0]
-            qs = q.reshape(b, s, ds).transpose(1, 0, 2)         # [S, B, d]
-            tables = jnp.einsum(
-                "sbd,skd->sbk", qs, books,
-                preferred_element_type=jnp.float32,
-            )                                                    # [S, B, K]
-            codes_t = codes.T.astype(jnp.int32)                  # [S, N]
+        # accumulate over subspaces: [B, N] working set, never [B,N,S]
+        def body(acc, inputs):
+            table_s, code_s = inputs                        # [B,K], [N]u8
+            return acc + table_s[:, code_s], None
 
-            # accumulate over subspaces: [B, N] working set, never [B,N,S]
-            def body(acc, inputs):
-                table_s, code_s = inputs                        # [B,K], [N]
-                return acc + table_s[:, code_s], None
-
-            scores, _ = jax.lax.scan(
-                body,
-                jnp.zeros((b, codes.shape[0]), jnp.float32),
-                (tables, codes_t),
-            )
-            return jax.lax.top_k(scores, top_k)
-
-        return run
+        scores, _ = jax.lax.scan(
+            body,
+            jnp.zeros((b, codes_t.shape[1]), jnp.float32),
+            (tables, codes_t),
+        )
+        return jax.lax.top_k(scores, top_k)
 
     def search(
         self,
@@ -174,9 +173,11 @@ class PQIndex:
         if rerank is not None and self._originals is None:
             raise ValueError("rerank requires keep_originals=True at build")
         fetch = top_k if rerank is None else max(top_k, min(rerank, self.n_rows))
-        if self._search_jit is None:
-            self._search_jit = self._make_search()
-        scores, rows = self._search_jit(jnp.asarray(q), fetch)
+        if self._codes_t is None:
+            self._codes_t = self.codes.T  # [S, N] uint8, the scan operand
+        scores, rows = self._adc_search(
+            jnp.asarray(q), self.codebooks, self._codes_t, fetch
+        )
         scores, rows = np.asarray(scores), np.asarray(rows)
         if rerank is None:
             return scores[:, :top_k], rows[:, :top_k]

@@ -163,14 +163,18 @@ class QueryEngine:
 
         from evr_tpu.query.diversify import mmr_select
 
+        # MMR runs on metadata-valid hits only: selecting first and
+        # validating after would return fewer than k events while valid
+        # candidates sat discarded in the over-fetch.
+        hits = [h for h in hits if self._frame_for_hit(h) is not None]
         if not hits:
             return hits
-        vecs = _np.stack(
-            [
-                self.index.get_embeddings(h.video)[h.frame_index]
-                for h in hits
-            ]
-        )
+        # get_embeddings normalises the whole per-video matrix per call —
+        # fetch once per video, not once per hit
+        by_video = {
+            v: self.index.get_embeddings(v) for v in {h.video for h in hits}
+        }
+        vecs = _np.stack([by_video[h.video][h.frame_index] for h in hits])
         return mmr_select(hits, vecs, lam, k)
 
     def query_text_clip(

@@ -186,6 +186,9 @@ def create_app(ctx: ServingContext, frontend_dist: str | None = None):
             negative_weight = float(data.get("negative_weight", 0.8))
         except (TypeError, ValueError):
             return _json({"error": "negative_weight must be numeric"}, 400)
+        if not 0.0 <= negative_weight <= 10.0:
+            # a negative weight would silently AMPLIFY the negative query
+            return _json({"error": "negative_weight must be in [0, 10]"}, 400)
         search_method = data.get("search_method", "text")
         keyword = data.get("keyword", "")
         object_keyword = data.get("object", "")
@@ -203,6 +206,23 @@ def create_app(ctx: ServingContext, frontend_dist: str | None = None):
                 return _json({"error": f"{field} must be a string"}, 400)
         if image_url is not None and not isinstance(image_url, str):
             return _json({"error": "image_url must be a string"}, 400)
+        # mmr_lambda / negative_query only act on specific strategies —
+        # reject rather than silently ignore them elsewhere (a 200 with
+        # un-negated results is worse than a 400). "text" is the default
+        # label for the text_adaptive fallback branch below.
+        _method_eff = "text_adaptive" if search_method == "text" else search_method
+        if mmr_lambda is not None and _method_eff not in (
+            "text_clip", "text_adaptive"
+        ):
+            return _json(
+                {"error": "mmr_lambda is only supported for "
+                          "text_clip/text_adaptive"}, 400
+            )
+        if negative_query and _method_eff != "text_clip":
+            return _json(
+                {"error": "negative_query is only supported for text_clip"},
+                400,
+            )
         queries_list = data.get("queries")
         max_gap = data.get("max_gap")
         if search_method == "temporal":

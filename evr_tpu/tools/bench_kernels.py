@@ -293,162 +293,116 @@ def bench_captioner(reps: int) -> None:
     print(f"{'speedup':42s}: {results[False] / results[True]:8.2f}x", flush=True)
 
 
+
+# -- shared ANN-bench scaffolding (ivf / pq / ivfpq share the corpus,
+# brute-force baseline, best-of-3 timing and recall methodology; one
+# implementation so a methodology fix can't drift between tiers) ---------
+
+
+def _ann_setup(n: int, d: int, nq: int, reps: int):
+    """Clustered-ish corpus + near-corpus queries + timed brute baseline.
+
+    Returns (emb, q, brute_rows, brute_ms). Timing is best-of-3 wall rounds
+    of ``reps`` dispatches with a device sync per dispatch, the same rule
+    bench.py uses for per-call numbers.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(0)
+    emb = rng.standard_normal((n, d)).astype(np.float32)
+    emb /= np.linalg.norm(emb, axis=1, keepdims=True)
+    q = emb[rng.integers(0, n, nq)] + 0.05 * rng.standard_normal(
+        (nq, d)
+    ).astype(np.float32)
+    q = (q / np.linalg.norm(q, axis=1, keepdims=True)).astype(np.float32)
+
+    emb_dev, q_dev = jnp.asarray(emb), jnp.asarray(q)
+
+    @jax.jit
+    def brute(qq, ee):
+        return jax.lax.top_k(qq @ ee.T, 10)
+
+    bs, br = brute(q_dev, emb_dev)
+    bs.block_until_ready()
+    ms = _best_ms(lambda: brute(q_dev, emb_dev)[0].block_until_ready(), reps)
+    return emb, q, np.asarray(br), ms
+
+
+def _best_ms(fn, reps: int) -> float:
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            fn()
+        best = min(best, (time.perf_counter() - t0) / reps * 1000)
+    return best
+
+
+def _recall(rows, brute_rows) -> float:
+    hits = sum(
+        len(set(r.tolist()) & set(b.tolist()))
+        for r, b in zip(rows, brute_rows)
+    )
+    return hits / brute_rows.size
+
+
 def bench_ivf(reps: int, ns=(100_000, 1_000_000), d: int = 512) -> None:
     """IVF ANN vs brute-force GEMM at growing corpus sizes (recall@10 shown
     so the speed/recall trade is visible in one table)."""
-    import jax
-    import jax.numpy as jnp
-    import numpy as np
-
     from evr_tpu.index.ivf import IVFIndex
 
-    rng = np.random.default_rng(0)
     nq = 32
     for n in ns:
-        emb = rng.standard_normal((n, d)).astype(np.float32)
-        emb /= np.linalg.norm(emb, axis=1, keepdims=True)
-        q = emb[rng.integers(0, n, nq)] + 0.05 * rng.standard_normal(
-            (nq, d)
-        ).astype(np.float32)
-        q = (q / np.linalg.norm(q, axis=1, keepdims=True)).astype(np.float32)
-
-        emb_dev = jnp.asarray(emb)
-        q_dev = jnp.asarray(q)
-
-        @jax.jit
-        def brute(qq, ee):
-            return jax.lax.top_k(qq @ ee.T, 10)
-
-        bs, br = brute(q_dev, emb_dev)
-        bs.block_until_ready()
-        best = float("inf")
-        for _ in range(3):
-            t0 = time.perf_counter()
-            for _ in range(reps):
-                brute(q_dev, emb_dev)[0].block_until_ready()
-            best = min(best, (time.perf_counter() - t0) / reps * 1000)
-        b_rows = np.asarray(br)
-        print(f"N={n:>9,}  brute GEMM           : {best:8.2f} ms/batch({nq})")
+        emb, q, b_rows, ms = _ann_setup(n, d, nq, reps)
+        print(f"N={n:>9,}  brute GEMM           : {ms:8.2f} ms/batch({nq})")
 
         k = 1024 if n >= 1_000_000 else (256 if n >= 100_000 else max(8, n // 100))
         idx = IVFIndex().build(emb, n_clusters=k, capacity_factor=1.3, iters=6)
         for nprobe in (8, 32, 64):
-            s, rows = idx.search(q, 10, nprobe=nprobe)  # compile+warm
-            best = float("inf")
-            for _ in range(3):
-                t0 = time.perf_counter()
-                for _ in range(reps):
-                    idx.search(q, 10, nprobe=nprobe)
-                best = min(best, (time.perf_counter() - t0) / reps * 1000)
-            rec = sum(
-                len(set(r.tolist()) & set(b.tolist()))
-                for r, b in zip(rows, b_rows)
-            ) / b_rows.size
+            idx.search(q, 10, nprobe=nprobe)  # compile+warm
+            ms = _best_ms(lambda: idx.search(q, 10, nprobe=nprobe), reps)
+            _, rows = idx.search(q, 10, nprobe=nprobe)
             print(
-                f"N={n:>9,}  ivf k={k} nprobe={nprobe:>3}: {best:8.2f} ms/batch({nq})"
-                f"  recall@10={rec:.3f}"
+                f"N={n:>9,}  ivf k={k} nprobe={nprobe:>3}: {ms:8.2f} ms/batch({nq})"
+                f"  recall@10={_recall(rows, b_rows):.3f}"
             )
 
 
 def bench_pq(reps: int, ns=(100_000, 1_000_000), d: int = 512) -> None:
     """PQ (ADC over uint8 codes) vs brute-force GEMM: latency, recall@10,
     and resident bytes per row — the memory-tier trade in one table."""
-    import jax
-    import jax.numpy as jnp
-    import numpy as np
-
     from evr_tpu.index.pq import PQIndex
 
-    rng = np.random.default_rng(0)
     nq = 32
     for n in ns:
-        emb = rng.standard_normal((n, d)).astype(np.float32)
-        emb /= np.linalg.norm(emb, axis=1, keepdims=True)
-        q = emb[rng.integers(0, n, nq)] + 0.05 * rng.standard_normal(
-            (nq, d)
-        ).astype(np.float32)
-        q = (q / np.linalg.norm(q, axis=1, keepdims=True)).astype(np.float32)
-
-        emb_dev, q_dev = jnp.asarray(emb), jnp.asarray(q)
-
-        @jax.jit
-        def brute(qq, ee):
-            return jax.lax.top_k(qq @ ee.T, 10)
-
-        bs, br = brute(q_dev, emb_dev)
-        bs.block_until_ready()
-        best = float("inf")
-        for _ in range(3):
-            t0 = time.perf_counter()
-            for _ in range(reps):
-                brute(q_dev, emb_dev)[0].block_until_ready()
-            best = min(best, (time.perf_counter() - t0) / reps * 1000)
-        b_rows = np.asarray(br)
-        print(
-            f"N={n:>9,}  brute fp32 ({4*d:>4}B/row): {best:8.2f} ms/batch({nq})"
-        )
+        emb, q, b_rows, ms = _ann_setup(n, d, nq, reps)
+        print(f"N={n:>9,}  brute fp32 ({4*d:>4}B/row): {ms:8.2f} ms/batch({nq})")
 
         sub = 64 if d % 64 == 0 else 32
-        idx = PQIndex().build(
-            emb, n_subspaces=sub, n_centroids=256, iters=6
-        )
+        idx = PQIndex().build(emb, n_subspaces=sub, n_centroids=256, iters=6)
         for rerank in (None, 200):
             idx.search(q, 10, rerank=rerank)  # compile+warm
-            best = float("inf")
-            for _ in range(3):
-                t0 = time.perf_counter()
-                for _ in range(reps):
-                    idx.search(q, 10, rerank=rerank)
-                best = min(best, (time.perf_counter() - t0) / reps * 1000)
+            ms = _best_ms(lambda: idx.search(q, 10, rerank=rerank), reps)
             _, rows = idx.search(q, 10, rerank=rerank)
-            rec = sum(
-                len(set(r.tolist()) & set(b.tolist()))
-                for r, b in zip(rows, b_rows)
-            ) / b_rows.size
             label = f"pq S={sub} ({sub:>4}B/row)" + (
                 f" +rerank{rerank}" if rerank else ""
             )
             print(
-                f"N={n:>9,}  {label:22s}: {best:8.2f} ms/batch({nq})"
-                f"  recall@10={rec:.3f}"
+                f"N={n:>9,}  {label:22s}: {ms:8.2f} ms/batch({nq})"
+                f"  recall@10={_recall(rows, b_rows):.3f}"
             )
 
 
 def bench_ivfpq(reps: int, ns=(100_000, 1_000_000), d: int = 512) -> None:
     """IVF-PQ (probed + compressed) vs brute force: the full 100M-row
     recipe at benchable scale — latency, recall@10, HBM bytes per row."""
-    import jax
-    import jax.numpy as jnp
-    import numpy as np
-
     from evr_tpu.index.ivfpq import IVFPQIndex
 
-    rng = np.random.default_rng(0)
     nq = 32
     for n in ns:
-        emb = rng.standard_normal((n, d)).astype(np.float32)
-        emb /= np.linalg.norm(emb, axis=1, keepdims=True)
-        q = emb[rng.integers(0, n, nq)] + 0.05 * rng.standard_normal(
-            (nq, d)
-        ).astype(np.float32)
-        q = (q / np.linalg.norm(q, axis=1, keepdims=True)).astype(np.float32)
-
-        emb_dev, q_dev = jnp.asarray(emb), jnp.asarray(q)
-
-        @jax.jit
-        def brute(qq, ee):
-            return jax.lax.top_k(qq @ ee.T, 10)
-
-        bs, br = brute(q_dev, emb_dev)
-        bs.block_until_ready()
-        best = float("inf")
-        for _ in range(3):
-            t0 = time.perf_counter()
-            for _ in range(reps):
-                brute(q_dev, emb_dev)[0].block_until_ready()
-            best = min(best, (time.perf_counter() - t0) / reps * 1000)
-        b_rows = np.asarray(br)
-        print(f"N={n:>9,}  brute fp32 ({4*d:>4}B/row): {best:8.2f} ms/batch({nq})")
+        emb, q, b_rows, ms = _ann_setup(n, d, nq, reps)
+        print(f"N={n:>9,}  brute fp32 ({4*d:>4}B/row): {ms:8.2f} ms/batch({nq})")
 
         k = 1024 if n >= 1_000_000 else 256
         sub = 64 if d % 64 == 0 else 32
@@ -459,23 +413,16 @@ def bench_ivfpq(reps: int, ns=(100_000, 1_000_000), d: int = 512) -> None:
         bpr = idx.code_bytes // n + 4  # codes + row-id
         for nprobe, rerank in ((32, None), (32, 200), (64, 200)):
             idx.search(q, 10, nprobe=nprobe, rerank=rerank)  # warm
-            best = float("inf")
-            for _ in range(3):
-                t0 = time.perf_counter()
-                for _ in range(reps):
-                    idx.search(q, 10, nprobe=nprobe, rerank=rerank)
-                best = min(best, (time.perf_counter() - t0) / reps * 1000)
+            ms = _best_ms(
+                lambda: idx.search(q, 10, nprobe=nprobe, rerank=rerank), reps
+            )
             _, rows = idx.search(q, 10, nprobe=nprobe, rerank=rerank)
-            rec = sum(
-                len(set(r.tolist()) & set(b.tolist()))
-                for r, b in zip(rows, b_rows)
-            ) / b_rows.size
             label = f"ivfpq k={k} np={nprobe}" + (
                 f" rr={rerank}" if rerank else ""
             )
             print(
-                f"N={n:>9,}  {label:22s} ({bpr:>3}B/row): {best:8.2f} "
-                f"ms/batch({nq})  recall@10={rec:.3f}"
+                f"N={n:>9,}  {label:22s} ({bpr:>3}B/row): {ms:8.2f} "
+                f"ms/batch({nq})  recall@10={_recall(rows, b_rows):.3f}"
             )
 
 

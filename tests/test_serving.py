@@ -489,3 +489,34 @@ def test_search_negative_query(client):
         json={"search_type": "text", "query": "x", "negative_weight": "??"},
     )
     assert bad2.status_code == 400
+
+
+def test_search_knob_strategy_mismatch_rejected(client):
+    """mmr_lambda / negative_query on strategies that can't honor them must
+    400, not silently return unmodified results."""
+    r = client.post(
+        "/api/search",
+        json={"search_type": "text", "query": "x", "search_method": "video",
+              "mmr_lambda": 0.5},
+    )
+    assert r.status_code == 400
+    r = client.post(
+        "/api/search",
+        json={"search_type": "text", "query": "x",
+              "search_method": "text_adaptive", "negative_query": "y"},
+    )
+    assert r.status_code == 400
+    r = client.post(
+        "/api/search",
+        json={"search_type": "text", "query": "x",
+              "search_method": "text_clip", "negative_query": "y",
+              "negative_weight": -1.0},
+    )
+    assert r.status_code == 400
+    # default method ("text" -> text_adaptive fallback) accepts mmr_lambda
+    r = client.post(
+        "/api/search",
+        json={"search_type": "text", "query": "a red frame",
+              "mmr_lambda": 0.5},
+    )
+    assert r.status_code == 200
