@@ -189,6 +189,12 @@ def create_app(ctx: ServingContext, frontend_dist: str | None = None):
         if not 0.0 <= negative_weight <= 10.0:
             # a negative weight would silently AMPLIFY the negative query
             return _json({"error": "negative_weight must be in [0, 10]"}, 400)
+        try:
+            image_weight = float(data.get("image_weight", 0.5))
+        except (TypeError, ValueError):
+            return _json({"error": "image_weight must be numeric"}, 400)
+        if not 0.0 <= image_weight <= 1.0:
+            return _json({"error": "image_weight must be in [0, 1]"}, 400)
         search_method = data.get("search_method", "text")
         keyword = data.get("keyword", "")
         object_keyword = data.get("object", "")
@@ -254,7 +260,7 @@ def create_app(ctx: ServingContext, frontend_dist: str | None = None):
             top_k, adaptive_threshold, text_confidence, object_confidence,
             search_method, keyword, object_keyword, bool(enable_clip_similarity),
             video_name, tuple(queries_list or ()), max_gap, mmr_lambda,
-            negative_query, negative_weight,
+            negative_query, negative_weight, image_weight,
         )
         cached = ctx.search_cache.get(cache_key)
         if cached is not None:
@@ -266,6 +272,20 @@ def create_app(ctx: ServingContext, frontend_dist: str | None = None):
             try:
                 results = ctx.search_by_image(
                     image_url, adaptive_threshold, top_k, video_name
+                )
+            except ValueError as e:
+                return _json({"error": str(e)}, 400)
+        elif search_type == "hybrid":
+            # beyond-reference: image+text composite direction
+            if not (image_url and query):
+                return _json(
+                    {"error": "hybrid search needs both image_url and query"},
+                    400,
+                )
+            try:
+                results = ctx.search_hybrid(
+                    image_url, query, image_weight, adaptive_threshold,
+                    top_k, video_name,
                 )
             except ValueError as e:
                 return _json({"error": str(e)}, 400)
@@ -354,7 +374,7 @@ def create_app(ctx: ServingContext, frontend_dist: str | None = None):
             ]
 
         if (
-            search_type == "image"
+            search_type in ("image", "hybrid")
             or search_method in ("text_clip", "text_adaptive")
             or enable_clip_similarity
         ):

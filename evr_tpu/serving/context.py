@@ -301,8 +301,16 @@ class ServingContext:
             staged[None], top_k * 3, video_name
         )
 
+        return self._events_from_rows(scores[0], rows[0], threshold, top_k)
+
+    def _events_from_rows(
+        self, scores, rows, threshold: float, top_k: int
+    ) -> list[dict]:
+        """Row hits → frontend events (shared by image and hybrid search)."""
+        from evr_tpu.query.events import format_event_for_frontend
+
         results = []
-        for score, row in zip(scores[0], rows[0]):
+        for score, row in zip(scores, rows):
             score = float(score)
             if not np.isfinite(score) or score < threshold:
                 continue
@@ -323,3 +331,41 @@ class ServingContext:
             results.append(event)
         results.sort(key=lambda e: e.get("clip_similarity", 0), reverse=True)
         return results[:top_k]
+
+    def search_hybrid(
+        self,
+        source: str,
+        query: str,
+        image_weight: float,
+        threshold: float,
+        top_k: int,
+        video_name: str | None = None,
+    ) -> list[dict]:
+        """Image+text hybrid search: one composite direction
+        ``normalise(α·v_image + (1−α)·v_text)`` — "frames like this image
+        that also match this text". A single query vector, so the standard
+        index dispatch (exact / IVF / scoped) serves it unchanged. CLIP
+        image and text embeddings live in the same contrastive space, which
+        is what makes the straight blend meaningful.
+
+        No reference counterpart (the reference searches image XOR text).
+        """
+        from evr_tpu.index.engine import stage_array_fast
+
+        img = self.load_image_source(source)
+        staged = stage_array_fast(
+            np.ascontiguousarray(np.asarray(img)), self.engine.cfg.vision.image_size
+        )
+        v_img = np.asarray(
+            self.engine.encode_staged_images(staged[None], normalise=True)[0],
+            np.float32,
+        )
+        processed = self.query_engine.preprocess(query)
+        v_txt = np.asarray(
+            self.engine.get_text_features(processed), np.float32
+        ).reshape(-1)
+        v_txt /= max(float(np.linalg.norm(v_txt)), 1e-12)
+        v = image_weight * v_img + (1.0 - image_weight) * v_txt
+        v /= max(float(np.linalg.norm(v)), 1e-12)
+        scores, rows = self.index.search_raw(v[None], top_k * 3, video_name)
+        return self._events_from_rows(scores[0], rows[0], threshold, top_k)

@@ -520,3 +520,53 @@ def test_search_knob_strategy_mismatch_rejected(client):
               "mmr_lambda": 0.5},
     )
     assert r.status_code == 200
+
+
+def test_search_hybrid_image_text(client):
+    """search_type='hybrid': composite image+text direction (beyond-
+    reference). image_weight=1.0 reduces to pure image search."""
+    ctx = client.application.ctx
+    frames_dir = ctx.resolve_path(ctx.registry.get("clip1")["frames_dir"])
+    frame_file = sorted(frames_dir.iterdir())[0]
+    b64 = base64.b64encode(frame_file.read_bytes()).decode()
+    url = f"data:image/jpeg;base64,{b64}"
+
+    resp = client.post(
+        "/api/search",
+        json={"search_type": "hybrid", "image_url": url,
+              "query": "a red frame", "image_weight": 0.7,
+              "top_k": 2, "adaptive_threshold": 0.0},
+    )
+    assert resp.status_code == 200
+    events = get_json(resp)["events"]
+    assert events and all("clip_similarity" in e for e in events)
+    sims = [e["clip_similarity"] for e in events]
+    assert sims == sorted(sims, reverse=True)
+
+    # image_weight=1.0 == pure image search (same top hit)
+    pure = client.post(
+        "/api/search",
+        json={"search_type": "image", "image_url": url, "top_k": 1,
+              "adaptive_threshold": 0.0},
+    )
+    w1 = client.post(
+        "/api/search",
+        json={"search_type": "hybrid", "image_url": url, "query": "anything",
+              "image_weight": 1.0, "top_k": 1, "adaptive_threshold": 0.0},
+    )
+    assert (
+        get_json(w1)["events"][0]["id"] == get_json(pure)["events"][0]["id"]
+    )
+
+    # missing parts / bad weight -> 400
+    bad = client.post(
+        "/api/search",
+        json={"search_type": "hybrid", "query": "no image"},
+    )
+    assert bad.status_code == 400
+    bad2 = client.post(
+        "/api/search",
+        json={"search_type": "hybrid", "image_url": url, "query": "x",
+              "image_weight": 1.5},
+    )
+    assert bad2.status_code == 400
