@@ -82,6 +82,7 @@ class PQIndex:
     def __init__(self):
         self.codebooks = None   # [S, K, d] device fp32
         self.codes = None       # [N, S] device uint8
+        self.rotation = None    # [D, D] device fp32 (OPQ only)
         self._originals = None  # [N, D] HOST np.float32 (only if kept)
         self._codes_t = None    # [S, N] uint8 scan operand (lazy)
 
@@ -102,7 +103,15 @@ class PQIndex:
         iters: int = 10,
         seed: int = 0,
         keep_originals: bool = True,
+        opq_iters: int = 0,
     ) -> "PQIndex":
+        """``opq_iters > 0`` enables OPQ (Ge et al., CVPR 2013 — public
+        method): alternate (a) train PQ on the rotated data, (b) update an
+        orthogonal rotation R by Procrustes (SVD of XᵀX̂, a [D, D] host
+        SVD) so the rotation spreads correlated variance across subspaces.
+        Same bytes, strictly more degrees of freedom — R=I reproduces
+        plain PQ. Queries are rotated once per search (a [B, D]·[D, D]
+        matvec, noise next to the ADC scan)."""
         emb = np.asarray(emb, np.float32)
         n, d = emb.shape
         if d % n_subspaces:
@@ -114,14 +123,33 @@ class PQIndex:
         if n_centroids > n:
             raise ValueError(f"n_centroids={n_centroids} > n_rows={n}")
         ds = d // n_subspaces
-        # [N, D] -> [S, N, d]: each subspace trains on its own column slice
-        xs = jnp.asarray(emb).reshape(n, n_subspaces, ds).transpose(1, 0, 2)
-        keys = jax.random.split(jax.random.PRNGKey(seed), n_subspaces)
-        cents, assign = jax.vmap(
-            lambda k, x: kmeans_l2(k, x, n_centroids, iters=iters)
-        )(keys, xs)
+
+        def train(x_np, kmeans_iters):
+            xs = jnp.asarray(x_np).reshape(n, n_subspaces, ds).transpose(1, 0, 2)
+            keys = jax.random.split(jax.random.PRNGKey(seed), n_subspaces)
+            return jax.vmap(
+                lambda k, x: kmeans_l2(k, x, n_centroids, iters=kmeans_iters)
+            )(keys, xs)
+
+        rot = None
+        x = emb
+        if opq_iters > 0:
+            rot = np.eye(d, dtype=np.float32)
+            inner = max(2, iters // 2)  # cheap inner trainings, full at end
+            for _ in range(opq_iters):
+                xr = emb @ rot
+                cents, assign = train(xr, inner)
+                recon = _decode_np(np.asarray(cents), np.asarray(assign).T)
+                # Procrustes: argmin_R ||emb @ R - recon||_F over orthogonal
+                # R has the closed form U Vᵀ from SVD(embᵀ recon)
+                u, _, vt = np.linalg.svd(emb.T @ recon)
+                rot = (u @ vt).astype(np.float32)
+            x = emb @ rot
+
+        cents, assign = train(x, iters)
         self.codebooks = cents                       # [S, K, d]
         self.codes = assign.T.astype(jnp.uint8)      # [N, S]
+        self.rotation = jnp.asarray(rot) if rot is not None else None
         self._originals = emb if keep_originals else None
         self._codes_t = None
         return self
@@ -175,8 +203,12 @@ class PQIndex:
         fetch = top_k if rerank is None else max(top_k, min(rerank, self.n_rows))
         if self._codes_t is None:
             self._codes_t = self.codes.T  # [S, N] uint8, the scan operand
+        q_dev = jnp.asarray(q)
+        if self.rotation is not None:
+            # OPQ: codes live in the rotated basis; q·x = (qR)·(xR)
+            q_dev = q_dev @ self.rotation
         scores, rows = self._adc_search(
-            jnp.asarray(q), self.codebooks, self._codes_t, fetch
+            q_dev, self.codebooks, self._codes_t, fetch
         )
         scores, rows = np.asarray(scores), np.asarray(rows)
         if rerank is None:
@@ -191,11 +223,14 @@ class PQIndex:
         )
 
     def reconstruct(self, rows: np.ndarray) -> np.ndarray:
-        """Decode rows back to approximate vectors (debug/QA surface)."""
-        codes = np.asarray(self.codes)[np.asarray(rows)]      # [..., S]
-        books = np.asarray(self.codebooks)                    # [S, K, d]
-        parts = books[np.arange(books.shape[0]), codes]       # [..., S, d]
-        return parts.reshape(*codes.shape[:-1], -1)
+        """Decode rows back to approximate vectors (debug/QA surface); OPQ
+        codes decode in the rotated basis and are rotated back."""
+        out = _decode_np(
+            np.asarray(self.codebooks), np.asarray(self.codes)[np.asarray(rows)]
+        )
+        if self.rotation is not None:
+            out = out @ np.asarray(self.rotation).T
+        return out
 
     # -- persistence --------------------------------------------------------
     def save(self, path) -> None:
@@ -203,6 +238,8 @@ class PQIndex:
             "codebooks": np.asarray(self.codebooks),
             "codes": np.asarray(self.codes),
         }
+        if self.rotation is not None:
+            arrs["rotation"] = np.asarray(self.rotation)
         if self._originals is not None:
             arrs["originals"] = self._originals
         np.savez(path, **arrs)
@@ -213,5 +250,14 @@ class PQIndex:
         idx = cls()
         idx.codebooks = jnp.asarray(z["codebooks"])
         idx.codes = jnp.asarray(z["codes"])
+        idx.rotation = (
+            jnp.asarray(z["rotation"]) if "rotation" in z.files else None
+        )
         idx._originals = z["originals"] if "originals" in z.files else None
         return idx
+
+
+def _decode_np(books: np.ndarray, codes: np.ndarray) -> np.ndarray:
+    """[S, K, d] codebooks + [..., S] codes → [..., S*d] reconstruction."""
+    parts = books[np.arange(books.shape[0]), codes]           # [..., S, d]
+    return parts.reshape(*codes.shape[:-1], -1)

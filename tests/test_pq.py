@@ -133,3 +133,70 @@ def test_save_load_roundtrip(tmp_path):
     s1, r1 = idx2.search(q, 5, rerank=50)
     np.testing.assert_allclose(s1, s0, rtol=1e-6)
     np.testing.assert_array_equal(r1, r0)
+
+
+# -- OPQ (learned rotation) ------------------------------------------------
+
+
+def _correlated(rng, n=1200, d=16):
+    """Anisotropic corpus: heavy cross-dimension correlation, the case a
+    naive column split quantizes badly and a learned rotation fixes."""
+    z = _clustered(rng, n=n, d=d, centers=12, noise=0.25)
+    mix = rng.standard_normal((d, d)).astype(np.float32)
+    mix += 3.0 * np.diag(rng.random(d).astype(np.float32))
+    x = z @ mix
+    return _normed(x.astype(np.float32))
+
+
+def test_opq_rotation_is_orthogonal_and_improves_reconstruction():
+    rng = np.random.default_rng(10)
+    emb = _correlated(rng)
+    plain = PQIndex().build(emb, n_subspaces=4, n_centroids=16, iters=8)
+    opq = PQIndex().build(
+        emb, n_subspaces=4, n_centroids=16, iters=8, opq_iters=5
+    )
+    rot = np.asarray(opq.rotation)
+    np.testing.assert_allclose(rot @ rot.T, np.eye(16), atol=1e-4)
+
+    def mse(idx):
+        rec = idx.reconstruct(np.arange(len(emb)))
+        return float(((rec - emb) ** 2).mean())
+
+    assert mse(opq) < mse(plain)
+
+
+def test_opq_search_scores_track_exact():
+    rng = np.random.default_rng(11)
+    emb = _correlated(rng)
+    idx = PQIndex().build(
+        emb, n_subspaces=4, n_centroids=64, iters=8, opq_iters=3
+    )
+    q = _normed(
+        emb[rng.integers(0, len(emb), 8)]
+        + 0.02 * rng.standard_normal((8, 16)).astype(np.float32)
+    )
+    scores, rows = idx.search(q, 5)
+    exact = np.einsum("bd,brd->br", q, emb[rows])
+    assert float(np.abs(scores - exact).mean()) < 0.08
+    # re-rank path is rotation-agnostic (exact cosines of originals)
+    rs, rr = idx.search(q, 5, rerank=100)
+    np.testing.assert_allclose(
+        rs, np.einsum("bd,brd->br", q, emb[rr]), rtol=1e-5, atol=1e-6
+    )
+
+
+def test_opq_save_load_roundtrip(tmp_path):
+    rng = np.random.default_rng(12)
+    emb = _correlated(rng, n=500)
+    idx = PQIndex().build(
+        emb, n_subspaces=4, n_centroids=32, opq_iters=2
+    )
+    q = _normed(rng.standard_normal((3, 16)).astype(np.float32))
+    s0, r0 = idx.search(q, 5)
+    p = tmp_path / "opq.npz"
+    idx.save(p)
+    idx2 = PQIndex.load(p)
+    assert idx2.rotation is not None
+    s1, r1 = idx2.search(q, 5)
+    np.testing.assert_allclose(s1, s0, rtol=1e-6)
+    np.testing.assert_array_equal(r1, r0)
