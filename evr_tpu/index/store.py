@@ -80,22 +80,26 @@ class FrameIndex:
         brute force. Video-scoped searches always run exact (a single
         video's row range is small). ``ivf_clusters=None`` → ~√N. Not
         combinable with int8 storage or a device mesh — at mesh scale the
-        sharded exact path already wins, see PERF.md)."""
+        sharded exact path already wins, see PERF.md), or 'ivfpq'
+        (probed + PQ-compressed tier, `index/ivfpq.py` — same probing
+        semantics over residual uint8 codes with an always-on exact
+        re-rank of 4×k candidates; same restrictions as 'ivf')."""
         self.embed_dim = embed_dim
         self.pad_multiple = pad_multiple
         self.mesh = mesh
         self.mesh_axis = mesh_axis
         self.device_dtype = device_dtype
-        if search_impl not in ("xla", "pallas", "ivf"):
+        if search_impl not in ("xla", "pallas", "ivf", "ivfpq"):
             raise ValueError(f"unknown search_impl {search_impl!r}")
-        if search_impl == "ivf" and device_dtype == "int8":
+        if search_impl in ("ivf", "ivfpq") and device_dtype == "int8":
             raise ValueError(
-                "search_impl='ivf' supports float32/bfloat16 storage only"
+                f"search_impl={search_impl!r} supports float32/bfloat16 "
+                "storage only"
             )
-        if search_impl == "ivf" and mesh is not None:
+        if search_impl in ("ivf", "ivfpq") and mesh is not None:
             raise ValueError(
-                "search_impl='ivf' is single-device; use the sharded exact "
-                "path (mesh=...) for scale-out"
+                f"search_impl={search_impl!r} is single-device; use the "
+                "sharded exact path (mesh=...) for scale-out"
             )
         self.search_impl = search_impl
         self.ivf_nprobe = ivf_nprobe
@@ -150,9 +154,9 @@ class FrameIndex:
             or name in self._videos
             or self.mesh is not None
             or self._row_scales is not None
-            # IVF lists are built at rebuild time; an in-place append would
-            # leave the new rows invisible to probes
-            or self.search_impl == "ivf"
+            # IVF/IVF-PQ lists are built at rebuild time; an in-place
+            # append would leave the new rows invisible to probes
+            or self.search_impl in ("ivf", "ivfpq")
         ):
             return False
         n = len(emb)
@@ -259,6 +263,25 @@ class FrameIndex:
                     else "float32"
                 ),
             )
+        elif self.search_impl == "ivfpq" and total > 1:
+            from evr_tpu.index.ivfpq import IVFPQIndex
+
+            k = self.ivf_clusters or max(1, int(round(total**0.5)))
+            # subspaces: largest divisor of D that is <= 64 (uint8 budget
+            # D/sub bytes per row); originals retained for the exact
+            # re-rank pass the serving path always applies
+            sub = next(
+                s for s in (64, 32, 16, 8, 4, 2, 1) if self.embed_dim % s == 0
+            )
+            self._ivf = IVFPQIndex().build(
+                full[:total],
+                n_clusters=min(k, total),
+                n_subspaces=sub,
+                n_centroids=min(256, total),
+                capacity_factor=1.3,
+                coarse_iters=6,
+                pq_iters=6,
+            )
         self._row_scales = None
         if self.device_dtype == "bfloat16":
             full = jnp.asarray(full).astype(jnp.bfloat16)
@@ -307,12 +330,19 @@ class FrameIndex:
         # path (one video's range is small enough that exact is cheaper
         # than probing). Results padded to the promised k with -inf/-1 when
         # the reachable candidate set is smaller.
-        if self.search_impl == "ivf" and video_name is None and self._ivf is not None:
-            scores, rows = self._ivf.search(
-                np.atleast_2d(np.asarray(queries, np.float32)),
-                k,
-                nprobe=self.ivf_nprobe,
-            )
+        if (
+            self.search_impl in ("ivf", "ivfpq")
+            and video_name is None
+            and self._ivf is not None
+        ):
+            q_np = np.atleast_2d(np.asarray(queries, np.float32))
+            if self.search_impl == "ivfpq":
+                # codes are lossy -> always exact-re-rank 4x the ask
+                scores, rows = self._ivf.search(
+                    q_np, k, nprobe=self.ivf_nprobe, rerank=max(50, 4 * k)
+                )
+            else:
+                scores, rows = self._ivf.search(q_np, k, nprobe=self.ivf_nprobe)
             if scores.shape[1] < k:
                 pad = ((0, 0), (0, k - scores.shape[1]))
                 scores = np.pad(scores, pad, constant_values=-np.inf)

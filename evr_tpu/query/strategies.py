@@ -73,11 +73,11 @@ class QueryEngine:
             hasattr(embedding_engine, "tokenizer")
             and hasattr(embedding_engine, "params")
             # The fused searcher runs the exact GEMM over the index
-            # snapshot; an IVF-tier index must dispatch through
+            # snapshot; an IVF/IVF-PQ-tier index must dispatch through
             # FrameIndex.search so queries actually probe the inverted
             # lists (the two-step path still caches text features — at
-            # IVF scale the candidate GEMM dominates, not the encode).
-            and getattr(index, "search_impl", None) != "ivf"
+            # that scale the candidate GEMM dominates, not the encode).
+            and getattr(index, "search_impl", None) not in ("ivf", "ivfpq")
         )
         if use_fused:
             from evr_tpu.index.fused_search import TextSearcher

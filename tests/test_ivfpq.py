@@ -163,3 +163,65 @@ def test_save_load_roundtrip(tmp_path):
     s1, r1 = idx2.search(q, 5, nprobe=4, rerank=50)
     np.testing.assert_allclose(s1, s0, rtol=1e-6)
     np.testing.assert_array_equal(r1, r0)
+
+
+# -- FrameIndex integration (search_impl="ivfpq") --------------------------
+
+
+def test_frame_index_ivfpq_matches_exact_at_full_probe():
+    from evr_tpu.index import FrameIndex
+
+    rng = np.random.default_rng(20)
+
+    def build(impl):
+        idx = FrameIndex(
+            embed_dim=16, pad_multiple=64, search_impl=impl,
+            ivf_clusters=8, ivf_nprobe=8,
+        )
+        r = np.random.default_rng(20)
+        for v in range(3):
+            emb = _normed(r.standard_normal((80, 16)).astype(np.float32))
+            idx.add_video(f"vid{v}", emb)
+        return idx
+
+    exact, ivfpq = build("xla"), build("ivfpq")
+    q = _normed(rng.standard_normal((4, 16)).astype(np.float32))
+    es, er = exact.search_raw(q, 5)
+    s, r = ivfpq.search_raw(q, 5)
+    # full probe + 4x exact re-rank on 240 rows covers everything
+    np.testing.assert_array_equal(r, er)
+    np.testing.assert_allclose(s, es, rtol=1e-5, atol=1e-5)
+    # scoped search stays exact
+    es2, er2 = exact.search_raw(q, 5, video_name="vid1")
+    s2, r2 = ivfpq.search_raw(q, 5, video_name="vid1")
+    np.testing.assert_array_equal(r2, er2)
+
+
+def test_frame_index_ivfpq_rejects_int8_and_mesh():
+    from evr_tpu.index import FrameIndex
+
+    with pytest.raises(ValueError, match="float32/bfloat16"):
+        FrameIndex(embed_dim=16, search_impl="ivfpq", device_dtype="int8")
+
+    class FakeMesh:
+        pass
+
+    with pytest.raises(ValueError, match="single-device"):
+        FrameIndex(embed_dim=16, search_impl="ivfpq", mesh=FakeMesh())
+
+
+def test_query_engine_bypasses_fused_searcher_for_ivfpq():
+    from evr_tpu.index import EmbeddingEngine, FrameIndex
+    from evr_tpu.query import MetadataStore, QueryEngine
+    from evr_tpu.models.clip import CLIPConfig, TextConfig, VisionConfig
+
+    small = CLIPConfig(
+        embed_dim=16,
+        vision=VisionConfig(image_size=32, patch_size=16, width=32, layers=1, heads=2),
+        text=TextConfig(width=32, layers=1, heads=2),
+    )
+    engine = EmbeddingEngine(cfg=small, batch_size=2)
+    qe = QueryEngine(
+        engine, FrameIndex(embed_dim=16, search_impl="ivfpq"), MetadataStore()
+    )
+    assert qe._searcher is None
