@@ -131,6 +131,47 @@ class IVFIndex:
         self.overflow = jnp.asarray(np.asarray(overflow, np.int32))
         return self
 
+    def append(self, emb_new: np.ndarray) -> np.ndarray:
+        """Incremental add WITHOUT re-running k-means: assign new rows to
+        their nearest existing centroid (one GEMM), fill free list slots,
+        spill the rest to the overflow pool. Returns the new rows' ids.
+
+        The every-row-lives-exactly-once invariant (and with it the
+        nprobe=k exactness ceiling) is preserved. Centroids do NOT move —
+        after appending a large multiple of the build-time corpus, rebuild
+        for list balance (`FrameIndex` handles this policy for serving).
+        Device cost: one [M, D] assign GEMM + an emb re-concat; the list
+        matrix is patched host-side and re-uploaded (k·C int32, small next
+        to emb)."""
+        if self.emb is None:
+            raise ValueError("IVFIndex.append before build()")
+        emb_new = np.asarray(emb_new, np.float32)
+        if emb_new.ndim != 2 or emb_new.shape[1] != self.emb.shape[1]:
+            raise ValueError(
+                f"append rows must be (M, {self.emb.shape[1]}), got {emb_new.shape}"
+            )
+        start = self.n_rows
+        assign = np.asarray(
+            jnp.argmax(jnp.asarray(emb_new) @ self.centroids.T, axis=1)
+        )
+        lists = np.array(self.list_rows)  # writable host copy
+        fill = (lists >= 0).sum(axis=1)
+        capacity = lists.shape[1]
+        overflow = list(np.asarray(self.overflow))
+        for i, c in enumerate(assign):
+            row = start + i
+            if fill[c] < capacity:
+                lists[c, fill[c]] = row
+                fill[c] += 1
+            else:
+                overflow.append(row)
+        self.emb = jnp.concatenate(
+            [self.emb, jnp.asarray(emb_new).astype(self.emb.dtype)], axis=0
+        )
+        self.list_rows = jnp.asarray(lists)
+        self.overflow = jnp.asarray(np.asarray(overflow, np.int32))
+        return np.arange(start, start + len(emb_new))
+
     # Large arrays are ARGUMENTS, not closures: closed-over device arrays
     # become jaxpr constants and wedge this environment's remote compiler
     # (CLAUDE.md).

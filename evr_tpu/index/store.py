@@ -105,6 +105,7 @@ class FrameIndex:
         self.ivf_nprobe = ivf_nprobe
         self.ivf_clusters = ivf_clusters
         self._ivf = None
+        self._ivf_built_rows = 0
         self._videos: dict[str, VideoEntry] = {}
         self._embeddings: dict[str, np.ndarray] = {}
         self._order: list[str] = []
@@ -154,17 +155,28 @@ class FrameIndex:
             or name in self._videos
             or self.mesh is not None
             or self._row_scales is not None
-            # IVF/IVF-PQ lists are built at rebuild time; an in-place
-            # append would leave the new rows invisible to probes
-            or self.search_impl in ("ivf", "ivfpq")
+            # IVF-PQ codes are trained at rebuild time; an in-place append
+            # would leave the new rows invisible to probes. Plain IVF
+            # supports incremental appends (below).
+            or self.search_impl == "ivfpq"
+            or (self.search_impl == "ivf" and self._ivf is None)
         ):
             return False
         n = len(emb)
         capacity = self._device_index.shape[0]
         if self._total + n > capacity:
             return False
+        if self.search_impl == "ivf" and (
+            # centroids don't move on append — once the corpus outgrows
+            # the build-time clustering by 50%, force a rebuild so the
+            # lists re-balance with fresh k-means
+            self._total + n > 1.5 * self._ivf_built_rows
+        ):
+            return False
         norms = np.linalg.norm(emb, axis=1, keepdims=True)
         rows = (emb / np.maximum(norms, 1e-12)).astype(np.float32)
+        if self.search_impl == "ivf":
+            self._ivf.append(rows)
         rows_dev = jnp.asarray(rows).astype(self._device_index.dtype)
         self._device_index = jax.lax.dynamic_update_slice(
             self._device_index, rows_dev, (self._total, 0)
@@ -263,6 +275,7 @@ class FrameIndex:
                     else "float32"
                 ),
             )
+            self._ivf_built_rows = total
         elif self.search_impl == "ivfpq" and total > 1:
             from evr_tpu.index.ivfpq import IVFPQIndex
 

@@ -176,8 +176,8 @@ def test_frame_index_ivf_scoped_search_is_exact():
 
 
 def test_frame_index_ivf_upload_after_build_is_searchable():
-    """add_video after build() must rebuild the lists (the in-place append
-    fast path is disabled under IVF) — new rows are probe-reachable."""
+    """add_video after build() keeps new rows probe-reachable (via the
+    incremental append path, or a rebuild when it outgrows the bound)."""
     rng = np.random.default_rng(12)
     idx = _frame_index("ivf", ivf_clusters=6, ivf_nprobe=6)
     _add_corpus(idx, rng, n_videos=2)
@@ -274,3 +274,59 @@ def test_query_text_clip_through_ivf_index():
     events = qe.query_text_clip("fight", top_k=3)
     assert events and events[0]["id"] == "event-7"
     assert events[0]["clip_similarity"] == pytest.approx(1.0, abs=1e-5)
+
+
+# -- incremental append ----------------------------------------------------
+
+
+def test_ivf_append_preserves_exactness_and_coverage():
+    """append() assigns to existing centroids without k-means; the
+    every-row-once invariant and the nprobe=k exactness ceiling hold."""
+    emb = _clustered_corpus(np.random.default_rng(30), n=500, d=16, n_centers=10)
+    idx = IVFIndex().build(emb, n_clusters=10, capacity_factor=1.3)
+    extra = _normed(np.random.default_rng(31).standard_normal((80, 16)).astype(np.float32))
+    new_ids = idx.append(extra)
+    np.testing.assert_array_equal(new_ids, np.arange(500, 580))
+    # coverage: every row (old + new) lives in exactly one place
+    lists = np.asarray(idx.list_rows)
+    placed = list(lists[lists >= 0]) + list(np.asarray(idx.overflow))
+    assert sorted(placed) == list(range(580))
+    # full probe == brute force over the grown corpus
+    full = np.concatenate([emb, extra], axis=0)
+    q = _normed(np.random.default_rng(32).standard_normal((5, 16)).astype(np.float32))
+    b_scores, b_rows = _brute(full, q, 10)
+    scores, rows = idx.search(q, 10, nprobe=10)
+    np.testing.assert_array_equal(rows, b_rows)
+    np.testing.assert_allclose(scores, b_scores, rtol=1e-5, atol=1e-6)
+
+
+def test_ivf_append_validation():
+    rng = np.random.default_rng(33)
+    with pytest.raises(ValueError, match="before build"):
+        IVFIndex().append(rng.standard_normal((3, 8)).astype(np.float32))
+    emb = _normed(rng.standard_normal((50, 8)).astype(np.float32))
+    idx = IVFIndex().build(emb, n_clusters=5)
+    with pytest.raises(ValueError, match="append rows"):
+        idx.append(rng.standard_normal((3, 9)).astype(np.float32))
+
+
+def test_frame_index_ivf_upload_uses_incremental_append():
+    """Post-build uploads within 1.5x of the built corpus take the
+    in-place path (version bumps WITHOUT a rebuild) and stay searchable;
+    outgrowing the bound forces the k-means rebuild."""
+    rng = np.random.default_rng(34)
+    idx = _frame_index("ivf", ivf_clusters=6, ivf_nprobe=6)
+    _add_corpus(idx, rng, n_videos=2)
+    idx.build()
+    built = idx._ivf
+    small = _normed(rng.standard_normal((40, 16)).astype(np.float32))
+    idx.add_video("inc", small)
+    assert idx._ivf is built  # same IVF object → append path, no rebuild
+    hits = idx.search(small[:1], 1)
+    assert hits[0][0].video == "inc"
+    # a huge upload (beyond 1.5x) falls back to the rebuild path
+    big = _normed(rng.standard_normal((400, 16)).astype(np.float32))
+    idx.add_video("big", big)
+    hits = idx.search(big[:1], 1)
+    assert hits[0][0].video == "big"
+    assert idx._ivf is not built  # rebuilt with fresh k-means
