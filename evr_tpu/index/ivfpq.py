@@ -132,6 +132,65 @@ class IVFPQIndex:
         self._codes_t = None
         return self
 
+    def append(self, emb_new: np.ndarray) -> np.ndarray:
+        """Incremental add WITHOUT retraining: assign new rows to their
+        nearest existing coarse centroid, encode their residuals with the
+        EXISTING codebooks (one [S, M, K] distance einsum), fill free list
+        slots, spill the rest to the overflow pool. Returns new row ids.
+
+        Neither centroids nor codebooks move — rebuild once the corpus
+        outgrows the build-time training (FrameIndex applies a 1.5× bound
+        for serving). Every-row-lives-exactly-once is preserved.
+        """
+        if self.codes is None:
+            raise ValueError("IVFPQIndex.append before build()")
+        emb_new = np.asarray(emb_new, np.float32)
+        d = int(self.centroids.shape[1])
+        if emb_new.ndim != 2 or emb_new.shape[1] != d:
+            raise ValueError(
+                f"append rows must be (M, {d}), got {emb_new.shape}"
+            )
+        start = self.n_rows
+        m = len(emb_new)
+        x = jnp.asarray(emb_new)
+        assign = jnp.argmax(x @ self.centroids.T, axis=1)
+        resid = x - self.centroids[assign]
+        s, k, ds = self.codebooks.shape
+        rs = resid.reshape(m, s, ds).transpose(1, 0, 2)        # [S, M, d]
+        # argmin ||r - c||² = argmin(|c|² - 2 r·c), batched over subspaces
+        c_sq = jnp.sum(jnp.square(self.codebooks), axis=2)     # [S, K]
+        dots = jnp.einsum(
+            "smd,skd->smk", rs, self.codebooks,
+            preferred_element_type=jnp.float32,
+        )
+        codes_new = jnp.argmin(c_sq[:, None, :] - 2.0 * dots, axis=2)
+
+        lists = np.array(self.list_rows)  # writable host copy
+        fill = (lists >= 0).sum(axis=1)
+        capacity = lists.shape[1]
+        overflow = list(np.asarray(self.overflow))
+        assign_np = np.asarray(assign)
+        for i, c in enumerate(assign_np):
+            row = start + i
+            if fill[c] < capacity:
+                lists[c, fill[c]] = row
+                fill[c] += 1
+            else:
+                overflow.append(row)
+
+        self.codes = jnp.concatenate(
+            [self.codes, codes_new.T.astype(jnp.uint8)], axis=0
+        )
+        self.list_rows = jnp.asarray(lists)
+        self.overflow = jnp.asarray(np.asarray(overflow, np.int32))
+        self._coarse_assign = jnp.concatenate(
+            [self._coarse_assign, assign.astype(jnp.int32)]
+        )
+        if self._originals is not None:
+            self._originals = np.concatenate([self._originals, emb_new], axis=0)
+        self._codes_t = None
+        return np.arange(start, start + m)
+
     # Large arrays are ARGUMENTS, not closures: closed-over device arrays
     # become jaxpr constants and wedge this environment's remote compiler
     # (CLAUDE.md). The per-candidate codes are gathered PER SUBSPACE inside

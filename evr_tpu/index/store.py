@@ -155,27 +155,25 @@ class FrameIndex:
             or name in self._videos
             or self.mesh is not None
             or self._row_scales is not None
-            # IVF-PQ codes are trained at rebuild time; an in-place append
-            # would leave the new rows invisible to probes. Plain IVF
-            # supports incremental appends (below).
-            or self.search_impl == "ivfpq"
-            or (self.search_impl == "ivf" and self._ivf is None)
+            # IVF/IVF-PQ support incremental appends (below) once their
+            # lists exist
+            or (self.search_impl in ("ivf", "ivfpq") and self._ivf is None)
         ):
             return False
         n = len(emb)
         capacity = self._device_index.shape[0]
         if self._total + n > capacity:
             return False
-        if self.search_impl == "ivf" and (
-            # centroids don't move on append — once the corpus outgrows
-            # the build-time clustering by 50%, force a rebuild so the
-            # lists re-balance with fresh k-means
+        if self.search_impl in ("ivf", "ivfpq") and (
+            # centroids/codebooks don't move on append — once the corpus
+            # outgrows the build-time training by 50%, force a rebuild so
+            # the lists re-balance with fresh k-means
             self._total + n > 1.5 * self._ivf_built_rows
         ):
             return False
         norms = np.linalg.norm(emb, axis=1, keepdims=True)
         rows = (emb / np.maximum(norms, 1e-12)).astype(np.float32)
-        if self.search_impl == "ivf":
+        if self.search_impl in ("ivf", "ivfpq"):
             self._ivf.append(rows)
         rows_dev = jnp.asarray(rows).astype(self._device_index.dtype)
         self._device_index = jax.lax.dynamic_update_slice(
@@ -295,6 +293,7 @@ class FrameIndex:
                 coarse_iters=6,
                 pq_iters=6,
             )
+            self._ivf_built_rows = total
         self._row_scales = None
         if self.device_dtype == "bfloat16":
             full = jnp.asarray(full).astype(jnp.bfloat16)

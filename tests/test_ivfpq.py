@@ -225,3 +225,49 @@ def test_query_engine_bypasses_fused_searcher_for_ivfpq():
         engine, FrameIndex(embed_dim=16, search_impl="ivfpq"), MetadataStore()
     )
     assert qe._searcher is None
+
+
+def test_ivfpq_append_preserves_coverage_and_search():
+    # one distribution split 800/120: appends must be same-distribution for
+    # the frozen codebooks to encode their residuals well (the serving
+    # case — new frames of the same embedding model/corpus)
+    corpus = _clustered(np.random.default_rng(30), n=920, centers=10)
+    emb, extra = corpus[:800], corpus[800:]
+    idx = IVFPQIndex().build(
+        emb, n_clusters=10, n_subspaces=4, n_centroids=64
+    )
+    new_ids = idx.append(extra)
+    np.testing.assert_array_equal(new_ids, np.arange(800, 920))
+    lists = np.asarray(idx.list_rows)
+    placed = list(lists[lists >= 0]) + list(np.asarray(idx.overflow))
+    assert sorted(placed) == list(range(920))
+    assert idx.n_rows == 920
+    # appended rows retrieve themselves at full probe with exact re-rank
+    s, r = idx.search(extra[:5], 1, nprobe=10, rerank=200)
+    full = np.concatenate([emb, extra], axis=0)
+    exp = np.argmax(extra[:5] @ full.T, axis=1)
+    np.testing.assert_array_equal(r[:, 0], exp)
+    # appended codes encode with the existing books: ADC error stays small
+    s2, r2 = idx.search(extra[:5], 1, nprobe=10)
+    exact = np.einsum("bd,bd->b", extra[:5], full[r2[:, 0]])
+    assert float(np.abs(s2[:, 0] - exact).mean()) < 0.1
+
+
+def test_frame_index_ivfpq_upload_uses_incremental_append():
+    from evr_tpu.index import FrameIndex
+
+    rng = np.random.default_rng(40)
+    idx = FrameIndex(
+        embed_dim=16, pad_multiple=64, search_impl="ivfpq",
+        ivf_clusters=6, ivf_nprobe=6,
+    )
+    for v in range(2):
+        idx.add_video(f"vid{v}", _normed(
+            rng.standard_normal((100, 16)).astype(np.float32)))
+    idx.build()
+    built = idx._ivf
+    small = _normed(rng.standard_normal((40, 16)).astype(np.float32))
+    idx.add_video("inc", small)
+    assert idx._ivf is built  # append path, codebooks untouched
+    hits = idx.search(small[:1], 1)
+    assert hits[0][0].video == "inc"
