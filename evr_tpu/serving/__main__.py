@@ -57,10 +57,25 @@ def main():
     )
     parser.add_argument(
         "--search-impl",
-        choices=["xla", "pallas"],
+        choices=["xla", "pallas", "ivf", "ivfpq"],
         default="xla",
-        help="retrieval kernel: xla GEMM+top_k or the fused Pallas tile "
-        "streamer (faster at multi-million-frame scale — PERF.md)",
+        help="retrieval path: xla GEMM+top_k (exact, default), the fused "
+        "Pallas tile streamer (exact, faster at multi-million-frame scale), "
+        "ivf (approximate list probing, 10M+-row tier), or ivfpq (probed + "
+        "PQ-compressed, 100M+-row tier) — PERF.md",
+    )
+    parser.add_argument(
+        "--ivf-nprobe",
+        type=int,
+        default=32,
+        help="lists probed per query under --search-impl ivf/ivfpq "
+        "(nprobe = n_clusters is exact brute force)",
+    )
+    parser.add_argument(
+        "--ivf-clusters",
+        type=int,
+        default=None,
+        help="inverted-list count under ivf/ivfpq (default ~sqrt(N))",
     )
     args = parser.parse_args()
 
@@ -94,6 +109,8 @@ def main():
         transcriber=transcriber,
         index_dtype=args.index_dtype,
         search_impl=args.search_impl,
+        ivf_nprobe=args.ivf_nprobe,
+        ivf_clusters=args.ivf_clusters,
         batch_window_ms=args.batch_window_ms,
     )
     loaded = ctx.boot()

@@ -34,6 +34,8 @@ class ServingContext:
         scene_threshold: float = 30.0,
         index_dtype: str = "float32",
         search_impl: str = "xla",
+        ivf_nprobe: int = 32,
+        ivf_clusters: int | None = None,
         batch_window_ms: float | None = None,
         preprocessor=None,
     ):
@@ -70,6 +72,8 @@ class ServingContext:
         # see FrameIndex; applied to every per-model index
         self.index_dtype = index_dtype
         self.search_impl = search_impl
+        self.ivf_nprobe = ivf_nprobe
+        self.ivf_clusters = ivf_clusters
         # coalesce concurrent semantic queries into one device dispatch
         # (serving/batcher.py); None disables
         self.batch_window_ms = batch_window_ms
@@ -108,6 +112,8 @@ class ServingContext:
                 mesh=self.mesh,
                 device_dtype=self.index_dtype,
                 search_impl=self.search_impl,
+                ivf_nprobe=self.ivf_nprobe,
+                ivf_clusters=self.ivf_clusters,
             )
         return self._indexes[model]
 

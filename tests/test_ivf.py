@@ -330,3 +330,25 @@ def test_frame_index_ivf_upload_uses_incremental_append():
     hits = idx.search(big[:1], 1)
     assert hits[0][0].video == "big"
     assert idx._ivf is not built  # rebuilt with fresh k-means
+
+
+def test_serving_context_plumbs_ivf_knobs():
+    """ServingContext(search_impl='ivf', ivf_nprobe=, ivf_clusters=) reaches
+    the per-model FrameIndex (CLI flags --search-impl/--ivf-nprobe/...)."""
+    import tempfile
+
+    from evr_tpu.serving.context import ServingContext
+
+    class StubEngine:
+        class cfg:
+            embed_dim = 16
+
+        active_model = "original"
+
+    ctx = ServingContext(
+        tempfile.mkdtemp(), engine=StubEngine(),
+        search_impl="ivf", ivf_nprobe=7, ivf_clusters=9,
+    )
+    idx = ctx.index_for("original")
+    assert idx.search_impl == "ivf"
+    assert idx.ivf_nprobe == 7 and idx.ivf_clusters == 9
