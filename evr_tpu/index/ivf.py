@@ -38,6 +38,28 @@ import jax
 import jax.numpy as jnp
 
 
+def fill_inverted_lists(
+    assign: np.ndarray,
+    lists: np.ndarray,
+    overflow: list,
+    start_row: int = 0,
+) -> None:
+    """Place rows into their assigned list's next free slot, spilling
+    beyond-capacity rows to the overflow pool — the single implementation
+    of the list-placement contract (corpus-order fill, -1 padding as a
+    prefix-free suffix) shared by IVF/IVF-PQ build AND append. Mutates
+    ``lists`` and ``overflow`` in place."""
+    fill = (lists >= 0).sum(axis=1)
+    capacity = lists.shape[1]
+    for i, c in enumerate(assign):
+        row = start_row + i
+        if fill[c] < capacity:
+            lists[c, fill[c]] = row
+            fill[c] += 1
+        else:
+            overflow.append(row)
+
+
 @functools.partial(jax.jit, static_argnames=("n_clusters", "iters"))
 def kmeans(key, x, n_clusters: int, iters: int = 10):
     """Spherical k-means on device. ``x`` [N, D] should be L2-normalised.
@@ -114,16 +136,10 @@ class IVFIndex:
 
         capacity = max(1, int(np.ceil(n / n_clusters * capacity_factor)))
         lists = np.full((n_clusters, capacity), -1, np.int32)
-        fill = np.zeros(n_clusters, np.int32)
-        overflow = []
+        overflow: list = []
         # rows are appended in corpus order; beyond-capacity rows spill to
         # the always-searched overflow pool, so nothing is ever dropped
-        for row, c in enumerate(assign):
-            if fill[c] < capacity:
-                lists[c, fill[c]] = row
-                fill[c] += 1
-            else:
-                overflow.append(row)
+        fill_inverted_lists(assign, lists, overflow)
 
         self.emb = x.astype(jnp.bfloat16) if dtype == "bfloat16" else x
         self.centroids = cents
@@ -151,22 +167,13 @@ class IVFIndex:
                 f"append rows must be (M, {self.emb.shape[1]}), got {emb_new.shape}"
             )
         start = self.n_rows
-        assign = np.asarray(
-            jnp.argmax(jnp.asarray(emb_new) @ self.centroids.T, axis=1)
-        )
+        x = jnp.asarray(emb_new)  # ONE host->device upload, reused below
+        assign = np.asarray(jnp.argmax(x @ self.centroids.T, axis=1))
         lists = np.array(self.list_rows)  # writable host copy
-        fill = (lists >= 0).sum(axis=1)
-        capacity = lists.shape[1]
         overflow = list(np.asarray(self.overflow))
-        for i, c in enumerate(assign):
-            row = start + i
-            if fill[c] < capacity:
-                lists[c, fill[c]] = row
-                fill[c] += 1
-            else:
-                overflow.append(row)
+        fill_inverted_lists(assign, lists, overflow, start_row=start)
         self.emb = jnp.concatenate(
-            [self.emb, jnp.asarray(emb_new).astype(self.emb.dtype)], axis=0
+            [self.emb, x.astype(self.emb.dtype)], axis=0
         )
         self.list_rows = jnp.asarray(lists)
         self.overflow = jnp.asarray(np.asarray(overflow, np.int32))

@@ -111,16 +111,12 @@ class IVFPQIndex:
 
         # inverted lists: identical semantics to ivf.IVFIndex.build —
         # corpus-order fill, beyond-capacity rows spill to the overflow pool
+        from evr_tpu.index.ivf import fill_inverted_lists
+
         capacity = max(1, int(np.ceil(n / n_clusters * capacity_factor)))
         lists = np.full((n_clusters, capacity), -1, np.int32)
-        fill = np.zeros(n_clusters, np.int32)
-        overflow = []
-        for row, c in enumerate(assign_np):
-            if fill[c] < capacity:
-                lists[c, fill[c]] = row
-                fill[c] += 1
-            else:
-                overflow.append(row)
+        overflow: list = []
+        fill_inverted_lists(assign_np, lists, overflow)
 
         self.centroids = cents
         self.list_rows = jnp.asarray(lists)
@@ -165,18 +161,11 @@ class IVFPQIndex:
         )
         codes_new = jnp.argmin(c_sq[:, None, :] - 2.0 * dots, axis=2)
 
+        from evr_tpu.index.ivf import fill_inverted_lists
+
         lists = np.array(self.list_rows)  # writable host copy
-        fill = (lists >= 0).sum(axis=1)
-        capacity = lists.shape[1]
         overflow = list(np.asarray(self.overflow))
-        assign_np = np.asarray(assign)
-        for i, c in enumerate(assign_np):
-            row = start + i
-            if fill[c] < capacity:
-                lists[c, fill[c]] = row
-                fill[c] += 1
-            else:
-                overflow.append(row)
+        fill_inverted_lists(np.asarray(assign), lists, overflow, start_row=start)
 
         self.codes = jnp.concatenate(
             [self.codes, codes_new.T.astype(jnp.uint8)], axis=0

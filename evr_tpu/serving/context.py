@@ -74,6 +74,15 @@ class ServingContext:
         self.search_impl = search_impl
         self.ivf_nprobe = ivf_nprobe
         self.ivf_clusters = ivf_clusters
+        # Fail fast on invalid tier combos (ivf/ivfpq × int8 or a mesh):
+        # per-model indexes build lazily, so with an empty registry an
+        # invalid combo would boot "cleanly" and then 500 every request.
+        FrameIndex(
+            embed_dim=1,
+            mesh=mesh,
+            device_dtype=index_dtype,
+            search_impl=search_impl,
+        )
         # coalesce concurrent semantic queries into one device dispatch
         # (serving/batcher.py); None disables
         self.batch_window_ms = batch_window_ms
@@ -286,7 +295,6 @@ class ServingContext:
         self, source: str, threshold: float, top_k: int, video_name: str | None = None
     ) -> list[dict]:
         from evr_tpu.index.engine import stage_array_fast
-        from evr_tpu.query.events import format_event_for_frontend
 
         img = self.load_image_source(source)
         staged = stage_array_fast(

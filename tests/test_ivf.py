@@ -352,3 +352,23 @@ def test_serving_context_plumbs_ivf_knobs():
     idx = ctx.index_for("original")
     assert idx.search_impl == "ivf"
     assert idx.ivf_nprobe == 7 and idx.ivf_clusters == 9
+
+
+def test_serving_context_rejects_invalid_tier_combos_at_boot():
+    """ivf + int8 / ivf + mesh must fail at construction, not 500 on the
+    first request (per-model indexes build lazily)."""
+    import tempfile
+
+    from evr_tpu.serving.context import ServingContext
+
+    class StubEngine:
+        class cfg:
+            embed_dim = 16
+
+        active_model = "original"
+
+    with pytest.raises(ValueError, match="float32/bfloat16"):
+        ServingContext(
+            tempfile.mkdtemp(), engine=StubEngine(),
+            search_impl="ivf", index_dtype="int8",
+        )
