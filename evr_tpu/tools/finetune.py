@@ -75,6 +75,16 @@ def main(argv=None):
     )
     parser.add_argument("--lora-alpha", type=float, default=16.0)
     parser.add_argument(
+        "--optimizer", choices=["adamw", "muon"], default="adamw",
+        help="muon: Newton-Schulz-orthogonalized momentum on hidden 2-D "
+        "weights (pure MXU GEMM work), AdamW elsewhere (training/muon.py)",
+    )
+    parser.add_argument(
+        "--muon-lr-scale", type=float, default=10.0,
+        help="Muon lr = lr * group-scale * this (Muon's stable lr sits "
+        "~an order of magnitude above AdamW's)",
+    )
+    parser.add_argument(
         "--fsdp", action="store_true",
         help="shard params + optimizer state over the data axis (ZeRO-3; "
         "bounded per-chip HBM at ViT-L/H scale)",
@@ -212,6 +222,8 @@ def main(argv=None):
         warmup_steps=args.warmup_steps,
         adam_mu_dtype=args.adam_mu_dtype,
         contrastive_loss=args.loss,
+        optimizer=args.optimizer,
+        muon_lr_scale=args.muon_lr_scale,
         save_every_steps=args.save_every_steps,
         lora_rank=args.lora_rank,
         lora_alpha=args.lora_alpha,

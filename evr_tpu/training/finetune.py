@@ -73,6 +73,18 @@ class TrainConfig:
     # accumulate gradients over N micro-batches before applying
     # (`training_CLIP_multimodal.py:404-487` grad_accumulation_steps=4)
     grad_accumulation_steps: int = 1
+    # Optimizer family: "adamw" (reference parity) or "muon" — hidden 2-D
+    # weight matrices take Muon's Newton-Schulz-orthogonalized momentum
+    # (training/muon.py: ~15 bf16 GEMMs per matrix per step, pure MXU
+    # work) while embeddings/projections/gains/biases stay on AdamW, per
+    # the method. Muon's stable lr is ~an order of magnitude above
+    # AdamW's, hence the separate scale (applied on top of cfg.lr and the
+    # per-group scales; same cosine/warmup schedule). No weight decay on
+    # Muon leaves (orthogonalized updates are scale-free).
+    optimizer: str = "adamw"
+    muon_lr_scale: float = 10.0
+    muon_momentum: float = 0.95
+    muon_ns_steps: int = 5
     # contrastive objective: 'infonce' (reference parity) or 'siglip'
     # (pairwise sigmoid, arxiv 2303.15343 — adds a learnable logit_bias to
     # params['clip'], no global softmax; Trainer inits the bias to -10)
@@ -187,13 +199,54 @@ def make_optimizer(
             mu_dtype=mu_dtype,
         )
 
-    transforms = {
-        "visual": adamw(1.0),
-        "text": adamw(cfg.text_lr_scale),
-        "classifier": adamw(cfg.classifier_lr_scale),
-        "other": adamw(1.0),
-        "frozen": optax.set_to_zero(),
+    if cfg.optimizer not in ("adamw", "muon"):
+        raise ValueError(f"unknown optimizer {cfg.optimizer!r}")
+    group_scales = {
+        "visual": 1.0,
+        "text": cfg.text_lr_scale,
+        "classifier": cfg.classifier_lr_scale,
+        "other": 1.0,
     }
+    if cfg.optimizer == "muon":
+        from evr_tpu.training.muon import muon, muon_param_labels
+
+        def muon_group(lr_scale: float):
+            schedule = _cosine_epoch_schedule(
+                cfg.lr * lr_scale * cfg.muon_lr_scale, cfg, steps_per_epoch
+            )
+            if cfg.warmup_steps > 0:
+                schedule = optax.join_schedules(
+                    [
+                        optax.linear_schedule(
+                            0.0,
+                            cfg.lr * lr_scale * cfg.muon_lr_scale,
+                            cfg.warmup_steps,
+                        ),
+                        schedule,
+                    ],
+                    [cfg.warmup_steps],
+                )
+            return muon(
+                schedule,
+                momentum=cfg.muon_momentum,
+                ns_steps=cfg.muon_ns_steps,
+            )
+
+        # flat combined labels: "<group>:<muon|adamw>" (nested
+        # multi_transforms would mask already-masked trees)
+        kinds = muon_param_labels(params)
+        labels = jax.tree.map(
+            lambda g, k: g if g == "frozen" else f"{g}:{k}", labels, kinds
+        )
+        transforms = {"frozen": optax.set_to_zero()}
+        for g, sc in group_scales.items():
+            transforms[f"{g}:muon"] = muon_group(sc)
+            transforms[f"{g}:adamw"] = adamw(sc)
+    else:
+        transforms = {
+            g: adamw(sc) for g, sc in group_scales.items()
+        }
+        transforms["frozen"] = optax.set_to_zero()
     opt = optax.multi_transform(transforms, labels)
     if cfg.grad_clip > 0:
         opt = optax.chain(optax.clip_by_global_norm(cfg.grad_clip), opt)
