@@ -160,3 +160,49 @@ def test_bench_kernels_ivfpq_smoke(capsys):
     bench_kernels.bench_ivfpq(reps=1, ns=(2000,), d=32)
     out = capsys.readouterr().out
     assert "ivfpq" in out and "recall@10" in out
+
+
+def test_index_tool_build_and_query_roundtrip(tmp_path, capsys):
+    """index_tool CLI: build each tier from a .npy, query the persisted
+    artifact, top hit = the query's own row."""
+    import json
+    import sys
+
+    import numpy as np
+
+    from evr_tpu.tools import index_tool
+
+    rng = np.random.default_rng(0)
+    emb = rng.standard_normal((300, 32)).astype(np.float32)
+    emb /= np.linalg.norm(emb, axis=1, keepdims=True)
+    emb_path = tmp_path / "emb.npy"
+    np.save(emb_path, emb)
+    q_path = tmp_path / "q.npy"
+    np.save(q_path, emb[:3])
+
+    for typ, extra in [
+        ("ivf", ["--clusters", "8"]),
+        ("pq", ["--subspaces", "8", "--centroids", "32"]),
+        ("ivfpq", ["--clusters", "8", "--subspaces", "8", "--centroids", "32"]),
+    ]:
+        out = tmp_path / f"{typ}.npz"
+        argv = sys.argv
+        try:
+            sys.argv = ["index_tool", "build", "--embeddings", str(emb_path),
+                        "--type", typ, "--out", str(out), "--iters", "4"] + extra
+            index_tool.main()
+            built = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+            assert built["rows"] == 300 and out.exists()
+
+            sys.argv = ["index_tool", "query", "--index", str(out),
+                        "--type", typ, "--query-embeddings", str(q_path),
+                        "--top-k", "3", "--nprobe", "8", "--rerank", "50"]
+            index_tool.main()
+            lines = [json.loads(l) for l in
+                     capsys.readouterr().out.strip().splitlines()]
+            hits = [l for l in lines if "hits" in l]
+            assert len(hits) == 3
+            for qi, h in enumerate(hits):
+                assert h["hits"][0]["row"] == qi, (typ, h)
+        finally:
+            sys.argv = argv
