@@ -41,10 +41,13 @@ INDEX_HTML = """<!doctype html>
     <option value="text_object_keyword">text_object_keyword</option>
     <option value="speech_only">speech_only</option>
     <option value="text_speech">text_speech</option>
+    <option value="video">video (rank whole videos)</option>
   </select>
   <input type="number" id="thr" value="0.2" step="0.05" min="0" max="1" title="adaptive threshold">
   <input type="number" id="topk" value="12" min="1" max="50" title="top k">
   <button>Search</button>
+  <input type="text" id="negq" placeholder="but not… (negative query, text_clip only)" style="min-width:12rem">
+  <input type="number" id="mmr" step="0.1" min="0" max="1" placeholder="MMR λ" title="MMR diversification lambda (blank = off; text_clip/text_adaptive)" style="width:5.5rem">
 </form>
 <div id="status">ready</div>
 <div class="grid" id="results"></div>
@@ -62,6 +65,11 @@ document.getElementById('f').addEventListener('submit', async (e) => {
     adaptive_threshold: parseFloat(document.getElementById('thr').value),
     top_k: parseInt(document.getElementById('topk').value),
   };
+  const negq = document.getElementById('negq').value.trim();
+  if (negq && body.search_method === 'text_clip') body.negative_query = negq;
+  const mmr = document.getElementById('mmr').value;
+  if (mmr !== '' && ['text_clip','text_adaptive'].includes(body.search_method))
+    body.mmr_lambda = parseFloat(mmr);
   const t0 = performance.now();
   try {
     const resp = await fetch('/api/search', {
@@ -82,6 +90,7 @@ document.getElementById('f').addEventListener('submit', async (e) => {
           <span>clip ${ev.clip_similarity.toFixed(3)}</span>
           <span>text ${ev.text_confidence.toFixed(2)}</span>
           <span>obj ${ev.object_confidence.toFixed(2)}</span>
+          ${ev.video_score !== undefined ? `<span>video ${ev.video_score.toFixed(3)} (${ev.matched_frames} frames)</span>` : ''}
         </div>`;
       grid.appendChild(card);
     }
