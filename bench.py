@@ -405,6 +405,17 @@ def main() -> None:
     else:
         extras = {}
 
+    if backend != "tpu":
+        # Honest context for fallback artifacts: when the relay is wedged
+        # (CLAUDE.md) this run measures a 1-core CPU, not the chip. Point
+        # the reader at the last on-chip record so the artifact stays
+        # interpretable; the number itself is still this run's truth.
+        extras["onchip_note"] = (
+            "TPU backend unavailable this run (backend_probe="
+            f"{backend_probe}); last recorded on-chip headline: "
+            "17347 f/s sustained bf16 (BENCH_r01/PERF.md, 2026-08-18)"
+        )
+
     print(
         json.dumps(
             {
