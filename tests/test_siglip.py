@@ -1,9 +1,7 @@
-"""SigLIP pairwise sigmoid contrastive loss (arxiv 2303.15343).
-
-TPU-idiomatic alternative to InfoNCE: no softmax over the global batch, so
-the distributed version needs only a feature all-gather and is exactly equal
-to single-device math at the same global batch — both pinned here.
-"""
+"""SigLIP towers vs HuggingFace ``SiglipModel`` at random init (fp32 CPU):
+the second model family's parity gate, mirroring the CLIP HF-parity
+strategy. Also pins the architectural deltas (no CLS, MAP head, last-token
+pooling, logit bias)."""
 
 import numpy as np
 import pytest
@@ -11,97 +9,145 @@ import pytest
 import jax
 import jax.numpy as jnp
 
-from evr_tpu.parallel.contrastive import global_siglip_loss, siglip_loss_single
+from evr_tpu.models.siglip import (
+    SiglipConfig,
+    SiglipTextConfig,
+    SiglipVisionConfig,
+    encode_image,
+    encode_text,
+    from_hf_siglip_state_dict,
+    init_siglip_params,
+    siglip_config_from_hf,
+    siglip_forward,
+)
+
+torch = pytest.importorskip("torch")
+transformers = pytest.importorskip("transformers")
 
 
-def _unit_rows(rng, n, d):
-    x = rng.normal(size=(n, d)).astype(np.float32)
-    return x / np.linalg.norm(x, axis=-1, keepdims=True)
+def _tiny_hf_config():
+    from transformers import SiglipConfig as HFConfig
+
+    return HFConfig(
+        vision_config={
+            "hidden_size": 64, "intermediate_size": 112,
+            "num_hidden_layers": 2, "num_attention_heads": 4,
+            "image_size": 32, "patch_size": 16,
+        },
+        text_config={
+            "hidden_size": 64, "intermediate_size": 112,
+            "num_hidden_layers": 2, "num_attention_heads": 4,
+            "max_position_embeddings": 12, "vocab_size": 120,
+        },
+    )
 
 
-def test_siglip_prefers_aligned_pairs():
+@pytest.fixture(scope="module")
+def tiny_pair():
+    from transformers import SiglipModel
+
+    torch.manual_seed(0)
+    hf = SiglipModel(_tiny_hf_config()).eval()
+    cfg = siglip_config_from_hf(hf.config)
+    params = from_hf_siglip_state_dict(hf.state_dict(), cfg)
+    params = jax.tree.map(jnp.asarray, params)
+    return hf, cfg, params
+
+
+def test_config_mapping(tiny_pair):
+    hf, cfg, _ = tiny_pair
+    assert cfg.vision.width == 64 and cfg.vision.mlp_dim == 112
+    assert cfg.text.context_length == 12 and cfg.text.vocab_size == 120
+    assert cfg.embed_dim == 64  # no projection: features at tower width
+
+
+def test_image_tower_parity(tiny_pair):
+    hf, cfg, params = tiny_pair
     rng = np.random.default_rng(0)
-    img = _unit_rows(rng, 16, 32)
-    scale = jnp.asarray(np.log(10.0), jnp.float32)
-    bias = jnp.float32(-10.0)
-    aligned = float(siglip_loss_single(jnp.asarray(img), jnp.asarray(img), scale, bias))
-    shuffled = float(
-        siglip_loss_single(
-            jnp.asarray(img), jnp.asarray(np.roll(img, 3, axis=0)), scale, bias
-        )
-    )
-    assert aligned < shuffled
+    pixels = rng.standard_normal((3, 32, 32, 3)).astype(np.float32)
+    ours = np.asarray(encode_image(params, cfg, jnp.asarray(pixels)))
+    with torch.no_grad():
+        theirs = hf.get_image_features(
+            pixel_values=torch.tensor(pixels.transpose(0, 3, 1, 2))
+        ).numpy()
+    np.testing.assert_allclose(ours, theirs, rtol=2e-4, atol=2e-5)
 
 
-def test_siglip_bias_and_scale_gradients_flow():
+def test_text_tower_parity(tiny_pair):
+    hf, cfg, params = tiny_pair
     rng = np.random.default_rng(1)
-    img = jnp.asarray(_unit_rows(rng, 8, 16))
-    txt = jnp.asarray(_unit_rows(rng, 8, 16))
-
-    def loss(scale, bias):
-        return siglip_loss_single(img, txt, scale, bias)
-
-    gs, gb = jax.grad(loss, argnums=(0, 1))(
-        jnp.asarray(np.log(10.0), jnp.float32), jnp.float32(-10.0)
-    )
-    assert np.isfinite(float(gs)) and np.isfinite(float(gb))
-    assert float(gb) != 0.0
+    tokens = rng.integers(0, 120, size=(4, 12)).astype(np.int32)
+    ours = np.asarray(encode_text(params, cfg, jnp.asarray(tokens)))
+    with torch.no_grad():
+        theirs = hf.get_text_features(
+            input_ids=torch.tensor(tokens.astype(np.int64))
+        ).numpy()
+    np.testing.assert_allclose(ours, theirs, rtol=2e-4, atol=2e-5)
 
 
-def test_global_siglip_equals_single_device():
-    from jax.sharding import Mesh, PartitionSpec as P
-    from jax.experimental.shard_map import shard_map
-
-    devices = jax.devices()
-    assert len(devices) == 8
-    mesh = Mesh(np.asarray(devices), ("data",))
+def test_joint_forward_logits_parity(tiny_pair):
+    hf, cfg, params = tiny_pair
     rng = np.random.default_rng(2)
-    B, D = 32, 16  # 4 per device
-    img = _unit_rows(rng, B, D)
-    txt = _unit_rows(rng, B, D)
-    scale = jnp.asarray(np.log(10.0), jnp.float32)
-    bias = jnp.float32(-10.0)
-
-    single = float(siglip_loss_single(jnp.asarray(img), jnp.asarray(txt), scale, bias))
-
-    fn = shard_map(
-        lambda i, t, s, b: global_siglip_loss(i, t, s, b, "data"),
-        mesh=mesh,
-        in_specs=(P("data", None), P("data", None), P(), P()),
-        out_specs=P(),
-        check_rep=False,
+    pixels = rng.standard_normal((2, 32, 32, 3)).astype(np.float32)
+    tokens = rng.integers(0, 120, size=(2, 12)).astype(np.int32)
+    out = siglip_forward(params, cfg, jnp.asarray(pixels), jnp.asarray(tokens))
+    with torch.no_grad():
+        hf_out = hf(
+            pixel_values=torch.tensor(pixels.transpose(0, 3, 1, 2)),
+            input_ids=torch.tensor(tokens.astype(np.int64)),
+        )
+    np.testing.assert_allclose(
+        np.asarray(out["logits_per_image"]),
+        hf_out.logits_per_image.numpy(),
+        rtol=2e-4, atol=2e-4,
     )
-    dist = float(fn(jnp.asarray(img), jnp.asarray(txt), scale, bias))
-    assert dist == pytest.approx(single, rel=1e-6)
-
-
-def test_train_step_siglip_updates_logit_bias():
-    from evr_tpu.models import clip as jclip
-    from evr_tpu.training import TrainConfig, Trainer
-
-    cfg = jclip.CLIPConfig(
-        embed_dim=32,
-        vision=jclip.VisionConfig(image_size=32, patch_size=8, width=64, layers=2, heads=4),
-        text=jclip.TextConfig(context_length=16, vocab_size=512, width=64, layers=2, heads=4),
+    # unit-norm features
+    np.testing.assert_allclose(
+        np.linalg.norm(np.asarray(out["image_features"]), axis=-1), 1.0,
+        rtol=1e-5,
     )
-    clip_params = jclip.init_clip_params(jax.random.PRNGKey(0), cfg)
-    tc = TrainConfig(
-        freeze_layers=0, batch_size=4, epochs=1, compute_dtype="float32",
-        contrastive_loss="siglip", save_dir="/tmp/siglip_test_ckpt",
-    )
-    trainer = Trainer(cfg, clip_params, tc)
-    assert "logit_bias" in trainer.state.params["clip"]
-    assert float(trainer.state.params["clip"]["logit_bias"]) == -10.0
 
+
+def test_random_init_runs_and_shapes():
+    cfg = SiglipConfig(
+        vision=SiglipVisionConfig(image_size=32, patch_size=16, width=32,
+                                  layers=1, heads=2, mlp_dim=64),
+        text=SiglipTextConfig(context_length=8, vocab_size=50, width=32,
+                              layers=1, heads=2, mlp_dim=64),
+    )
+    params = init_siglip_params(jax.random.PRNGKey(0), cfg)
+    img = encode_image(params, cfg, jnp.zeros((2, 32, 32, 3)))
+    txt = encode_text(params, cfg, jnp.zeros((2, 8), jnp.int32))
+    assert img.shape == (2, 32) and txt.shape == (2, 32)
+    assert float(params["logit_bias"]) == -10.0
+
+
+def test_production_geometry_parity():
+    """Full siglip-base-patch16-224 geometry (768w/12L both towers) — the
+    shape actually served; guards head-count math, MAP-head at scale,
+    64-ctx last-token pooling."""
+    from transformers import SiglipConfig as HFConfig, SiglipModel
+
+    torch.manual_seed(1)
+    hf = SiglipModel(HFConfig()).eval()
+    cfg = siglip_config_from_hf(hf.config)
+    params = jax.tree.map(
+        jnp.asarray, from_hf_siglip_state_dict(hf.state_dict(), cfg)
+    )
     rng = np.random.default_rng(3)
-    tokens = np.zeros((4, 16), np.int32)
-    tokens[:, 0] = 1
-    tokens[:, 1] = 511
-    batch = {
-        "images": jnp.asarray((rng.random((4, 32, 32, 3)) * 255).astype(np.uint8)),
-        "tokens": jnp.asarray(tokens),
-        "labels": jnp.asarray(rng.integers(0, 3, size=4).astype(np.int32)),
-    }
-    state, metrics = trainer.train_step(trainer.state, batch, jax.random.PRNGKey(0))
-    assert np.isfinite(float(metrics["total_loss"]))
-    assert float(state.params["clip"]["logit_bias"]) != -10.0  # bias is learnable
+    pixels = rng.standard_normal((2, 224, 224, 3)).astype(np.float32)
+    tokens = rng.integers(0, 32000, size=(2, 64)).astype(np.int32)
+    ours_i = np.asarray(encode_image(params, cfg, jnp.asarray(pixels)))
+    ours_t = np.asarray(encode_text(params, cfg, jnp.asarray(tokens)))
+    with torch.no_grad():
+        hf_i = hf.get_image_features(
+            pixel_values=torch.tensor(pixels.transpose(0, 3, 1, 2))
+        ).numpy()
+        hf_t = hf.get_text_features(
+            input_ids=torch.tensor(tokens.astype(np.int64))
+        ).numpy()
+    for ours, theirs in [(ours_i, hf_i), (ours_t, hf_t)]:
+        cos = (ours * theirs).sum(-1) / (
+            np.linalg.norm(ours, axis=-1) * np.linalg.norm(theirs, axis=-1)
+        )
+        assert cos.min() > 1 - 1e-6, cos
