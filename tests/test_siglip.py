@@ -151,3 +151,89 @@ def test_production_geometry_parity():
             np.linalg.norm(ours, axis=-1) * np.linalg.norm(theirs, axis=-1)
         )
         assert cos.min() > 1 - 1e-6, cos
+
+
+# -- SiglipEngine serving adapter ------------------------------------------
+
+
+def _tiny_engine(tokenize=True):
+    from evr_tpu.index.siglip_engine import SiglipEngine
+
+    cfg = SiglipConfig(
+        vision=SiglipVisionConfig(image_size=32, patch_size=16, width=32,
+                                  layers=1, heads=2, mlp_dim=64),
+        text=SiglipTextConfig(context_length=8, vocab_size=50, width=32,
+                              layers=1, heads=2, mlp_dim=64),
+    )
+
+    def stub_tokenize(texts):
+        out = np.zeros((len(texts), 8), np.int32)
+        for i, t in enumerate(texts):
+            ids = [(hash(w) % 48) + 1 for w in t.split()][:8]
+            out[i, : len(ids)] = ids
+        return out
+
+    return SiglipEngine(
+        cfg=cfg, tokenize_fn=stub_tokenize if tokenize else None,
+        batch_size=4,
+    )
+
+
+def test_siglip_engine_encodes_images_and_text():
+    eng = _tiny_engine()
+    rng = np.random.default_rng(0)
+    staged = (rng.random((6, 32, 32, 3)) * 255).astype(np.uint8)  # odd batch
+    feats = eng.encode_staged_images(staged)
+    assert feats.shape == (6, 32)
+    np.testing.assert_allclose(np.linalg.norm(feats, axis=1), 1.0, rtol=1e-5)
+    t = eng.get_text_features("a dog running")
+    assert t.shape == (32,)
+    # cache hit returns the identical array
+    assert eng.get_text_features("a dog running") is t
+
+
+def test_siglip_engine_text_without_tokenizer_raises():
+    eng = _tiny_engine(tokenize=False)
+    with pytest.raises(RuntimeError, match="tokenize_fn"):
+        eng.get_text_features("anything")
+    # image path still works (image-only serving)
+    staged = np.zeros((2, 32, 32, 3), np.uint8)
+    assert eng.encode_staged_images(staged).shape == (2, 32)
+
+
+def test_siglip_engine_backs_the_serving_stack():
+    """End-to-end: SiglipEngine behind ServingContext → /api/search finds
+    the frame planted along the encoded query direction (two-step strategy
+    dispatch; the fused searcher is CLIP-specific and must be bypassed)."""
+    import json as _json
+    import pathlib
+    import tempfile
+
+    from werkzeug.test import Client
+
+    from evr_tpu.config import DataRootConfig
+    from evr_tpu.serving.app import create_app
+    from evr_tpu.serving.context import ServingContext
+
+    eng = _tiny_engine()
+    root = pathlib.Path(tempfile.mkdtemp())
+    ctx = ServingContext(DataRootConfig(root / "data"), engine=eng)
+    ctx.boot()
+    qv = eng.get_text_features("a dog running")
+    rng = np.random.default_rng(1)
+    emb = rng.standard_normal((20, 32)).astype(np.float32)
+    emb /= np.linalg.norm(emb, axis=1, keepdims=True)
+    emb[7] = qv
+    ctx.index.add_video("v0", emb)
+    recs = [{"frameidx": i, "frameid": f"{i}.jpg", "video": "videos/v0.mp4",
+             "filepath": f"frames/{i}.jpg", "tags": [], "metadata": {},
+             "text_detections": {"detections": []},
+             "object_detections": {"detections": []}} for i in range(20)]
+    ctx.metadata.add_video("v0", recs)
+    c = Client(create_app(ctx))
+    r = c.post("/api/search", json={
+        "query": "a dog running", "search_method": "text_clip", "top_k": 3,
+    })
+    assert r.status_code == 200
+    events = _json.loads(r.get_data(as_text=True))["events"]
+    assert events and events[0]["id"] == "event-7"
