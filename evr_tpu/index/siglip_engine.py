@@ -55,6 +55,7 @@ class SiglipEngine:
         self.batch_size = batch_size
         self._dtype = jnp.bfloat16 if compute_dtype == "bfloat16" else jnp.float32
         self.active_model = "original"
+        self.model_name = "siglip"  # /api/models reads this directly
         self._text_cache: dict[tuple, np.ndarray] = {}
 
         cfg_ = self.cfg
@@ -142,11 +143,13 @@ class SiglipEngine:
             siglip_config_from_hf,
         )
 
-        if isinstance(model_or_path, (str, bytes)):
+        import os
+
+        if isinstance(model_or_path, (str, bytes, os.PathLike)):
             from transformers import SiglipModel
 
             model_or_path = SiglipModel.from_pretrained(
-                model_or_path, local_files_only=True
+                str(model_or_path), local_files_only=True
             )
         cfg = siglip_config_from_hf(model_or_path.config)
         params = jax.tree.map(

@@ -98,8 +98,11 @@ def _init_block(rng, width: int, mlp_dim: int, n_layers: int) -> Params:
 
 def init_siglip_params(rng: jax.Array, cfg: SiglipConfig) -> Params:
     v, t = cfg.vision, cfg.text
-    keys = jax.random.split(rng, 8 + v.layers + t.layers)
+    keys = jax.random.split(rng, 12 + v.layers + t.layers)
     kv, kt = keys[0], keys[1]
+    # distinct keys per table — sharing one across towers would make the
+    # text positional table a bit-identical prefix of the visual one
+    k_vpos, k_tpos, k_thead, _ = keys[8 + v.layers + t.layers :]
 
     visual = {
         "patch_embed": {
@@ -110,7 +113,7 @@ def init_siglip_params(rng: jax.Array, cfg: SiglipConfig) -> Params:
             "bias": jnp.zeros((v.width,), jnp.float32),
         },
         "pos_embedding": jax.random.normal(
-            keys[2], (v.grid * v.grid, v.width), jnp.float32
+            k_vpos, (v.grid * v.grid, v.width), jnp.float32
         )
         * 0.02,
         "blocks": [
@@ -138,7 +141,7 @@ def init_siglip_params(rng: jax.Array, cfg: SiglipConfig) -> Params:
         )
         * 0.02,
         "pos_embedding": jax.random.normal(
-            keys[2], (t.context_length, t.width), jnp.float32
+            k_tpos, (t.context_length, t.width), jnp.float32
         )
         * 0.02,
         "blocks": [
@@ -146,7 +149,7 @@ def init_siglip_params(rng: jax.Array, cfg: SiglipConfig) -> Params:
             for i in range(t.layers)
         ],
         "ln_final": init_layer_norm(t.width),
-        "head": init_linear(keys[3], t.width, t.width),
+        "head": init_linear(k_thead, t.width, t.width),
     }
     return {
         "visual": visual,

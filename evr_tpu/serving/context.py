@@ -301,6 +301,16 @@ class ServingContext:
             np.ascontiguousarray(np.asarray(img)), self.engine.cfg.vision.image_size
         )
 
+        if not hasattr(self.engine, "models"):
+            # non-CLIP engines (e.g. SiglipEngine): the fused ImageSearcher
+            # bakes CLIP's mean/std + encode_image, so take the two-step
+            # path through the engine's own preprocessing instead
+            v = np.asarray(
+                self.engine.encode_staged_images(staged[None], normalise=True)
+            )[0]
+            scores, rows = self.index.search_raw(v[None], top_k * 3, video_name)
+            return self._events_from_rows(scores[0], rows[0], threshold, top_k)
+
         # fused one-dispatch path: normalize → encode_image → GEMM → top-k
         from evr_tpu.index.fused_image_search import ImageSearcher
 

@@ -180,16 +180,19 @@ def make_optimizer(
 
     mu_dtype = jnp.bfloat16 if cfg.adam_mu_dtype == "bfloat16" else None
 
-    def adamw(lr_scale: float):
-        schedule = _cosine_epoch_schedule(cfg.lr * lr_scale, cfg, steps_per_epoch)
+    def _schedule(peak_lr: float):
+        """Cosine anneal with optional linear warmup — the ONE schedule
+        both optimizer families use (a warmup fix must hit both)."""
+        schedule = _cosine_epoch_schedule(peak_lr, cfg, steps_per_epoch)
         if cfg.warmup_steps > 0:
             schedule = optax.join_schedules(
-                [
-                    optax.linear_schedule(0.0, cfg.lr * lr_scale, cfg.warmup_steps),
-                    schedule,
-                ],
+                [optax.linear_schedule(0.0, peak_lr, cfg.warmup_steps), schedule],
                 [cfg.warmup_steps],
             )
+        return schedule
+
+    def adamw(lr_scale: float):
+        schedule = _schedule(cfg.lr * lr_scale)
         return optax.adamw(
             learning_rate=schedule,
             b1=cfg.betas[0],
@@ -211,23 +214,8 @@ def make_optimizer(
         from evr_tpu.training.muon import muon, muon_param_labels
 
         def muon_group(lr_scale: float):
-            schedule = _cosine_epoch_schedule(
-                cfg.lr * lr_scale * cfg.muon_lr_scale, cfg, steps_per_epoch
-            )
-            if cfg.warmup_steps > 0:
-                schedule = optax.join_schedules(
-                    [
-                        optax.linear_schedule(
-                            0.0,
-                            cfg.lr * lr_scale * cfg.muon_lr_scale,
-                            cfg.warmup_steps,
-                        ),
-                        schedule,
-                    ],
-                    [cfg.warmup_steps],
-                )
             return muon(
-                schedule,
+                _schedule(cfg.lr * lr_scale * cfg.muon_lr_scale),
                 momentum=cfg.muon_momentum,
                 ns_steps=cfg.muon_ns_steps,
             )

@@ -116,19 +116,17 @@ def _muon_direction(
     return optax.GradientTransformation(init, update)
 
 
-_ADAMW_NAME_MARKERS = (
-    "embedding",     # token/pos/class embeddings live in embedding space
-    "pos_embed",
-    "projection",    # maps into the shared contrastive space (the "head")
-    "logit_scale",
-    "logit_bias",
-)
-
-
 def muon_param_labels(params: Any) -> Any:
     """Per-leaf routing pytree for ``optax.multi_transform``: "muon" for
-    hidden 2-D weight matrices, "adamw" for everything else (embeddings,
-    positional tables, output projections, gains/biases, non-2-D)."""
+    hidden 2-D weight matrices, "adamw" for everything else.
+
+    "Hidden" is positional, not name-based: Muon applies only to 2-D
+    leaves living inside a transformer block stack (``blocks`` in the
+    path). Everything outside the blocks — token/positional/class
+    embeddings, the contrastive-space projections (CLIP names the visual
+    one just ``proj``, so a name marker would miss it), classifier heads,
+    logit scale/bias — and every non-2-D leaf stays on AdamW, per the
+    method's prescription."""
 
     def label(path, leaf) -> str:
         names = "/".join(
@@ -136,7 +134,9 @@ def muon_param_labels(params: Any) -> Any:
         ).lower()
         if getattr(leaf, "ndim", 0) != 2:
             return "adamw"
-        if any(m in names for m in _ADAMW_NAME_MARKERS):
+        if "blocks" not in names:
+            return "adamw"
+        if "embedding" in names:  # belt: embeddings nested oddly
             return "adamw"
         return "muon"
 

@@ -76,10 +76,12 @@ def test_muon_param_labels_routing():
     muon_keys = [k for k, v in flat.items() if v == "muon"]
     assert any("mlp" in k for k in muon_keys)
     assert any("attn" in k or "qkv" in k or "out" in k for k in muon_keys)
-    # embeddings / projections / 1-D leaves -> adamw
+    # everything OUTSIDE the block stacks -> adamw, including CLIP's
+    # visual projection (named just 'proj') and the text projection
     for k, v in flat.items():
-        if "embedding" in k or "projection" in k or "logit_scale" in k:
+        if "blocks" not in k:
             assert v == "adamw", k
+    assert flat.get("visual/proj", "adamw") == "adamw"
     assert all(v in ("muon", "adamw") for v in flat.values())
 
 
@@ -167,10 +169,7 @@ def test_muon_mesh_step_matches_single_device():
         state, metrics = step(state, batch, jax.random.PRNGKey(0))
         results.append((
             float(metrics["contrastive_loss"]),
-            np.asarray(state.params["clip"]["visual"]["blocks"][0]["mlp"]["w1"]["kernel"])
-            if False else np.asarray(
-                jax.tree_util.tree_leaves(state.params["clip"])[0]
-            ),
+            np.asarray(jax.tree_util.tree_leaves(state.params["clip"])[0]),
             state.params,
         ))
 

@@ -237,3 +237,52 @@ def test_siglip_engine_backs_the_serving_stack():
     assert r.status_code == 200
     events = _json.loads(r.get_data(as_text=True))["events"]
     assert events and events[0]["id"] == "event-7"
+
+
+def test_siglip_engine_image_search_and_models_route():
+    """search_type='image' takes the two-step fallback (the fused
+    ImageSearcher is CLIP-specific) and /api/models serves model_name."""
+    import base64
+    import io
+    import json as _json
+    import pathlib
+    import tempfile
+
+    import cv2
+    from werkzeug.test import Client
+
+    from evr_tpu.config import DataRootConfig
+    from evr_tpu.index.engine import stage_array_fast
+    from evr_tpu.serving.app import create_app
+    from evr_tpu.serving.context import ServingContext
+
+    eng = _tiny_engine()
+    root = pathlib.Path(tempfile.mkdtemp())
+    ctx = ServingContext(DataRootConfig(root / "data"), engine=eng)
+    ctx.boot()
+    rng = np.random.default_rng(2)
+    imgs = (rng.random((5, 32, 32, 3)) * 255).astype(np.uint8)
+    staged = np.stack([stage_array_fast(i, 32) for i in imgs])
+    feats = eng.encode_staged_images(staged)
+    ctx.index.add_video("v0", feats)
+    recs = [{"frameidx": i, "frameid": f"{i}.jpg", "video": "videos/v0.mp4",
+             "filepath": f"frames/{i}.jpg", "tags": [], "metadata": {},
+             "text_detections": {"detections": []},
+             "object_detections": {"detections": []}} for i in range(5)]
+    ctx.metadata.add_video("v0", recs)
+    c = Client(create_app(ctx))
+
+    ok, buf = cv2.imencode(".png", imgs[3][:, :, ::-1])  # png: lossless
+    assert ok
+    b64 = base64.b64encode(buf.tobytes()).decode()
+    r = c.post("/api/search", json={
+        "search_type": "image",
+        "image_url": f"data:image/png;base64,{b64}",
+        "top_k": 1, "adaptive_threshold": -1.0,
+    })
+    assert r.status_code == 200
+    events = _json.loads(r.get_data(as_text=True))["events"]
+    assert events and events[0]["id"] == "event-3"
+
+    m = c.get("/api/models")
+    assert m.status_code == 200
