@@ -134,6 +134,49 @@ class SiglipEngine:
     def clear_text_cache(self) -> None:
         self._text_cache.clear()
 
+    def stage_array(self, rgb: np.ndarray) -> np.ndarray:
+        """uint8 RGB [H, W, 3] → [S, S, 3] uint8, SigLIP-style: a plain
+        square resize (HF ``SiglipImageProcessor`` squashes to the target
+        size — it does NOT shorter-side-resize + center-crop like CLIP).
+        ServingContext prefers this over the CLIP stager when present."""
+        import cv2
+
+        s = self.cfg.vision.image_size
+        out = cv2.resize(
+            np.asarray(rgb), (s, s), interpolation=cv2.INTER_CUBIC
+        )
+        return np.clip(out, 0, 255).astype(np.uint8)
+
+    def embed_folder(
+        self, folder, normalise: bool = True, progress=None
+    ) -> tuple:
+        """Embed every image in a folder sorted by filename (the contract
+        aligning index rows with metadata frame order — same as
+        `EmbeddingEngine.embed_folder`); enough for the upload→ingest
+        route to back a SigLIP app."""
+        import pathlib
+
+        import cv2
+
+        del normalise
+        folder = pathlib.Path(folder)
+        exts = {".jpg", ".jpeg", ".png", ".bmp", ".webp"}
+        names = sorted(
+            p.name for p in folder.iterdir() if p.suffix.lower() in exts
+        )
+        staged, kept = [], []
+        for i, name in enumerate(names):
+            bgr = cv2.imread(str(folder / name))
+            if bgr is None:
+                continue  # unreadable frame: skip, never abort the ingest
+            staged.append(self.stage_array(bgr[:, :, ::-1]))
+            kept.append(name)
+            if progress:
+                progress(i + 1, len(names))
+        if not staged:
+            return np.zeros((0, self.cfg.embed_dim), np.float32), []
+        return self.encode_staged_images(np.stack(staged)), kept
+
     @classmethod
     def from_hf(cls, model_or_path, tokenize_fn=None, **kw) -> "SiglipEngine":
         """Build from a ``transformers.SiglipModel`` instance or a local

@@ -113,6 +113,17 @@ class ServingContext:
         frames = sorted((p for p in d.iterdir() if p.is_file()), key=order)
         return str(frames[0]) if frames else None
 
+    def _stage(self, rgb: np.ndarray) -> np.ndarray:
+        """Stage a query image with the ENGINE's preprocessing geometry:
+        engines may own their stager (SigLIP squash-resizes, no crop);
+        CLIP engines use the standard shorter-side-resize + center-crop."""
+        stage = getattr(self.engine, "stage_array", None)
+        if stage is not None:
+            return stage(rgb)
+        from evr_tpu.index.engine import stage_array_fast
+
+        return stage_array_fast(rgb, self.engine.cfg.vision.image_size)
+
     # -- per-model index routing ------------------------------------------
     def index_for(self, model: str) -> FrameIndex:
         if model not in self._indexes:
@@ -294,12 +305,8 @@ class ServingContext:
     def search_by_image(
         self, source: str, threshold: float, top_k: int, video_name: str | None = None
     ) -> list[dict]:
-        from evr_tpu.index.engine import stage_array_fast
-
         img = self.load_image_source(source)
-        staged = stage_array_fast(
-            np.ascontiguousarray(np.asarray(img)), self.engine.cfg.vision.image_size
-        )
+        staged = self._stage(np.ascontiguousarray(np.asarray(img)))
 
         if not hasattr(self.engine, "models"):
             # non-CLIP engines (e.g. SiglipEngine): the fused ImageSearcher
@@ -374,12 +381,8 @@ class ServingContext:
 
         No reference counterpart (the reference searches image XOR text).
         """
-        from evr_tpu.index.engine import stage_array_fast
-
         img = self.load_image_source(source)
-        staged = stage_array_fast(
-            np.ascontiguousarray(np.asarray(img)), self.engine.cfg.vision.image_size
-        )
+        staged = self._stage(np.ascontiguousarray(np.asarray(img)))
         v_img = np.asarray(
             self.engine.encode_staged_images(staged[None], normalise=True)[0],
             np.float32,

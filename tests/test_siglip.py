@@ -286,3 +286,25 @@ def test_siglip_engine_image_search_and_models_route():
 
     m = c.get("/api/models")
     assert m.status_code == 200
+
+
+def test_siglip_engine_stager_and_embed_folder(tmp_path):
+    """SigLIP staging squashes to SxS (no center crop — HF parity) and
+    embed_folder backs the upload->ingest contract (sorted names, skip
+    unreadable)."""
+    import cv2
+
+    eng = _tiny_engine()
+    rng = np.random.default_rng(3)
+    tall = (rng.random((64, 20, 3)) * 255).astype(np.uint8)
+    staged = eng.stage_array(tall)
+    assert staged.shape == (32, 32, 3) and staged.dtype == np.uint8
+
+    for i in range(3):
+        img = (rng.random((40, 40, 3)) * 255).astype(np.uint8)
+        cv2.imwrite(str(tmp_path / f"{i}.jpg"), img)
+    (tmp_path / "broken.jpg").write_bytes(b"not a jpeg")
+    feats, names = eng.embed_folder(tmp_path)
+    assert names == ["0.jpg", "1.jpg", "2.jpg"]  # broken skipped, sorted
+    assert feats.shape == (3, 32)
+    np.testing.assert_allclose(np.linalg.norm(feats, axis=1), 1.0, rtol=1e-5)
