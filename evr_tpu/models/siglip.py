@@ -385,6 +385,43 @@ def from_hf_siglip_state_dict(sd: Mapping[str, Any], cfg: SiglipConfig) -> dict:
     }
 
 
+# Published SigLIP geometries (HF model-card configs; weights are
+# deployment assets on zero-egress images — these are the shapes).
+SIGLIP_REGISTRY: dict[str, SiglipConfig] = {
+    "siglip-base-patch16-224": SiglipConfig(),
+    "siglip-base-patch16-256": SiglipConfig(
+        vision=SiglipVisionConfig(image_size=256),
+    ),
+    "siglip-base-patch16-384": SiglipConfig(
+        vision=SiglipVisionConfig(image_size=384),
+    ),
+    "siglip-large-patch16-256": SiglipConfig(
+        vision=SiglipVisionConfig(
+            image_size=256, width=1024, layers=24, heads=16, mlp_dim=4096
+        ),
+        text=SiglipTextConfig(width=1024, layers=24, heads=16, mlp_dim=4096),
+    ),
+    "siglip-so400m-patch14-384": SiglipConfig(
+        vision=SiglipVisionConfig(
+            image_size=384, patch_size=14, width=1152, layers=27,
+            heads=16, mlp_dim=4304,
+        ),
+        text=SiglipTextConfig(
+            width=1152, layers=27, heads=16, mlp_dim=4304,
+        ),
+    ),
+}
+
+
+def get_siglip_config(name: str) -> SiglipConfig:
+    try:
+        return SIGLIP_REGISTRY[name]
+    except KeyError:
+        raise ValueError(
+            f"unknown SigLIP model {name!r}; known: {sorted(SIGLIP_REGISTRY)}"
+        ) from None
+
+
 def siglip_config_from_hf(hf_cfg) -> SiglipConfig:
     """``transformers.SiglipConfig`` → :class:`SiglipConfig`."""
     v, t = hf_cfg.vision_config, hf_cfg.text_config

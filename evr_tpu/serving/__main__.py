@@ -10,6 +10,22 @@ def main():
     parser.add_argument("--port", type=int, default=5000)
     parser.add_argument("--model", default="ViT-B/32")
     parser.add_argument(
+        "--model-family", choices=["clip", "siglip"], default="clip",
+        help="siglip: serve a SigLIP tower (models/siglip.py) — --model "
+        "then names a SIGLIP_REGISTRY geometry (e.g. "
+        "siglip-base-patch16-224) or --siglip-hf points at a local HF "
+        "checkout; text search needs a local SentencePiece tokenizer "
+        "(--siglip-tokenizer), image search works without one",
+    )
+    parser.add_argument(
+        "--siglip-hf", default=None,
+        help="local transformers SiglipModel checkout to load weights from",
+    )
+    parser.add_argument(
+        "--siglip-tokenizer", default=None,
+        help="local transformers SiglipTokenizer path for text search",
+    )
+    parser.add_argument(
         "--checkpoint", default=None, help="optional fine-tuned .pt checkpoint"
     )
     parser.add_argument(
@@ -96,9 +112,34 @@ def main():
         from .providers import AssemblyAITranscriber
 
         transcriber = AssemblyAITranscriber()
-    engine = EmbeddingEngine(args.model, mesh=mesh, params_dtype=args.params_dtype)
-    if args.checkpoint:
-        engine.load_finetuned(args.checkpoint, prefer_ema=args.use_ema)
+    if args.model_family == "siglip":
+        from evr_tpu.index.siglip_engine import SiglipEngine
+        from evr_tpu.models.siglip import get_siglip_config
+
+        tokenize_fn = None
+        if args.siglip_tokenizer:
+            from transformers import SiglipTokenizer
+
+            tok = SiglipTokenizer.from_pretrained(
+                args.siglip_tokenizer, local_files_only=True
+            )
+
+            def tokenize_fn(texts):
+                return tok(
+                    texts, padding="max_length", truncation=True,
+                    return_tensors="np",
+                )["input_ids"]
+
+        if args.siglip_hf:
+            engine = SiglipEngine.from_hf(args.siglip_hf, tokenize_fn=tokenize_fn)
+        else:
+            engine = SiglipEngine(
+                cfg=get_siglip_config(args.model), tokenize_fn=tokenize_fn
+            )
+    else:
+        engine = EmbeddingEngine(args.model, mesh=mesh, params_dtype=args.params_dtype)
+        if args.checkpoint:
+            engine.load_finetuned(args.checkpoint, prefer_ema=args.use_ema)
     from evr_tpu.utils import get_logger
 
     log = get_logger("evr_tpu.serving")

@@ -308,3 +308,20 @@ def test_siglip_engine_stager_and_embed_folder(tmp_path):
     assert names == ["0.jpg", "1.jpg", "2.jpg"]  # broken skipped, sorted
     assert feats.shape == (3, 32)
     np.testing.assert_allclose(np.linalg.norm(feats, axis=1), 1.0, rtol=1e-5)
+
+
+def test_siglip_registry_geometries():
+    from evr_tpu.models.siglip import SIGLIP_REGISTRY, get_siglip_config
+
+    for name, cfg in SIGLIP_REGISTRY.items():
+        # grid follows the VALID-conv floor (so400m: 384//14 = 27 — the
+        # image size is deliberately NOT divisible by the patch size)
+        v = cfg.vision
+        conv_out = (v.image_size - v.patch_size) // v.patch_size + 1
+        assert v.grid == conv_out > 0, name
+        assert v.width % v.heads == 0, name
+        assert cfg.text.width % cfg.text.heads == 0, name
+    so400m = get_siglip_config("siglip-so400m-patch14-384")
+    assert so400m.vision.width == 1152 and so400m.vision.layers == 27
+    with pytest.raises(ValueError, match="unknown SigLIP"):
+        get_siglip_config("nope")
