@@ -249,6 +249,45 @@ def bench_roofline(reps: int) -> None:
           f"inside the fused kernels)")
 
 
+def bench_siglip(reps: int) -> None:
+    """SigLIP family encode throughput (same chained-scan methodology as
+    `_encode_fps`): base-224 at the serving batch, so400m at its memory
+    bound. The MAP pooling head rides the same fused block kernels as the
+    trunk (width ≤ 1024 towers)."""
+    import jax
+    import jax.numpy as jnp
+
+    from evr_tpu.models.siglip import (
+        encode_image,
+        get_siglip_config,
+        init_siglip_params,
+    )
+
+    for name, B in [("siglip-base-patch16-224", 128), ("siglip-so400m-patch14-384", 16)]:
+        cfg = get_siglip_config(name)
+        params = init_siglip_params(jax.random.PRNGKey(0), cfg)
+        rng = np.random.default_rng(0)
+        size = cfg.vision.image_size
+        pix = jnp.asarray(rng.normal(size=(B, size, size, 3)).astype(np.float32))
+
+        def step(params_, pix_):
+            def body(c, _):
+                out = encode_image(params_, cfg, c, dtype=jnp.bfloat16)
+                return c + jnp.sum(out.astype(jnp.float32)) * 1e-9, ()
+
+            out, _ = jax.lax.scan(body, pix_, None, length=reps)
+            return jnp.sum(out)
+
+        run = jax.jit(step)
+        float(run(params, pix))
+        best = 0.0
+        for _ in range(3):
+            t0 = time.perf_counter()
+            float(run(params, pix))
+            best = max(best, B * reps / (time.perf_counter() - t0))
+        print(f"{name:28s} B={B:3d}: {best:9.0f} frames/s sustained")
+
+
 def bench_captioner(reps: int) -> None:
     """Caption decode: KV-cached scan vs full-buffer re-run (PERF.md
     'Caption decoding'). Production captioner scale (width 512, 4 layers,
@@ -431,7 +470,7 @@ def main() -> None:
 
     pin_platform_from_env()
     ap = argparse.ArgumentParser(description=__doc__)
-    ap.add_argument("what", choices=["block", "attention", "encode", "int8", "sweep", "roofline", "captioner", "ivf", "pq", "ivfpq", "all"])
+    ap.add_argument("what", choices=["block", "attention", "encode", "int8", "sweep", "roofline", "captioner", "siglip", "ivf", "pq", "ivfpq", "all"])
     ap.add_argument("--reps", type=int, default=20, help="chained applications per dispatch")
     args = ap.parse_args()
 
@@ -451,6 +490,7 @@ def main() -> None:
         "int8": bench_int8,
         "sweep": bench_sweep,
         "captioner": bench_captioner,
+        "siglip": bench_siglip,
         "roofline": bench_roofline,
         "ivf": bench_ivf,
         "pq": bench_pq,
