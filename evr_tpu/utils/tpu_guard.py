@@ -23,8 +23,18 @@ import os
 import subprocess
 import sys
 
+# The probe subprocess must honor an operator-pinned JAX_PLATFORMS at
+# jax-config level (the utils.platform_pin pattern): the sitecustomize
+# force-registers the relay platform at config level in EVERY interpreter,
+# so a bare `import jax; jax.devices()` would ignore the env var, boot the
+# healthy relay, and report ok even when the operator pinned a platform
+# that cannot initialize. Pinning inside the probe makes the guard honor
+# operator pins and makes the dead-platform fallback deterministic.
 _PROBE_SRC = (
-    "import jax\n"
+    "import os, jax\n"
+    "plat = os.environ.get('JAX_PLATFORMS')\n"
+    "if plat:\n"
+    "    jax.config.update('jax_platforms', plat)\n"
     "print('backend:', jax.default_backend(), len(jax.devices()))\n"
 )
 
