@@ -56,7 +56,16 @@ def ingest_video(
     scene_threshold: float = 30.0,
     video_name: str | None = None,
     captioner=None,
+    progress=None,
 ) -> IngestResult:
+    """``progress``: optional ``(stage, frames_done, frames_total)`` callback
+    fired at stage boundaries and per embedding batch — the upload-status
+    route's data source (`serving/jobs.py`)."""
+
+    def report(stage, done=None, total=None):
+        if progress is not None:
+            progress(stage, done, total)
+
     video_path = pathlib.Path(video_path)
     name = video_name or video_path.stem
     data_root.ensure()
@@ -64,16 +73,25 @@ def ingest_video(
     frames_dir.mkdir(parents=True, exist_ok=True)
 
     # 1. scene-detect + representative frames ({frameidx}.jpg contract)
+    report("scene_detect")
     extract_scene_frames(video_path, frames_dir, threshold=scene_threshold)
 
     # 2. batched device embedding, rows sorted by filename
-    embeddings, frame_names = engine.embed_folder(frames_dir, normalise=True)
+    report("embedding", 0)
+    embeddings, frame_names = engine.embed_folder(
+        frames_dir,
+        normalise=True,
+        progress=lambda done, total: report("embedding", done, total),
+    )
     emb_file = data_root.embedding_dir / f"{name}_embeddings.npy"
     np.save(emb_file, embeddings)
 
     # 3. metadata records (pluggable OCR/object annotators + optional
     # machine captions, e.g. the TPU PrefixCaptioner)
+    report("annotating", 0, len(frame_names))
     records = annotate_folder(frames_dir, video_path, annotator, captioner=captioner)
+    report("registering", len(frame_names), len(frame_names))
+
     meta_file = data_root.metadata_dir / f"{name}_metadata.json"
     meta_file.write_text(json.dumps(records, indent=2, ensure_ascii=False))
 

@@ -33,9 +33,28 @@ def _json(payload, status: int = 200) -> Response:
     return resp
 
 
-def _file(path, mimetype: str) -> Response:
-    data = pathlib.Path(path).read_bytes()
-    resp = Response(data, mimetype=mimetype)
+def _file(path, mimetype: str, environ=None) -> Response:
+    """Serve a file with HTTP Range / conditional support when the request
+    environ is available: Accept-Ranges + 206/Content-Range for partial
+    requests (browser ``<video>`` seeking — the product's core interaction)
+    and ETag/304 revalidation. The reference gets this from Flask's
+    ``send_file`` (`Backend/app.py:742-759`); werkzeug's provides the same.
+    """
+    if environ is not None:
+        from werkzeug.exceptions import RequestedRangeNotSatisfiable
+        from werkzeug.utils import send_file
+
+        try:
+            resp = send_file(
+                pathlib.Path(path), environ, mimetype=mimetype, conditional=True
+            )
+        except RequestedRangeNotSatisfiable as e:
+            resp = e.get_response(environ)
+        # advertise range support on full 200s too (werkzeug only sets this
+        # on 206) so browsers know seeking is cheap before the first probe
+        resp.headers.setdefault("Accept-Ranges", "bytes")
+    else:
+        resp = Response(pathlib.Path(path).read_bytes(), mimetype=mimetype)
     resp.headers["Access-Control-Allow-Origin"] = "*"
     return resp
 
@@ -56,6 +75,11 @@ def create_app(ctx: ServingContext, frontend_dist: str | None = None):
             ),
             Rule("/api/search", endpoint="search", methods=["POST"]),
             Rule("/api/upload-video", endpoint="upload", methods=["POST"]),
+            Rule(
+                "/api/upload-status/<job_id>",
+                endpoint="upload_status",
+                methods=["GET"],
+            ),
             Rule("/api/frame/<path:frame_path>", endpoint="frame", methods=["GET"]),
             Rule("/api/video/<path:video_path>", endpoint="video_file", methods=["GET"]),
             Rule("/api/transcribe-voice", endpoint="transcribe", methods=["POST"]),
@@ -97,7 +121,7 @@ def create_app(ctx: ServingContext, frontend_dist: str | None = None):
             if not target.is_file():
                 return _json({"error": "not found"}, 404)
         mimetype = mimetypes.guess_type(str(target))[0] or "application/octet-stream"
-        return _file(target, mimetype)
+        return _file(target, mimetype, request.environ)
 
     def ep_videos(request):  # app.py:221-303
         dropped = ctx.registry.prune_missing(ctx.data_root.root)
@@ -390,7 +414,13 @@ def create_app(ctx: ServingContext, frontend_dist: str | None = None):
         ctx.search_cache.set(cache_key, payload)
         return _json(payload)
 
-    def ep_upload(request):  # app.py:615-691
+    def ep_upload(request):  # app.py:615-691 — but ASYNC by default:
+        # the reference ingests synchronously inside the request (the flaw
+        # SURVEY §3.1 documents: a long video blocks the server). Here the
+        # request only saves the file and enqueues a background ingest job,
+        # returning 202 + job id; GET /api/upload-status/<id> reports
+        # {state, stage, frames_done, frames_total} and, when done, the full
+        # legacy payload. Pass form field sync=1 for the blocking behavior.
         video_file = request.files.get("video")
         if not video_file:
             return _json({"error": "No video uploaded"}, 400)
@@ -404,29 +434,33 @@ def create_app(ctx: ServingContext, frontend_dist: str | None = None):
         model_name = request.form.get("model", "original")
         if model_name != ctx.engine.active_model:
             ctx.engine.set_active_model(model_name)
-        result = ctx.ingest(save_path, video_name)
-        info = ctx.video_file_info(str(save_path))
+
+        def run_ingest(progress):
+            result = ctx.ingest(save_path, video_name, progress=progress)
+            return ctx.upload_payload(save_path, video_name, model_name, result)
+
+        job_id = ctx.ingest_jobs.submit(video_name, run_ingest)
+        sync = request.form.get("sync", "").lower() in ("1", "true", "yes")
+        if sync:
+            job = ctx.ingest_jobs.wait(job_id)
+            if job.state == "error":
+                return _json({"error": f"Ingest failed: {job.error}"}, 500)
+            return _json(job.result)
         return _json(
             {
-                "status": "success",
-                "message": "Video processed successfully",
-                "video": {
-                    "id": f"video-{int(time.time())}",
-                    "title": video_name,
-                    # first extracted frame, same guarded numeric-order
-                    # logic as the /api/videos listing (VideoContext appends
-                    # this dict to that list)
-                    "thumbnail": ctx.first_frame(result.frames_dir),
-                    "path": str(save_path),
-                    "uploadDate": time.strftime("%Y-%m-%d"),
-                    "size": f"{save_path.stat().st_size // (1024 * 1024)} MB",
-                    "resolution": info["resolution"],
-                    "duration": info["duration"],
-                    "embedding_model": model_name,
-                    "frames": result.n_frames,
-                },
-            }
+                "status": "processing",
+                "job_id": job_id,
+                "video_name": video_name,
+                "status_url": f"/api/upload-status/{job_id}",
+            },
+            202,
         )
+
+    def ep_upload_status(request, job_id):
+        status = ctx.ingest_jobs.status(job_id)
+        if status is None:
+            return _json({"error": f"Unknown upload job {job_id}"}, 404)
+        return _json(status)
 
     def _safe_under_data_root(candidate: pathlib.Path) -> bool:
         """Only serve files that live under the data root — the reference
@@ -442,7 +476,7 @@ def create_app(ctx: ServingContext, frontend_dist: str | None = None):
     def ep_frame(request, frame_path):  # app.py:693-734
         candidate = pathlib.Path(frame_path)
         if _safe_under_data_root(candidate):
-            return _file(candidate.resolve(), "image/jpeg")
+            return _file(candidate.resolve(), "image/jpeg", request.environ)
         frame_name = pathlib.PurePosixPath(frame_path).name
         for name in ctx.video_names():
             entry = ctx.registry.get(name) or {}
@@ -451,13 +485,13 @@ def create_app(ctx: ServingContext, frontend_dist: str | None = None):
                 base = ctx.resolve_path(frames_dir)
                 p = (base / frame_name).resolve()
                 if p.is_file() and p.parent == base.resolve():
-                    return _file(p, "image/jpeg")
+                    return _file(p, "image/jpeg", request.environ)
         return _json({"error": f"Frame {frame_path} not found"}, 404)
 
     def ep_video_file(request, video_path):  # app.py:736-764
         candidate = pathlib.Path(video_path)
         if _safe_under_data_root(candidate):
-            return _file(candidate.resolve(), "video/mp4")
+            return _file(candidate.resolve(), "video/mp4", request.environ)
         base = pathlib.PurePosixPath(video_path).name
         for name in ctx.video_names():
             entry = ctx.registry.get(name) or {}
@@ -465,7 +499,7 @@ def create_app(ctx: ServingContext, frontend_dist: str | None = None):
             if name == base or pathlib.Path(vp).name == base:
                 resolved = ctx.resolve_path(vp) if vp else None
                 if resolved is not None and resolved.exists():
-                    return _file(resolved, "video/mp4")
+                    return _file(resolved, "video/mp4", request.environ)
         return _json({"error": f"Video {video_path} not found"}, 404)
 
     def ep_transcribe(request):  # app.py:766-850
@@ -607,6 +641,7 @@ def create_app(ctx: ServingContext, frontend_dist: str | None = None):
         "video_events": ep_video_events,
         "search": ep_search,
         "upload": ep_upload,
+        "upload_status": ep_upload_status,
         "frame": ep_frame,
         "video_file": ep_video_file,
         "transcribe": ep_transcribe,

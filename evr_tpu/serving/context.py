@@ -38,6 +38,7 @@ class ServingContext:
         ivf_clusters: int | None = None,
         batch_window_ms: float | None = None,
         preprocessor=None,
+        annotator=None,
     ):
         self.data_root = (
             data_root
@@ -67,6 +68,10 @@ class ServingContext:
 
             preprocessor = VietnamesePreprocessor(translator=DictionaryTranslator())
         self.preprocessor = preprocessor
+        # default frame annotator for uploads (None → empty detections);
+        # e.g. ingest.zeroshot.ZeroShotObjectAnnotator fills object
+        # detections with the serving CLIP towers, no YOLO needed
+        self.annotator = annotator
         self.scene_threshold = scene_threshold
         # index storage dtype (fp32/bf16/int8) + scoring impl (xla/pallas) —
         # see FrameIndex; applied to every per-model index
@@ -263,7 +268,7 @@ class ServingContext:
         }
 
     # -- ingestion --------------------------------------------------------
-    def ingest(self, video_path, video_name=None, annotator=None):
+    def ingest(self, video_path, video_name=None, annotator=None, progress=None):
         result = ingest_video(
             video_path,
             self.data_root,
@@ -271,13 +276,45 @@ class ServingContext:
             index=self.index,
             registry=self.registry,
             metadata_store=self.metadata,
-            annotator=annotator,
+            annotator=annotator if annotator is not None else self.annotator,
             scene_threshold=self.scene_threshold,
             video_name=video_name,
+            progress=progress,
         )
         self.search_cache.invalidate()
         self.viz_cache.invalidate()
         return result
+
+    @property
+    def ingest_jobs(self):
+        """Lazy background ingest-job manager (serving/jobs.py)."""
+        if not hasattr(self, "_ingest_jobs"):
+            from .jobs import IngestJobManager
+
+            self._ingest_jobs = IngestJobManager()
+        return self._ingest_jobs
+
+    def upload_payload(self, save_path, video_name, model_name, result) -> dict:
+        """The legacy synchronous upload response body — now also the
+        terminal payload of an async ingest job (frontend contract:
+        VideoContext.tsx:196-216 reads status=='success' && video{...})."""
+        info = self.video_file_info(str(save_path))
+        return {
+            "status": "success",
+            "message": "Video processed successfully",
+            "video": {
+                "id": f"video-{int(time.time())}",
+                "title": video_name,
+                "thumbnail": self.first_frame(result.frames_dir),
+                "path": str(save_path),
+                "uploadDate": time.strftime("%Y-%m-%d"),
+                "size": f"{save_path.stat().st_size // (1024 * 1024)} MB",
+                "resolution": info["resolution"],
+                "duration": info["duration"],
+                "embedding_model": model_name,
+                "frames": result.n_frames,
+            },
+        }
 
     # -- image search (`search_service.py:611-706`) -----------------------
     def load_image_source(self, source: str):

@@ -117,18 +117,45 @@ def test_search_accepts_all_frontend_params_and_returns_all_fields(client):
 
 
 def test_upload_video_fields(client, tmp_path):
+    # sync=1 preserves the exact legacy single-request contract the React
+    # VideoContext reads (status=='success' && video{...}); the async
+    # default delivers the same shape in the terminal job status.
     spec = CONTRACT["POST /api/upload-video"]
     vid = tmp_path / "upload_me.mp4"
     _make_video(vid, n=40)
     resp = client.post(
         "/api/upload-video",
-        data={"video": (io.BytesIO(vid.read_bytes()), "upload_me.mp4")},
+        data={"video": (io.BytesIO(vid.read_bytes()), "upload_me.mp4"),
+              "sync": "1"},
     )
     assert resp.status_code == 200
     data = get_json(resp)
     _assert_fields(data, spec["fields"], "upload response")
     assert data["status"] == "success"
     _assert_fields(data["video"], spec["video_fields"], "upload response .video")
+
+
+def test_upload_video_async_fields(client, tmp_path):
+    spec = CONTRACT["POST /api/upload-video (async)"]
+    legacy = CONTRACT["POST /api/upload-video"]
+    vid = tmp_path / "upload_async.mp4"
+    _make_video(vid, n=40)
+    resp = client.post(
+        "/api/upload-video",
+        data={"video": (io.BytesIO(vid.read_bytes()), "upload_async.mp4")},
+    )
+    assert resp.status_code == 202
+    data = get_json(resp)
+    _assert_fields(data, spec["fields"], "async upload response")
+    job = client.application.ctx.ingest_jobs.wait(data["job_id"], timeout=120)
+    assert job.state == "done", job.error
+    status = get_json(client.get(data["status_url"]))
+    _assert_fields(
+        status, CONTRACT["GET /api/upload-status/<id>"]["fields"], "upload status"
+    )
+    # terminal status carries the full legacy payload
+    _assert_fields(status, legacy["fields"], "terminal upload status")
+    _assert_fields(status["video"], legacy["video_fields"], "terminal status .video")
 
 
 def test_models_fields(client):
