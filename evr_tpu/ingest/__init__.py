@@ -1,6 +1,7 @@
 from .scene import detect_scenes, content_curve, cuts_from_curve, ContentDetectorConfig
 from .frames import extract_scene_frames, extract_uniform_frames
 from .annotate import build_frame_record, Annotator, NullAnnotator, annotate_folder
+from .zeroshot import COCO_CLASSES, ZeroShotObjectAnnotator, make_region_grid, nms_xywh
 from .pipeline import ingest_video, IngestResult
 from .transcripts import (
     SegmentTranscriber,
@@ -21,6 +22,10 @@ __all__ = [
     "Annotator",
     "NullAnnotator",
     "annotate_folder",
+    "COCO_CLASSES",
+    "ZeroShotObjectAnnotator",
+    "make_region_grid",
+    "nms_xywh",
     "ingest_video",
     "IngestResult",
     "SegmentTranscriber",

@@ -134,16 +134,25 @@ def annotate_folder(
         else:
             captions = _per_frame()
 
+    # batched annotators (e.g. the TPU ZeroShotObjectAnnotator) process the
+    # whole folder in one device-batched pass — same pattern as caption_batch
+    batch_dets: dict[pathlib.Path, dict] | None = None
+    if hasattr(annotator, "annotate_batch") and paths:
+        try:
+            batch_dets = dict(zip(paths, annotator.annotate_batch(paths)))
+        except Exception:
+            batch_dets = None  # degrade to the per-frame protocol below
+
     def work(path):
         try:
-            dets = annotator(path)
+            dets = batch_dets[path] if batch_dets is not None else annotator(path)
             return build_frame_record(
                 path, video_path, detections=dets, caption=captions.get(path)
             )
         except Exception:
             return None
 
-    if max_workers <= 1:
+    if max_workers <= 1 or batch_dets is not None:
         records = [work(p) for p in paths]
     else:
         with ThreadPoolExecutor(max_workers=max_workers) as pool:

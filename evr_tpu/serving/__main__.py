@@ -65,6 +65,14 @@ def main():
         "throughput measured, rank-agreement tested — PERF.md)",
     )
     parser.add_argument(
+        "--zeroshot-objects",
+        action="store_true",
+        help="annotate uploaded videos' object_detections with the TPU "
+        "zero-shot detector (ingest/zeroshot.py: CLIP towers scoring a "
+        "COCO-80 prompt-ensemble over a multi-scale region grid) — fills "
+        "the schema the reference needs YOLOv8 for",
+    )
+    parser.add_argument(
         "--batch-window-ms",
         type=float,
         default=None,
@@ -143,6 +151,11 @@ def main():
     from evr_tpu.utils import get_logger
 
     log = get_logger("evr_tpu.serving")
+    annotator = None
+    if args.zeroshot_objects:
+        from evr_tpu.ingest.zeroshot import ZeroShotObjectAnnotator
+
+        annotator = ZeroShotObjectAnnotator(engine)
     ctx = ServingContext(
         args.data_root,
         engine=engine,
@@ -153,6 +166,7 @@ def main():
         ivf_nprobe=args.ivf_nprobe,
         ivf_clusters=args.ivf_clusters,
         batch_window_ms=args.batch_window_ms,
+        annotator=annotator,
     )
     loaded = ctx.boot()
     log.info(

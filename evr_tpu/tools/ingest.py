@@ -28,6 +28,12 @@ def main(argv=None):
     parser.add_argument("--scene-threshold", type=float, default=30.0)
     parser.add_argument("--uniform", type=int, default=None,
                         help="use uniform sampling of N frames instead of scene detection")
+    parser.add_argument(
+        "--zeroshot-objects", action="store_true",
+        help="fill object_detections with the TPU zero-shot detector "
+        "(ingest/zeroshot.py; COCO-80 vocabulary over the CLIP towers) — "
+        "no YOLO install needed",
+    )
     args = parser.parse_args(argv)
 
     from evr_tpu.config import DataRootConfig
@@ -43,6 +49,11 @@ def main(argv=None):
     registry = VideoRegistry(data_root.mapping_path)
     index = FrameIndex(embed_dim=engine.cfg.embed_dim)
     store = MetadataStore()
+    annotator = None
+    if args.zeroshot_objects:
+        from evr_tpu.ingest.zeroshot import ZeroShotObjectAnnotator
+
+        annotator = ZeroShotObjectAnnotator(engine)
 
     for video in args.videos:
         if args.uniform:
@@ -53,7 +64,7 @@ def main(argv=None):
             extract_uniform_frames(video, frames_dir, args.uniform)
         result = ingest_video(
             video, data_root, engine, index, registry, store,
-            scene_threshold=args.scene_threshold,
+            annotator=annotator, scene_threshold=args.scene_threshold,
         )
         print(
             f"{result.video_name}: {result.n_frames} frames, fps={result.fps:.2f} → "
