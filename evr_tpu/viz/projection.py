@@ -5,12 +5,14 @@ visualization_service.py`): concatenates per-video embedding matrices, runs
 ``umap.UMAP(n_neighbors, min_dist, metric='cosine', random_state=42)``, and
 returns coordinates + simplified per-point metadata with a 24 h cache.
 
-This environment has no umap-learn; the projector is pluggable:
-``method='umap'`` is used when importable, otherwise PCA (exact, fast,
-host-side sklearn) or t-SNE. The response dict shape is identical to the
-reference's (`visualization_service.py:208-221`), so the React
-VisualizationPanel renders it unchanged; ``dimensionality_reduction.method``
-reports what actually ran.
+``method='umap'`` (and the default ``'auto'``) runs the real UMAP
+algorithm device-accelerated (``viz/umap_jax.py`` — fuzzy simplicial set +
+negative-sampling SGD layout, honouring n_neighbors/min_dist semantics);
+``'umap-learn'`` opts into the host numba package when installed;
+``'tsne_jax'``/``'tsne'``/``'pca'`` remain available. The response dict
+shape is identical to the reference's (`visualization_service.py:208-221`),
+so the React VisualizationPanel renders it unchanged;
+``dimensionality_reduction.method`` reports what actually ran.
 """
 
 from __future__ import annotations
@@ -35,21 +37,32 @@ def project_embeddings(
         norms = np.linalg.norm(emb, axis=1, keepdims=True)
         emb = emb / np.maximum(norms, 1e-12)
 
-    if method in ("auto", "umap"):
-        try:  # pragma: no cover - optional dependency
-            import umap
+    if method == "umap-learn":
+        # explicit opt-in to the host numba implementation when installed
+        import umap  # pragma: no cover - optional dependency
 
-            reducer = umap.UMAP(
-                n_neighbors=n_neighbors,
-                min_dist=min_dist,
-                n_components=n_components,
-                metric=metric,
-                random_state=random_state,
-            )
-            return np.asarray(reducer.fit_transform(emb)), "umap"
-        except ImportError:
-            if method == "umap":
-                raise
+        reducer = umap.UMAP(
+            n_neighbors=n_neighbors,
+            min_dist=min_dist,
+            n_components=n_components,
+            metric=metric,
+            random_state=random_state,
+        )
+        return np.asarray(reducer.fit_transform(emb)), "umap-learn"
+    if method in ("auto", "umap", "umap_jax"):
+        # the real UMAP algorithm, device-accelerated (viz/umap_jax.py) —
+        # n_neighbors / min_dist carry their true semantics
+        from .umap_jax import umap as umap_jax
+
+        coords = umap_jax(
+            emb,
+            n_components=n_components,
+            n_neighbors=n_neighbors,
+            min_dist=min_dist,
+            metric=metric,
+            random_state=random_state,
+        )
+        return coords, "umap"
     if method == "tsne_jax":
         from .tsne_jax import tsne
 
