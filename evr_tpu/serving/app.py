@@ -669,4 +669,5 @@ def create_app(ctx: ServingContext, frontend_dist: str | None = None):
             return _json({"error": str(e)}, 500)
 
     app.ctx = ctx
+    app.url_map = url_map
     return app

@@ -87,6 +87,19 @@ def test_builtin_ui(client):
     assert "text/html" in resp.headers["Content-Type"]
     assert "/api/search" in body  # drives the same contract as the React app
     assert "text_object_keyword" in body  # all 7 methods selectable
+    # full product UI (VERDICT r2 #4): all four views + their API wiring
+    for feature in (
+        "view-library", "view-player", "view-search", "view-viz",  # views
+        "/api/upload-video", "/api/videos",           # library + upload
+        "upload-status", "frames_total",              # async progress polling
+        "/api/video/", "timeline", "marker",          # player + seek markers
+        "temporal", "speech_only", "hybrid",          # every search method
+        "negative_query", "mmr_lambda", "image_weight",
+        "transcribe-voice", "MediaRecorder",          # voice capture
+        "/api/visualization/umap", "viz-canvas",      # embedding scatter
+        "wheel", "pointerdown", "toDataURL",          # pan/zoom/PNG export
+    ):
+        assert feature in body, f"built-in UI lost feature: {feature}"
 
 
 def test_videos_listing(client):
