@@ -5,8 +5,14 @@ Prints exactly ONE JSON line:
 
 Headline: frames embedded/sec/chip on CLIP ViT-B/32 — the chip's sustained
 encode throughput on device-resident uint8 batches (normalise + full ViT
-forward, bf16, fp32 accumulation), measured as a `lax.scan` chain of encode
-steps inside ONE dispatch with a single result fetch. Chaining matters on
+forward), measured as a `lax.scan` chain of encode steps inside ONE
+dispatch with a single result fetch. The headline serving format is int8
+block linears (the MXU's int8 path; promoted from opt-in after the
+rank-agreement gate — models/quant_gate.py, tests/test_quant_gate.py,
+PERF.md §int8): +31% over bf16 with rank-1 agreement and ≥9/10 top-10
+overlap armored on real frames, near-duplicate corpora, scoped searches,
+SigLIP and IVF composition. ``bf16_compute_fps`` reports the same chain
+with bf16 weights (the `--params-dtype bfloat16` serving path). Chaining matters on
 this environment's relayed transport (~30–60 ms per round trip): a
 per-dispatch measurement charges one relay round trip to every batch and
 understates the chip roughly 2× (that figure is still reported as
@@ -231,7 +237,11 @@ def main() -> None:
 
     backend = jax.default_backend()
     full_mode = "--full" in sys.argv
-    engine = EmbeddingEngine("ViT-B/32", batch_size=EMBED_BATCH, rng_seed=0)
+    # headline engine: int8 serving weights (rank-agreement gated; see
+    # module docstring). bf16 is measured alongside as bf16_compute_fps.
+    engine = EmbeddingEngine(
+        "ViT-B/32", batch_size=EMBED_BATCH, rng_seed=0, params_dtype="int8"
+    )
 
     rng = np.random.default_rng(0)
     staged = (rng.random((EMBED_BATCH, 224, 224, 3)) * 255).astype(np.uint8)
@@ -277,6 +287,20 @@ def main() -> None:
         compute_fps = max(
             compute_fps, SUS_STEPS * SUS_BATCH / (time.perf_counter() - t0)
         )
+
+    # bf16 weights, identical chain: the --params-dtype bfloat16 serving
+    # path (the pre-promotion headline), reported alongside for comparison.
+    beng = EmbeddingEngine(
+        "ViT-B/32", batch_size=EMBED_BATCH, rng_seed=0, params_dtype="bfloat16"
+    )
+    bchained = _chained_encode(beng._encode_staged)
+    _sync(bchained(beng.params, sus, SUS_STEPS))
+    bf16_fps = 0.0
+    for _ in range(2):
+        t0 = time.perf_counter()
+        _sync(bchained(beng.params, sus, SUS_STEPS))
+        bf16_fps = max(bf16_fps, SUS_STEPS * SUS_BATCH / (time.perf_counter() - t0))
+    del beng, bchained
 
     # -- H2D bandwidth -----------------------------------------------------
     t0 = time.perf_counter()
@@ -412,8 +436,9 @@ def main() -> None:
         # interpretable; the number itself is still this run's truth.
         extras["onchip_note"] = (
             "TPU backend unavailable this run (backend_probe="
-            f"{backend_probe}); last recorded on-chip headline: "
-            "17347 f/s sustained bf16 (BENCH_r01/PERF.md, 2026-08-18)"
+            f"{backend_probe}); last recorded on-chip headlines: "
+            "22.7k f/s int8 (gated serving default, r3) / 17347 f/s bf16 "
+            "(BENCH_r02/PERF.md)"
         )
 
     print(
@@ -432,6 +457,8 @@ def main() -> None:
                 "p50_query_latency_ms_100k_batched32": round(batched_per_query, 3),
                 "p50_e2e_text_query_ms_100k": round(p50_e2e, 3),
                 "p50_fused_text_query_ms_100k": round(p50_fused, 3),
+                "headline_params_dtype": "int8",
+                "bf16_compute_fps": round(bf16_fps, 2),
                 "relay_rt_ms": round(relay_rt, 3),
                 "p50_device_query_latency_ms_100k": round(dev_vec, 3),
                 "p50_device_fused_text_query_ms_100k": round(dev_txt, 3),

@@ -346,6 +346,21 @@ class EmbeddingEngine:
     def available_models(self) -> list[str]:
         return list(self.models)
 
+    def set_params_dtype(self, params_dtype: str) -> None:
+        """Re-cast every registered model's weights in place (fp32/bf16 →
+        int8 promotion after the boot rank-agreement gate passes —
+        ``models.quant_gate.auto_params_dtype``). int8→float re-expansion
+        is not possible (quantization discards precision) and raises."""
+        if self.params_dtype == "int8" and params_dtype != "int8":
+            raise ValueError(
+                "cannot widen int8 weights back to "
+                f"{params_dtype}; rebuild the engine from the checkpoint"
+            )
+        self.params_dtype = params_dtype
+        for slot in self.models.values():
+            slot["clip"] = self._cast_params(slot["clip"])
+        self._text_cache.clear()
+
     @property
     def params(self):
         return self.models[self.active_model]["clip"]

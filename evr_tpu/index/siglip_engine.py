@@ -44,6 +44,7 @@ class SiglipEngine:
         batch_size: int = 64,
         compute_dtype: str = "float32",
         rng_seed: int = 0,
+        params_dtype: str = "float32",
     ):
         self.cfg = cfg or SiglipConfig()
         self.params = (
@@ -51,6 +52,23 @@ class SiglipEngine:
             if params is not None
             else init_siglip_params(jax.random.PRNGKey(rng_seed), self.cfg)
         )
+        self.params_dtype = params_dtype
+        if params_dtype == "int8":
+            # same block structure as CLIP towers → same quantizer; the
+            # MAP head / output projections stay fp (models/quant.py)
+            from evr_tpu.models.quant import quantize_siglip_params
+
+            self.params = quantize_siglip_params(self.params)
+        elif params_dtype == "bfloat16":
+            self.params = jax.tree.map(
+                lambda a: (
+                    jnp.asarray(a, jnp.bfloat16)
+                    if hasattr(a, "dtype")
+                    and jnp.issubdtype(jnp.asarray(a).dtype, jnp.floating)
+                    else a
+                ),
+                self.params,
+            )
         self.tokenize_fn = tokenize_fn
         self.batch_size = batch_size
         self._dtype = jnp.bfloat16 if compute_dtype == "bfloat16" else jnp.float32

@@ -101,3 +101,11 @@ def quantize_clip_params(params: Params) -> Params:
             tp["blocks"] = [_quantize_block(b) for b in tp["blocks"]]
             out[tower] = tp
     return out
+
+
+# SigLIP towers share the block parameter structure ({attn:{qkv,out},
+# mlp:{fc,proj}} under visual/text.blocks), so the same quantizer applies;
+# the MAP pooling head and output projections stay fp like CLIP's
+# embeddings/projections (models/siglip.py routes block linears through
+# layers.linear, which dispatches on the quantized structure).
+quantize_siglip_params = quantize_clip_params

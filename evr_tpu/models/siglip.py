@@ -34,7 +34,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from evr_tpu.models.layers import init_layer_norm, init_linear, layer_norm
+from evr_tpu.models.layers import init_layer_norm, init_linear, layer_norm, linear
 
 Params = Any
 LN_EPS_SIGLIP = 1e-6
@@ -170,30 +170,36 @@ def _gelu_tanh(x):
 def _mha(q, kv, p, n_heads: int, dtype) -> jax.Array:
     """Multi-head attention with packed qkv params; ``q`` [B, Tq, W] may
     differ from ``kv`` [B, Tk, W] (the MAP head's probe query). fp32
-    softmax."""
+    softmax. Projections route through ``layers.linear`` so int8-quantized
+    weights (models.quant) dispatch onto the MXU int8 path."""
     b, tq, w = q.shape
     tk = kv.shape[1]
     d = w // n_heads
-    qkv_k = p["qkv"]["kernel"].astype(dtype)
-    qkv_b = p["qkv"]["bias"].astype(dtype)
-    qh = (q @ qkv_k[:, :w] + qkv_b[:w]).reshape(b, tq, n_heads, d)
-    kh = (kv @ qkv_k[:, w : 2 * w] + qkv_b[w : 2 * w]).reshape(b, tk, n_heads, d)
-    vh = (kv @ qkv_k[:, 2 * w :] + qkv_b[2 * w :]).reshape(b, tk, n_heads, d)
+    if q is kv:  # self-attention: one packed projection
+        qkv = linear(q.astype(dtype), p["qkv"])
+        qp, kp, vp = qkv[..., :w], qkv[..., w : 2 * w], qkv[..., 2 * w :]
+    else:  # cross-attention (MAP probe): project each side, slice outputs
+        qp = linear(q.astype(dtype), p["qkv"])[..., :w]
+        kvp = linear(kv.astype(dtype), p["qkv"])
+        kp, vp = kvp[..., w : 2 * w], kvp[..., 2 * w :]
+    qh = qp.reshape(b, tq, n_heads, d)
+    kh = kp.reshape(b, tk, n_heads, d)
+    vh = vp.reshape(b, tk, n_heads, d)
     scores = jnp.einsum("bqhd,bkhd->bhqk", qh, kh) / jnp.sqrt(
         jnp.asarray(d, jnp.float32)
     ).astype(dtype)
     attn = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(dtype)
     out = jnp.einsum("bhqk,bkhd->bqhd", attn, vh).reshape(b, tq, w)
-    return out @ p["out"]["kernel"].astype(dtype) + p["out"]["bias"].astype(dtype)
+    return linear(out, p["out"])
 
 
 def _block(x, p, n_heads: int, dtype) -> jax.Array:
     h = layer_norm(x, p["ln_1"], eps=LN_EPS_SIGLIP)
     x = x + _mha(h, h, p["attn"], n_heads, dtype)
     h = layer_norm(x, p["ln_2"], eps=LN_EPS_SIGLIP)
-    h = h @ p["mlp"]["fc"]["kernel"].astype(dtype) + p["mlp"]["fc"]["bias"].astype(dtype)
+    h = linear(h.astype(dtype), p["mlp"]["fc"])
     h = _gelu_tanh(h)
-    h = h @ p["mlp"]["proj"]["kernel"].astype(dtype) + p["mlp"]["proj"]["bias"].astype(dtype)
+    h = linear(h, p["mlp"]["proj"])
     return x + h
 
 

@@ -58,11 +58,14 @@ def main():
     )
     parser.add_argument(
         "--params-dtype",
-        choices=["float32", "bfloat16", "int8"],
+        choices=["float32", "bfloat16", "int8", "auto"],
         default="float32",
         help="serving weight format: bf16 halves tower HBM; int8 quantizes "
-        "the block linears onto the MXU's int8 path (+14-17%% encode "
-        "throughput measured, rank-agreement tested — PERF.md)",
+        "the block linears onto the MXU's int8 path (+31%% encode "
+        "throughput measured, rank-agreement gated — PERF.md); auto runs "
+        "the rank-agreement gate over the ingested corpus at boot "
+        "(models/quant_gate.py) and serves int8 only when it passes "
+        "(bf16 otherwise)",
     )
     parser.add_argument(
         "--zeroshot-objects",
@@ -145,7 +148,13 @@ def main():
                 cfg=get_siglip_config(args.model), tokenize_fn=tokenize_fn
             )
     else:
-        engine = EmbeddingEngine(args.model, mesh=mesh, params_dtype=args.params_dtype)
+        engine = EmbeddingEngine(
+            args.model,
+            mesh=mesh,
+            params_dtype=(
+                "float32" if args.params_dtype == "auto" else args.params_dtype
+            ),
+        )
         if args.checkpoint:
             engine.load_finetuned(args.checkpoint, prefer_ema=args.use_ema)
     from evr_tpu.utils import get_logger
@@ -169,6 +178,13 @@ def main():
         annotator=annotator,
     )
     loaded = ctx.boot()
+    if args.params_dtype == "auto":
+        if args.model_family == "siglip":
+            parser.error("--params-dtype auto is CLIP-only; use int8/bfloat16 "
+                         "explicitly for siglip")
+        from evr_tpu.models.quant_gate import auto_params_dtype
+
+        auto_params_dtype(engine, ctx.data_root, log=log)
     log.info(
         "serving %d videos (%d frames) from %s on %s:%d",
         len(loaded),

@@ -110,9 +110,23 @@ def test_concurrent_search_during_upload(live_server, tmp_path):
                 headers={"Content-Type": f"multipart/form-data; boundary={boundary}"},
             )
             with urllib.request.urlopen(req, timeout=120) as resp:
-                assert resp.status == 200
+                # async-by-default upload: 202 + job id, then poll the
+                # status route until the ingest completes (searches keep
+                # running concurrently the whole time — the point of this test)
+                assert resp.status == 202
                 body = json.loads(resp.read())
-                assert body["status"] == "success"
+                assert body["status"] == "processing"
+            deadline = time.time() + 150
+            while time.time() < deadline:
+                with urllib.request.urlopen(
+                    f"{base}{body['status_url']}", timeout=30
+                ) as sresp:
+                    st = json.loads(sresp.read())
+                if st["state"] in ("done", "error"):
+                    break
+                time.sleep(0.3)
+            assert st["state"] == "done", st
+            assert st["status"] == "success"
         except Exception as e:  # pragma: no cover
             errors.append(e)
         finally:
