@@ -97,7 +97,8 @@ class IVFIndex:
     """
 
     def __init__(self):
-        self.emb = None           # [N, D] device
+        self.emb = None           # [N, D] device (fp32 / bf16 / int8)
+        self.row_scales = None    # [N] fp32 device — int8 storage only
         self.centroids = None     # [k, D] device
         self.list_rows = None     # [k, C] int32 device, -1 padded
         self.overflow = None      # [O] int32 device (may be size 0)
@@ -147,6 +148,103 @@ class IVFIndex:
         self.overflow = jnp.asarray(np.asarray(overflow, np.int32))
         return self
 
+    def build_device(
+        self,
+        x_dev,
+        n_clusters: int,
+        capacity_factor: float = 1.5,
+        iters: int = 10,
+        seed: int = 0,
+        train_rows: int = 524_288,
+        slab_rows: int = 1_000_000,
+        dtype: str = "bfloat16",
+        row_scales=None,
+    ) -> "IVFIndex":
+        """The 10M+-row build path: the corpus is ALREADY resident on
+        device (any float dtype) and is never round-tripped to the host —
+        essential on relayed transports where 10 GB of H2D costs minutes.
+
+        * k-means trains fp32 on a strided device sample of ``train_rows``
+          (the faiss practice — training on the full corpus buys nothing);
+        * assignment streams device slabs through one jitted argmax GEMM
+          (only the [N] int32 assignment crosses to the host, for the
+          list fill);
+        * ``dtype`` picks the resident storage: 'float32'/'bfloat16'
+          re-cast in place, or 'int8' — per-row symmetric scales
+          (`FrameIndex`'s scheme), 4× less HBM (5.1 GB at N=10M, D=512),
+          dequantised exactly at score time via the gathered row scales.
+        """
+        import jax.numpy as jnp
+
+        if dtype not in ("float32", "bfloat16", "int8"):
+            raise ValueError(f"unsupported IVF storage dtype {dtype!r}")
+        n, d = x_dev.shape
+        if n_clusters < 1 or n_clusters > n:
+            raise ValueError(f"n_clusters={n_clusters} must be in [1, {n}]")
+        pre_quantized = x_dev.dtype == jnp.int8
+        if pre_quantized:
+            # corpus arrives already int8-quantized with its per-row scales
+            # (the HBM-bound 10M+ recipe: nothing larger than the int8
+            # matrix ever exists). Spherical assignment is row-scale
+            # invariant (argmax_c s·x·c == argmax_c x·c for s > 0), so
+            # k-means and assignment run on the unscaled int8 rows.
+            if row_scales is None or dtype != "int8":
+                raise ValueError(
+                    "int8 x_dev requires row_scales and dtype='int8'"
+                )
+        stride = max(1, n // min(train_rows, n))
+        sample = jnp.asarray(x_dev[::stride][: min(train_rows, n)], jnp.float32)
+        cents, _ = kmeans(jax.random.PRNGKey(seed), sample, n_clusters, iters=iters)
+
+        @jax.jit
+        def assign_slab(slab, c):
+            return jnp.argmax(
+                slab.astype(jnp.float32) @ c.T, axis=1
+            ).astype(jnp.int32)
+
+        assign = np.concatenate(
+            [
+                np.asarray(assign_slab(x_dev[i : i + slab_rows], cents))
+                for i in range(0, n, slab_rows)
+            ]
+        )
+        capacity = max(1, int(np.ceil(n / n_clusters * capacity_factor)))
+        lists = np.full((n_clusters, capacity), -1, np.int32)
+        overflow: list = []
+        fill_inverted_lists(assign, lists, overflow)
+
+        if pre_quantized:
+            self.emb = x_dev
+            self.row_scales = jnp.asarray(row_scales, jnp.float32)
+        elif dtype == "int8":
+
+            @jax.jit
+            def quant_slab(slab):
+                s32 = slab.astype(jnp.float32)
+                scale = jnp.maximum(
+                    jnp.max(jnp.abs(s32), axis=1) / 127.0, 1e-12
+                )
+                q = jnp.round(s32 / scale[:, None]).astype(jnp.int8)
+                return q, scale
+
+            qs, scs = [], []
+            for i in range(0, n, slab_rows):
+                qa, sa = quant_slab(x_dev[i : i + slab_rows])
+                qs.append(qa)
+                scs.append(sa)
+            self.emb = jnp.concatenate(qs) if len(qs) > 1 else qs[0]
+            self.row_scales = jnp.concatenate(scs) if len(scs) > 1 else scs[0]
+        else:
+            target = jnp.bfloat16 if dtype == "bfloat16" else jnp.float32
+            self.emb = (
+                x_dev if x_dev.dtype == target else x_dev.astype(target)
+            )
+            self.row_scales = None
+        self.centroids = cents
+        self.list_rows = jnp.asarray(lists)
+        self.overflow = jnp.asarray(np.asarray(overflow, np.int32))
+        return self
+
     def append(self, emb_new: np.ndarray) -> np.ndarray:
         """Incremental add WITHOUT re-running k-means: assign new rows to
         their nearest existing centroid (one GEMM), fill free list slots,
@@ -172,9 +270,15 @@ class IVFIndex:
         lists = np.array(self.list_rows)  # writable host copy
         overflow = list(np.asarray(self.overflow))
         fill_inverted_lists(assign, lists, overflow, start_row=start)
-        self.emb = jnp.concatenate(
-            [self.emb, x.astype(self.emb.dtype)], axis=0
-        )
+        if self.row_scales is not None:  # int8 storage: quantize new rows
+            scale = jnp.maximum(jnp.max(jnp.abs(x), axis=1) / 127.0, 1e-12)
+            xq = jnp.round(x / scale[:, None]).astype(jnp.int8)
+            self.emb = jnp.concatenate([self.emb, xq], axis=0)
+            self.row_scales = jnp.concatenate([self.row_scales, scale])
+        else:
+            self.emb = jnp.concatenate(
+                [self.emb, x.astype(self.emb.dtype)], axis=0
+            )
         self.list_rows = jnp.asarray(lists)
         self.overflow = jnp.asarray(np.asarray(overflow, np.int32))
         return np.arange(start, start + len(emb_new))
@@ -206,6 +310,38 @@ class IVFIndex:
         top_rows = jnp.take_along_axis(cand, top_pos, axis=1)
         return top_scores, top_rows
 
+    @staticmethod
+    @functools.partial(jax.jit, static_argnames=("top_k", "nprobe"))
+    def _probe_search_int8(
+        q, emb_q, row_scales, cents, list_rows, overflow, top_k: int, nprobe: int
+    ):
+        """int8-storage variant: candidate rows gather as int8 (¼ the HBM
+        read), the GEMM runs bf16 with fp32 accumulation, and the exact
+        per-row scale multiplies back afterwards — the same symmetric
+        scheme FrameIndex's int8 tier uses."""
+        cscores = q @ cents.T
+        _, cids = jax.lax.top_k(cscores, nprobe)
+        cand = list_rows[cids].reshape(q.shape[0], -1)
+        if overflow.shape[0]:
+            cand = jnp.concatenate(
+                [cand, jnp.broadcast_to(overflow, (q.shape[0], overflow.shape[0]))],
+                axis=1,
+            )
+        valid = cand >= 0
+        safe = jnp.where(valid, cand, 0)
+        gathered = emb_q[safe]                             # [B, M, D] int8
+        scores = jnp.einsum(
+            "bd,bmd->bm",
+            q.astype(jnp.bfloat16),
+            gathered.astype(jnp.bfloat16),
+            preferred_element_type=jnp.float32,
+        )
+        scores = scores * row_scales[safe]
+        scores = jnp.where(valid, scores, -jnp.inf)
+        top_scores, top_pos = jax.lax.top_k(scores, top_k)
+        top_rows = jnp.take_along_axis(cand, top_pos, axis=1)
+        return top_scores, top_rows
+
     def search(
         self, queries: np.ndarray, top_k: int, nprobe: int
     ) -> tuple[np.ndarray, np.ndarray]:
@@ -217,23 +353,31 @@ class IVFIndex:
         q = jnp.asarray(np.atleast_2d(np.asarray(queries, np.float32)))
         cap = self.list_rows.shape[1] * nprobe + int(self.overflow.shape[0])
         top_k = max(1, min(top_k, cap, self.n_rows))
-        scores, rows = self._probe_search(
-            q, self.emb, self.centroids, self.list_rows, self.overflow,
-            top_k, nprobe,
-        )
+        if self.row_scales is not None:
+            scores, rows = self._probe_search_int8(
+                q, self.emb, self.row_scales, self.centroids,
+                self.list_rows, self.overflow, top_k, nprobe,
+            )
+        else:
+            scores, rows = self._probe_search(
+                q, self.emb, self.centroids, self.list_rows, self.overflow,
+                top_k, nprobe,
+            )
         scores = np.asarray(scores)
         rows = np.where(np.isfinite(scores), np.asarray(rows), -1)
         return scores, rows
 
     # -- persistence --------------------------------------------------------
     def save(self, path) -> None:
-        np.savez(
-            path,
+        payload = dict(
             emb=np.asarray(self.emb),
             centroids=np.asarray(self.centroids),
             list_rows=np.asarray(self.list_rows),
             overflow=np.asarray(self.overflow),
         )
+        if self.row_scales is not None:
+            payload["row_scales"] = np.asarray(self.row_scales)
+        np.savez(path, **payload)
 
     @classmethod
     def load(cls, path) -> "IVFIndex":
@@ -243,4 +387,6 @@ class IVFIndex:
         idx.centroids = jnp.asarray(z["centroids"])
         idx.list_rows = jnp.asarray(z["list_rows"])
         idx.overflow = jnp.asarray(z["overflow"].astype(np.int32))
+        if "row_scales" in z:
+            idx.row_scales = jnp.asarray(z["row_scales"])
         return idx

@@ -128,6 +128,106 @@ class IVFPQIndex:
         self._codes_t = None
         return self
 
+    def build_device(
+        self,
+        x_dev,
+        n_clusters: int,
+        n_subspaces: int = 64,
+        n_centroids: int = 256,
+        capacity_factor: float = 1.5,
+        coarse_iters: int = 10,
+        pq_iters: int = 10,
+        seed: int = 0,
+        train_rows: int = 524_288,
+        slab_rows: int = 1_000_000,
+        row_scales=None,
+    ) -> "IVFPQIndex":
+        """10M+-row build from a device-resident corpus, mirroring
+        ``IVFIndex.build_device``: coarse k-means AND the residual PQ
+        codebooks train fp32 on a strided sample; assignment + residual
+        encoding then stream device slabs (one jitted program per slab —
+        argmax GEMM, residual subtract, per-subspace L2 code argmin).
+        Only the [N] assignment crosses to the host; the uint8 codes
+        (S bytes/row — 640 MB at N=10M, S=64) stay resident. Originals are
+        NOT retained (no host re-rank at this tier).
+
+        ``row_scales``: pass when ``x_dev`` is an int8-quantized corpus
+        (per-row symmetric scales) — rows are dequantised slab-wise before
+        residual encoding so the PQ codebooks see true magnitudes."""
+        import jax.numpy as jnp
+
+        n, d = x_dev.shape
+        if d % n_subspaces:
+            raise ValueError(
+                f"embed dim {d} not divisible by n_subspaces={n_subspaces}"
+            )
+        if (x_dev.dtype == jnp.int8) != (row_scales is not None):
+            raise ValueError("int8 x_dev and row_scales go together")
+        if row_scales is not None:
+            row_scales = jnp.asarray(row_scales, jnp.float32)
+        stride = max(1, n // min(train_rows, n))
+        take = min(train_rows, n)
+        sample = jnp.asarray(x_dev[::stride][:take], jnp.float32)
+        if row_scales is not None:
+            sample = sample * row_scales[::stride][:take][:, None]
+        cents, s_assign = kmeans(
+            jax.random.PRNGKey(seed), sample, n_clusters, iters=coarse_iters
+        )
+        resid = sample - cents[s_assign]
+        m = resid.shape[0]
+        ds = d // n_subspaces
+        rs = resid.reshape(m, n_subspaces, ds).transpose(1, 0, 2)
+        keys = jax.random.split(jax.random.PRNGKey(seed + 1), n_subspaces)
+        books, _ = jax.vmap(
+            lambda k_, xs: kmeans_l2(k_, xs, n_centroids, iters=pq_iters)
+        )(keys, rs)
+
+        @jax.jit
+        def encode_slab(slab, scales, c, bks):
+            x = slab.astype(jnp.float32) * scales[:, None]
+            assign = jnp.argmax(x @ c.T, axis=1)
+            r = x - c[assign]
+            mm = r.shape[0]
+            rss = r.reshape(mm, n_subspaces, ds).transpose(1, 0, 2)
+            c_sq = jnp.sum(jnp.square(bks), axis=2)          # [S, K]
+            dots = jnp.einsum(
+                "smd,skd->smk", rss, bks, preferred_element_type=jnp.float32
+            )
+            codes = jnp.argmin(c_sq[:, None, :] - 2.0 * dots, axis=2)
+            return assign.astype(jnp.int32), codes.T.astype(jnp.uint8)
+
+        assigns, code_slabs = [], []
+        for i in range(0, n, slab_rows):
+            slab = x_dev[i : i + slab_rows]
+            scales = (
+                row_scales[i : i + slab_rows]
+                if row_scales is not None
+                else jnp.ones((slab.shape[0],), jnp.float32)
+            )
+            a, cd = encode_slab(slab, scales, cents, books)
+            assigns.append(np.asarray(a))
+            code_slabs.append(cd)
+        assign_np = np.concatenate(assigns)
+
+        from evr_tpu.index.ivf import fill_inverted_lists
+
+        capacity = max(1, int(np.ceil(n / n_clusters * capacity_factor)))
+        lists = np.full((n_clusters, capacity), -1, np.int32)
+        overflow: list = []
+        fill_inverted_lists(assign_np, lists, overflow)
+
+        self.centroids = cents
+        self.list_rows = jnp.asarray(lists)
+        self.overflow = jnp.asarray(np.asarray(overflow, np.int32))
+        self.codebooks = books
+        self.codes = (
+            jnp.concatenate(code_slabs) if len(code_slabs) > 1 else code_slabs[0]
+        )
+        self._coarse_assign = jnp.asarray(assign_np)
+        self._originals = None
+        self._codes_t = None
+        return self
+
     def append(self, emb_new: np.ndarray) -> np.ndarray:
         """Incremental add WITHOUT retraining: assign new rows to their
         nearest existing coarse centroid, encode their residuals with the

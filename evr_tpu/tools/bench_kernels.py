@@ -386,6 +386,157 @@ def _recall(rows, brute_rows) -> float:
     return hits / brute_rows.size
 
 
+def _device_corpus_int8(n: int, d: int, nq: int, slab_rows: int = 500_000,
+                        n_centers: int = 16_384, seed: int = 0):
+    """Clustered corpus generated DIRECTLY on device as int8 + per-row
+    scales — at N=10M, D=512 that is 5.1 GB HBM, and nothing (beyond the
+    [nq, D] queries) ever crosses the relayed host↔device link. Returns
+    (emb_int8 [N,D], scales [N], queries fp32 [nq,D])."""
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    key = jax.random.PRNGKey(seed)
+    kc, key = jax.random.split(key)
+    centers = jax.random.normal(kc, (n_centers, d), jnp.float32)
+    centers = centers / jnp.linalg.norm(centers, axis=1, keepdims=True)
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1), static_argnames=("m",))
+    def write_slab(buf, scales, k, c, start, m):
+        k1, k2 = jax.random.split(k)
+        cid = jax.random.randint(k1, (m,), 0, c.shape[0])
+        x = c[cid] + 0.25 * jax.random.normal(k2, (m, d), jnp.float32)
+        x = x / jnp.linalg.norm(x, axis=1, keepdims=True)
+        scale = jnp.maximum(jnp.max(jnp.abs(x), axis=1) / 127.0, 1e-12)
+        q = jnp.round(x / scale[:, None]).astype(jnp.int8)
+        buf = jax.lax.dynamic_update_slice(buf, q, (start, 0))
+        scales = jax.lax.dynamic_update_slice(scales, scale, (start,))
+        return buf, scales
+
+    buf = jnp.zeros((n, d), jnp.int8)
+    scales = jnp.ones((n,), jnp.float32)
+    for i in range(0, n, slab_rows):
+        key, sub = jax.random.split(key)
+        buf, scales = write_slab(
+            buf, scales, sub, centers, jnp.int32(i), min(slab_rows, n - i)
+        )
+    kq, key = jax.random.split(key)
+    q = buf[:nq].astype(jnp.float32) * scales[:nq, None]
+    q = q + 0.05 * jax.random.normal(kq, (nq, d), jnp.float32)
+    q = q / jnp.linalg.norm(q, axis=1, keepdims=True)
+    return buf, scales, np.asarray(q)
+
+
+def _brute_int8_chunked(q, buf, scales, slab_rows: int = 500_000, top_k: int = 10):
+    """Exact top-k over the full int8 corpus, streamed in device slabs
+    under the same scoring math the IVF int8 probe uses (bf16 inputs,
+    fp32 accumulation, per-row scale). Returns (rows [B,k], seconds)."""
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    @functools.partial(jax.jit, static_argnames=())
+    def slab_topk(qq, slab, sc):
+        s = jnp.einsum(
+            "bd,nd->bn",
+            qq.astype(jnp.bfloat16),
+            slab.astype(jnp.bfloat16),
+            preferred_element_type=jnp.float32,
+        ) * sc
+        return jax.lax.top_k(s, top_k)
+
+    qd = jnp.asarray(q)
+    n = buf.shape[0]
+
+    def run():
+        all_s, all_r = [], []
+        for i in range(0, n, slab_rows):
+            s, r = slab_topk(qd, buf[i : i + slab_rows], scales[i : i + slab_rows])
+            all_s.append(np.asarray(s))
+            all_r.append(np.asarray(r) + i)
+        s = np.concatenate(all_s, axis=1)
+        r = np.concatenate(all_r, axis=1)
+        order = np.argsort(-s, axis=1)[:, :top_k]
+        return np.take_along_axis(r, order, axis=1)
+
+    rows = run()  # compile + warm
+    t0 = time.perf_counter()
+    rows = run()
+    return rows, time.perf_counter() - t0
+
+
+def bench_ann_big(reps: int, rows: int, d: int = 512) -> None:
+    """VERDICT r2 #8: the ANN tiers MEASURED at claimed scale — a real
+    ≥10M-row on-chip build (int8 IVF ≈ rows·(D+4) bytes ≈ 5.1 GB at 10M;
+    IVF-PQ codes ≈ rows·S bytes ≈ 640 MB). Corpus is generated on device
+    (the relayed link would take ~10 min to upload it); queries are
+    near-corpus. Prints build seconds, ms/query-batch vs nprobe, and
+    recall@10 against the exact chunked scan of the same int8 corpus."""
+    from evr_tpu.index.ivf import IVFIndex
+    from evr_tpu.index.ivfpq import IVFPQIndex
+
+    nq = 8
+    print(f"generating {rows:,}x{d} int8 corpus on device…", flush=True)
+    t0 = time.perf_counter()
+    buf, scales, q = _device_corpus_int8(rows, d, nq)
+    float(jnp_sum_probe(scales))
+    print(f"  corpus gen: {time.perf_counter() - t0:.1f}s "
+          f"({rows * (d + 4) / 1e9:.2f} GB HBM)", flush=True)
+
+    b_rows, b_sec = _brute_int8_chunked(q, buf, scales)
+    print(f"N={rows:>11,}  exact chunked scan    : "
+          f"{b_sec * 1000:8.1f} ms/batch({nq})", flush=True)
+
+    k = 8192
+    t0 = time.perf_counter()
+    ivf = IVFIndex().build_device(
+        buf, n_clusters=k, capacity_factor=2.0, iters=6,
+        dtype="int8", row_scales=scales, slab_rows=500_000,
+    )
+    ivf_build = time.perf_counter() - t0
+    print(f"  ivf build (k={k}): {ivf_build:.1f}s "
+          f"(overflow pool: {int(ivf.overflow.shape[0]):,} rows)", flush=True)
+    for nprobe in (8, 32, 64):
+        ivf.search(q, 10, nprobe=nprobe)  # compile+warm
+        ms = _best_ms(lambda: ivf.search(q, 10, nprobe=nprobe), max(2, reps // 4))
+        _, rws = ivf.search(q, 10, nprobe=nprobe)
+        print(
+            f"N={rows:>11,}  ivf int8 nprobe={nprobe:>3}  : {ms:8.1f} "
+            f"ms/batch({nq})  recall@10={_recall(rws, b_rows):.3f}",
+            flush=True,
+        )
+    del ivf  # int8 emb is the shared buf (zero-copy) — only lists freed
+
+    sub = 64 if d % 64 == 0 else 32
+    t0 = time.perf_counter()
+    pq = IVFPQIndex().build_device(
+        buf, n_clusters=k, n_subspaces=sub, capacity_factor=2.0,
+        coarse_iters=6, pq_iters=6, row_scales=scales, slab_rows=500_000,
+    )
+    pq_build = time.perf_counter() - t0
+    print(f"  ivfpq build (k={k}, S={sub}): {pq_build:.1f}s "
+          f"({rows * sub / 1e9:.2f} GB codes)", flush=True)
+    for nprobe in (8, 32, 64):
+        pq.search(q, 10, nprobe=nprobe)
+        ms = _best_ms(lambda: pq.search(q, 10, nprobe=nprobe), max(2, reps // 4))
+        _, rws = pq.search(q, 10, nprobe=nprobe)
+        print(
+            f"N={rows:>11,}  ivfpq S={sub} nprobe={nprobe:>3}: {ms:8.1f} "
+            f"ms/batch({nq})  recall@10={_recall(rws, b_rows):.3f}",
+            flush=True,
+        )
+
+
+def jnp_sum_probe(x) -> float:
+    """Scalar fetch — the only reliable device sync on the relayed
+    transport (block_until_ready is a no-op there, CLAUDE.md)."""
+    import jax.numpy as jnp
+
+    return jnp.sum(x.astype(jnp.float32))
+
+
 def bench_ivf(reps: int, ns=(100_000, 1_000_000), d: int = 512) -> None:
     """IVF ANN vs brute-force GEMM at growing corpus sizes (recall@10 shown
     so the speed/recall trade is visible in one table)."""
@@ -472,6 +623,12 @@ def main() -> None:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("what", choices=["block", "attention", "encode", "int8", "sweep", "roofline", "captioner", "siglip", "ivf", "pq", "ivfpq", "all"])
     ap.add_argument("--reps", type=int, default=20, help="chained applications per dispatch")
+    ap.add_argument(
+        "--rows", type=int, default=None,
+        help="ivf/ivfpq: measure at this corpus size. Past 2M rows the "
+        "device-resident int8 path runs instead (corpus generated on-chip, "
+        "build_device streaming — the honest 10M+ measurement, VERDICT r2 #8)",
+    )
     args = ap.parse_args()
 
     import jax
@@ -499,7 +656,13 @@ def main() -> None:
     for name, fn in runs.items():
         if args.what in (name, "all"):
             print(f"== {name} ==")
-            fn(args.reps)
+            if name in ("ivf", "ivfpq") and args.rows:
+                if args.rows > 2_000_000:
+                    bench_ann_big(args.reps, args.rows)
+                    break  # shared corpus run covers both tiers
+                fn(args.reps, ns=(args.rows,))
+            else:
+                fn(args.reps)
 
 
 if __name__ == "__main__":

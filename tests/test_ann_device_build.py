@@ -1,0 +1,170 @@
+"""Device-native ANN builds (IVFIndex/IVFPQIndex.build_device) — the
+10M+-row path where the corpus never round-trips to the host
+(VERDICT r2 #8). Small-scale correctness on the CPU mesh; the 10M on-chip
+measurement lives in `bench_kernels ivf/ivfpq --rows 10000000` (PERF.md)."""
+
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+import jax.numpy as jnp
+
+from evr_tpu.index.ivf import IVFIndex
+from evr_tpu.index.ivfpq import IVFPQIndex
+
+
+@pytest.fixture(scope="module")
+def corpus():
+    rng = np.random.default_rng(0)
+    centers = rng.standard_normal((32, 64)).astype(np.float32)
+    emb = np.concatenate(
+        [c + 0.2 * rng.standard_normal((256, 64)).astype(np.float32) for c in centers]
+    )
+    emb /= np.linalg.norm(emb, axis=1, keepdims=True)
+    q = emb[rng.integers(0, len(emb), 16)] + 0.05 * rng.standard_normal((16, 64)).astype(np.float32)
+    q = (q / np.linalg.norm(q, axis=1, keepdims=True)).astype(np.float32)
+    brute = np.argsort(-(q @ emb.T), axis=1)[:, :10]
+    return emb, q, brute
+
+
+def _overlap(rows, brute):
+    return np.mean(
+        [len(set(r.tolist()) & set(b.tolist())) for r, b in zip(rows, brute)]
+    )
+
+
+def test_build_device_fp32_nprobe_k_is_exact(corpus):
+    emb, q, brute = corpus
+    idx = IVFIndex().build_device(
+        jnp.asarray(emb), n_clusters=32, iters=5, dtype="float32",
+        train_rows=2048, slab_rows=1000,
+    )
+    scores, rows = idx.search(q, 10, nprobe=32)
+    # nprobe = k reads every row → brute force reproduced
+    assert (np.sort(rows, axis=1) == np.sort(brute, axis=1)).all()
+
+
+def test_build_device_bf16_recall(corpus):
+    emb, q, brute = corpus
+    idx = IVFIndex().build_device(
+        jnp.asarray(emb), n_clusters=32, iters=5, dtype="bfloat16",
+        train_rows=2048, slab_rows=3000,
+    )
+    assert idx.emb.dtype == jnp.bfloat16
+    _, rows = idx.search(q, 10, nprobe=8)
+    assert _overlap(rows, brute) >= 8.0
+
+
+def test_build_device_int8_storage(corpus):
+    emb, q, brute = corpus
+    idx = IVFIndex().build_device(
+        jnp.asarray(emb), n_clusters=32, iters=5, dtype="int8",
+        train_rows=2048, slab_rows=1000,
+    )
+    assert idx.emb.dtype == jnp.int8 and idx.row_scales is not None
+    # nprobe=k ≡ brute force under the SAME scoring math the probe uses
+    # (bf16 inputs, fp32 accumulation, per-row scale) over every row
+    brute_scores = np.asarray(
+        jnp.einsum(
+            "bd,nd->bn",
+            jnp.asarray(q).astype(jnp.bfloat16),
+            idx.emb.astype(jnp.bfloat16),
+            preferred_element_type=jnp.float32,
+        )
+        * idx.row_scales
+    )
+    brute_q = np.argsort(-brute_scores, axis=1)[:, :10]
+    _, rows = idx.search(q, 10, nprobe=32)
+    assert (np.sort(rows, axis=1) == np.sort(brute_q, axis=1)).all()
+    # and int8 quantization keeps recall vs the fp32 exact rows
+    _, rows8 = idx.search(q, 10, nprobe=8)
+    assert _overlap(rows8, brute) >= 7.5
+
+
+def test_build_device_prequantized_matches_self_quantized(corpus):
+    emb, q, _ = corpus
+    x = jnp.asarray(emb)
+    a = IVFIndex().build_device(
+        x, n_clusters=16, iters=4, dtype="int8", train_rows=2048, slab_rows=2000
+    )
+    # quantize exactly the way build_device does, then feed pre-quantized
+    scale = np.maximum(np.abs(emb).max(axis=1) / 127.0, 1e-12).astype(np.float32)
+    xq = np.round(emb / scale[:, None]).astype(np.int8)
+    b = IVFIndex().build_device(
+        jnp.asarray(xq), n_clusters=16, iters=4, dtype="int8",
+        train_rows=2048, slab_rows=2000, row_scales=scale,
+    )
+    sa, ra = a.search(q, 10, nprobe=16)
+    sb, rb = b.search(q, 10, nprobe=16)
+    assert (np.sort(ra, axis=1) == np.sort(rb, axis=1)).all()
+    np.testing.assert_allclose(np.sort(sa, 1), np.sort(sb, 1), rtol=2e-2, atol=2e-2)
+
+
+def test_build_device_int8_requires_scales(corpus):
+    emb, _, _ = corpus
+    xq = np.zeros((100, 64), np.int8)
+    with pytest.raises(ValueError, match="row_scales"):
+        IVFIndex().build_device(jnp.asarray(xq), n_clusters=4, dtype="int8")
+
+
+def test_int8_append_preserves_search(corpus):
+    emb, q, _ = corpus
+    idx = IVFIndex().build_device(
+        jnp.asarray(emb[:4096]), n_clusters=16, iters=4, dtype="int8",
+        train_rows=2048, slab_rows=2000,
+    )
+    ids = idx.append(emb[4096:4296])
+    assert ids[0] == 4096 and idx.n_rows == 4296
+    assert idx.row_scales.shape[0] == 4296
+    _, rows = idx.search(emb[4100:4101], 10, nprobe=16)
+    assert 4100 in rows[0]  # the appended row finds itself
+
+
+def test_ivfpq_build_device_matches_host_build(corpus):
+    """Full-train, single-slab build_device is the SAME computation as the
+    host build (same seeds → same k-means → same codebooks → same codes):
+    search results must be identical."""
+    emb, q, _ = corpus
+    host = IVFPQIndex().build(
+        emb, n_clusters=32, n_subspaces=16, coarse_iters=5, pq_iters=5,
+        keep_originals=False,
+    )
+    dev = IVFPQIndex().build_device(
+        jnp.asarray(emb), n_clusters=32, n_subspaces=16,
+        coarse_iters=5, pq_iters=5, train_rows=len(emb), slab_rows=len(emb),
+    )
+    assert np.array_equal(np.asarray(host.codes), np.asarray(dev.codes))
+    _, hr = host.search(q, 10, nprobe=16)
+    _, dr = dev.search(q, 10, nprobe=16)
+    assert np.array_equal(hr, dr)
+
+
+def test_ivfpq_build_device_sample_trained_recall(corpus):
+    """Sample-trained codebooks (the 10M recipe) trade a little recall;
+    this corpus measures host-build 4.75/10 @ nprobe=16 without rerank —
+    the sampled build must stay in that neighbourhood, far above the
+    0.02/10 random floor."""
+    emb, q, brute = corpus
+    idx = IVFPQIndex().build_device(
+        jnp.asarray(emb), n_clusters=32, n_subspaces=16,
+        coarse_iters=5, pq_iters=5, train_rows=4096, slab_rows=3000,
+    )
+    assert idx.codes.shape == (len(emb), 16) and idx.codes.dtype == jnp.uint8
+    assert idx._originals is None
+    _, rows = idx.search(q, 10, nprobe=16)
+    assert _overlap(rows, brute) >= 3.0
+
+
+def test_ivfpq_build_device_prequantized(corpus):
+    emb, q, brute = corpus
+    scale = np.maximum(np.abs(emb).max(axis=1) / 127.0, 1e-12).astype(np.float32)
+    xq = np.round(emb / scale[:, None]).astype(np.int8)
+    idx = IVFPQIndex().build_device(
+        jnp.asarray(xq), n_clusters=32, n_subspaces=16,
+        coarse_iters=5, pq_iters=5, train_rows=4096, slab_rows=3000,
+        row_scales=scale,
+    )
+    _, rows = idx.search(q, 10, nprobe=16)
+    assert _overlap(rows, brute) >= 3.0
+    with pytest.raises(ValueError, match="go together"):
+        IVFPQIndex().build_device(jnp.asarray(xq), n_clusters=8, n_subspaces=16)
