@@ -139,6 +139,7 @@ class IVFPQIndex:
         pq_iters: int = 10,
         seed: int = 0,
         train_rows: int = 524_288,
+        pq_train_rows: int = 65_536,
         slab_rows: int = 1_000_000,
         row_scales=None,
     ) -> "IVFPQIndex":
@@ -173,7 +174,14 @@ class IVFPQIndex:
         cents, s_assign = kmeans(
             jax.random.PRNGKey(seed), sample, n_clusters, iters=coarse_iters
         )
-        resid = sample - cents[s_assign]
+        # PQ codebooks train on a SUB-sample of the coarse sample's
+        # residuals: 256 centroids per tiny subspace saturate well under
+        # 100k rows, and the vmapped [S, M, ds] k-means working set pads
+        # ds up to the (8,128) lane tile — at M=524k that padding alone is
+        # 16 GB, at M=65k it is 2 GB (the measured OOM this bounds).
+        pq_take = min(pq_train_rows, sample.shape[0])
+        pq_stride = max(1, sample.shape[0] // pq_take)
+        resid = (sample - cents[s_assign])[::pq_stride][:pq_take]
         m = resid.shape[0]
         ds = d // n_subspaces
         rs = resid.reshape(m, n_subspaces, ds).transpose(1, 0, 2)
