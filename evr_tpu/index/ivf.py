@@ -318,15 +318,17 @@ class IVFIndex:
         """int8-storage variant: candidate rows gather as int8 (¼ the HBM
         read), the GEMM runs bf16 with fp32 accumulation, and the exact
         per-row scale multiplies back afterwards — the same symmetric
-        scheme FrameIndex's int8 tier uses."""
+        scheme FrameIndex's int8 tier uses.
+
+        The overflow pool is scored as ONE shared [B, D] × [D, O] GEMM
+        instead of being replicated into every query's candidate gather:
+        at 10M-row scale the pool can hold 10⁵⁺ rows, and a per-query
+        [B, O, D] gather of it is a multi-GB materialisation (the measured
+        OOM this fixes) where the shared GEMM reads the rows once."""
+        b = q.shape[0]
         cscores = q @ cents.T
         _, cids = jax.lax.top_k(cscores, nprobe)
-        cand = list_rows[cids].reshape(q.shape[0], -1)
-        if overflow.shape[0]:
-            cand = jnp.concatenate(
-                [cand, jnp.broadcast_to(overflow, (q.shape[0], overflow.shape[0]))],
-                axis=1,
-            )
+        cand = list_rows[cids].reshape(b, -1)              # [B, nprobe*C]
         valid = cand >= 0
         safe = jnp.where(valid, cand, 0)
         gathered = emb_q[safe]                             # [B, M, D] int8
@@ -338,6 +340,19 @@ class IVFIndex:
         )
         scores = scores * row_scales[safe]
         scores = jnp.where(valid, scores, -jnp.inf)
+        if overflow.shape[0]:
+            ovf_rows = emb_q[overflow]                     # [O, D] int8, once
+            ovf_scores = jnp.einsum(
+                "bd,od->bo",
+                q.astype(jnp.bfloat16),
+                ovf_rows.astype(jnp.bfloat16),
+                preferred_element_type=jnp.float32,
+            ) * row_scales[overflow]
+            scores = jnp.concatenate([scores, ovf_scores], axis=1)
+            cand = jnp.concatenate(
+                [cand, jnp.broadcast_to(overflow, (b, overflow.shape[0]))],
+                axis=1,
+            )
         top_scores, top_pos = jax.lax.top_k(scores, top_k)
         top_rows = jnp.take_along_axis(cand, top_pos, axis=1)
         return top_scores, top_rows

@@ -91,10 +91,11 @@ class FrameIndex:
         self.device_dtype = device_dtype
         if search_impl not in ("xla", "pallas", "ivf", "ivfpq"):
             raise ValueError(f"unknown search_impl {search_impl!r}")
-        if search_impl in ("ivf", "ivfpq") and device_dtype == "int8":
+        if search_impl == "ivfpq" and device_dtype == "int8":
+            # PQ already compresses to S bytes/row; int8 storage of the
+            # originals buys nothing there
             raise ValueError(
-                f"search_impl={search_impl!r} supports float32/bfloat16 "
-                "storage only"
+                "search_impl='ivfpq' supports float32/bfloat16 storage only"
             )
         if search_impl in ("ivf", "ivfpq") and mesh is not None:
             raise ValueError(
@@ -262,17 +263,28 @@ class FrameIndex:
             from evr_tpu.index.ivf import IVFIndex
 
             k = self.ivf_clusters or max(1, int(round(total**0.5)))
-            self._ivf = IVFIndex().build(
-                full[:total],
-                n_clusters=min(k, total),
-                capacity_factor=1.3,
-                iters=6,
-                dtype=(
-                    "bfloat16"
-                    if self.device_dtype == "bfloat16"
-                    else "float32"
-                ),
-            )
+            if self.device_dtype == "int8":
+                # int8 inverted-file tier (4× less HBM; exact per-row
+                # dequant at score time — index/ivf.py build_device)
+                self._ivf = IVFIndex().build_device(
+                    jnp.asarray(full[:total]),
+                    n_clusters=min(k, total),
+                    capacity_factor=1.3,
+                    iters=6,
+                    dtype="int8",
+                )
+            else:
+                self._ivf = IVFIndex().build(
+                    full[:total],
+                    n_clusters=min(k, total),
+                    capacity_factor=1.3,
+                    iters=6,
+                    dtype=(
+                        "bfloat16"
+                        if self.device_dtype == "bfloat16"
+                        else "float32"
+                    ),
+                )
             self._ivf_built_rows = total
         elif self.search_impl == "ivfpq" and total > 1:
             from evr_tpu.index.ivfpq import IVFPQIndex

@@ -201,17 +201,29 @@ def test_frame_index_ivf_search_hits_resolve():
         assert np.isfinite(h.score)
 
 
-def test_frame_index_ivf_rejects_int8_and_mesh():
+def test_frame_index_ivf_rejects_mesh_and_accepts_int8():
     import pytest as _pytest
-
-    with _pytest.raises(ValueError, match="float32/bfloat16"):
-        _frame_index("ivf", device_dtype="int8")
 
     class FakeMesh:  # anything non-None must be rejected before use
         pass
 
     with _pytest.raises(ValueError, match="single-device"):
         _frame_index("ivf", mesh=FakeMesh())
+
+    # int8 IVF storage is a supported tier (4× less HBM, exact per-row
+    # dequant at score time); ivfpq keeps the rejection since PQ already
+    # compresses below int8.
+    rng = np.random.default_rng(21)
+    idx = _frame_index(
+        "ivf", device_dtype="int8", ivf_clusters=6, ivf_nprobe=6
+    )
+    _add_corpus(idx, rng, n_videos=1, frames=100)
+    emb = idx.get_embeddings("vid0")
+    s, r = idx.search_raw(emb[:8], 1)
+    np.testing.assert_array_equal(r[:, 0], np.arange(8))
+
+    with _pytest.raises(ValueError, match="float32/bfloat16"):
+        _frame_index("ivfpq", device_dtype="int8")
 
 
 def test_frame_index_ivf_bfloat16_storage_ranks_sanely():
@@ -355,8 +367,8 @@ def test_serving_context_plumbs_ivf_knobs():
 
 
 def test_serving_context_rejects_invalid_tier_combos_at_boot():
-    """ivf + int8 / ivf + mesh must fail at construction, not 500 on the
-    first request (per-model indexes build lazily)."""
+    """ivfpq + int8 must fail at construction, not 500 on the first
+    request (per-model indexes build lazily)."""
     import tempfile
 
     from evr_tpu.serving.context import ServingContext
@@ -370,5 +382,5 @@ def test_serving_context_rejects_invalid_tier_combos_at_boot():
     with pytest.raises(ValueError, match="float32/bfloat16"):
         ServingContext(
             tempfile.mkdtemp(), engine=StubEngine(),
-            search_impl="ivf", index_dtype="int8",
+            search_impl="ivfpq", index_dtype="int8",
         )
