@@ -8,9 +8,9 @@ column (`README.md:153-158` format: folder | caption | image with
 Here the translator is pluggable with the zero-egress
 `evr_tpu.query.translate.DictionaryTranslator` as the bundled local
 default; a network provider can be injected for full-fidelity output.
-Reads/writes the .csv rendering of the sheet (openpyxl is absent in this
-environment — `evaluation.datasets.load_excel_testset` consumes the same
-.csv directly).
+Reads/writes both the native .xlsx sheet (via the stdlib OOXML
+reader/writer in `evr_tpu.utils.xlsx` — no openpyxl needed) and its .csv
+rendering; `evaluation.datasets.load_excel_testset` consumes either.
 """
 
 from __future__ import annotations
@@ -26,17 +26,27 @@ def translate_testset_csv(
     translator: Callable[[str], str] | None = None,
     caption_column: str = "caption",
 ) -> int:
-    """Translate ``caption_column`` of a CSV test set in place of structure;
-    all other columns pass through untouched. Returns rows written."""
+    """Translate ``caption_column`` of a CSV or .xlsx test set in place of
+    structure; all other columns pass through untouched. Returns rows
+    written. .xlsx IO rides the stdlib OOXML reader/writer
+    (`evr_tpu.utils.xlsx`), so the reference's Excel sheets are handled
+    directly — no openpyxl, no CSV round-trip."""
     if translator is None:
         from evr_tpu.query.translate import DictionaryTranslator
 
         translator = DictionaryTranslator()
 
     in_path, out_path = pathlib.Path(in_path), pathlib.Path(out_path)
-    with open(in_path, newline="", encoding="utf-8") as f:
-        reader = csv.reader(f)
-        rows = list(reader)
+    if in_path.suffix.lower() == ".xlsx":
+        from evr_tpu.utils.xlsx import read_xlsx
+
+        sheets = read_xlsx(in_path)
+        raw = next(iter(sheets.values()), [])
+        rows = [["" if v is None else v for v in r] for r in raw]
+    else:
+        with open(in_path, newline="", encoding="utf-8") as f:
+            reader = csv.reader(f)
+            rows = list(reader)
     if not rows:
         raise ValueError(f"empty test set: {in_path}")
     header = rows[0]
@@ -47,26 +57,33 @@ def translate_testset_csv(
         )
     ci = cols[caption_column.lower()]
 
+    out_rows = [header]
     n = 0
-    with open(out_path, "w", newline="", encoding="utf-8") as f:
-        writer = csv.writer(f)
-        writer.writerow(header)
-        for row in rows[1:]:
-            if not row:
-                continue
-            row = list(row)
-            if len(row) <= ci:
-                raise ValueError(
-                    f"{in_path.name}: row {n + 2} has {len(row)} columns, "
-                    f"caption column is #{ci + 1}: {row!r}"
-                )
-            try:
-                row[ci] = translator(row[ci])
-            except Exception:
-                pass  # translator failure keeps the untranslated caption,
-                # as the reference does; structural errors raise above
-            writer.writerow(row)
-            n += 1
+    for row in rows[1:]:
+        if not row:
+            continue
+        row = list(row)
+        if len(row) <= ci:
+            raise ValueError(
+                f"{in_path.name}: row {n + 2} has {len(row)} columns, "
+                f"caption column is #{ci + 1}: {row!r}"
+            )
+        try:
+            row[ci] = translator(str(row[ci]))
+        except Exception:
+            pass  # translator failure keeps the untranslated caption,
+            # as the reference does; structural errors raise above
+        out_rows.append(row)
+        n += 1
+
+    if out_path.suffix.lower() == ".xlsx":
+        from evr_tpu.utils.xlsx import write_xlsx
+
+        write_xlsx(out_path, {"Sheet1": out_rows})
+    else:
+        with open(out_path, "w", newline="", encoding="utf-8") as f:
+            writer = csv.writer(f)
+            writer.writerows(out_rows)
     return n
 
 

@@ -134,6 +134,31 @@ class ModelComparison:
                     writer.writerow(row)
         return path
 
+    def save_xlsx(self, filename: str = "comparison_results.xlsx") -> pathlib.Path:
+        """Multi-sheet Excel report, matching the reference's
+        ``comparison_results.xlsx`` layout (`compare_models.py:1359-1381`:
+        Text-to-Image / Image-to-Text / Mean Metrics sheets, one row per
+        model) — written by the stdlib OOXML writer, no openpyxl."""
+        from evr_tpu.utils.xlsx import write_xlsx
+
+        self.output_dir.mkdir(parents=True, exist_ok=True)
+        metrics = ["R@1", "R@5", "R@10", "MRR", "Median_Rank", "Mean_Rank"]
+        sheets = {}
+        for title, key in (
+            ("Text-to-Image", "t2i"),
+            ("Image-to-Text", "i2t"),
+            ("Mean Metrics", "mean"),
+        ):
+            header = [""] + metrics + (["rsum"] if key == "mean" else [])
+            rows = [header]
+            for name, res in self.results.items():
+                row = [name] + [float(res[key][m]) for m in metrics]
+                if key == "mean":
+                    row.append(float(res["mean"]["rsum"]))
+                rows.append(row)
+            sheets[title] = rows
+        return write_xlsx(self.output_dir / filename, sheets)
+
     def save_charts(self, filename: str = "comparison_chart.png") -> pathlib.Path | None:
         try:
             import matplotlib

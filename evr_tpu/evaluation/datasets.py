@@ -80,17 +80,19 @@ def load_excel_testset(path, images_root) -> CaptionsTable:
 
     path = pathlib.Path(path)
     images_root = pathlib.Path(images_root)
-    if path.suffix.lower() in (".xlsx", ".xls"):
-        try:
-            df = pd.read_excel(path)
-        except (ImportError, ValueError) as e:
-            # pandas raises ImportError (engine missing) or ValueError
-            # (cannot determine format without an engine) depending on version
-            raise ImportError(
-                f"no Excel engine available to read {path.name} "
-                "(openpyxl not installed); export the 3-column sheet to .csv "
-                "— load_excel_testset reads it identically"
-            ) from e
+    if path.suffix.lower() == ".xlsx":
+        # stdlib OOXML reader (utils/xlsx.py) — no openpyxl needed
+        from evr_tpu.utils.xlsx import read_xlsx
+
+        sheets = read_xlsx(path)
+        rows = next(iter(sheets.values()), [])
+        if not rows:
+            raise ValueError(f"{path.name}: first sheet is empty")
+        width = max(len(r) for r in rows)
+        rows = [list(r) + [None] * (width - len(r)) for r in rows]
+        df = pd.DataFrame(rows[1:], columns=[str(c) for c in rows[0]])
+    elif path.suffix.lower() == ".xls":
+        df = pd.read_excel(path)  # legacy BIFF needs a real engine
     else:
         df = pd.read_csv(path)
     cols = {c.lower().strip(): c for c in df.columns}

@@ -3,6 +3,7 @@ from .diversify import mmr_order, mmr_select
 from .events import format_event_for_frontend
 from .strategies import QueryEngine, SEARCH_METHODS
 from .translate import DictionaryTranslator, VI_EN_PHRASES
+from .word_processing import VietnameseTextProcessor
 from .text import (
     DEFAULT_EN_STOPWORDS,
     QueryPreprocessor,
@@ -23,6 +24,7 @@ __all__ = [
     "QueryPreprocessor",
     "VietnamesePreprocessor",
     "DictionaryTranslator",
+    "VietnameseTextProcessor",
     "VI_EN_PHRASES",
     "DEFAULT_EN_STOPWORDS",
     "load_stopwords",

@@ -149,6 +149,12 @@ class DictionaryTranslator:
         )
         self._table = table
 
+    @property
+    def phrases(self) -> dict[str, str]:
+        """The phrase table (incl. accepted accent-folded spellings) —
+        consumed by ``VietnameseTextProcessor`` for accent restoration."""
+        return dict(self._table)
+
     def _walk(self, words: list[str]):
         """Longest-phrase-first walk: yields (consumed, replacement_or_None)
         per step — the single source of truth for __call__ and coverage."""

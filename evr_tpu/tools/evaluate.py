@@ -86,6 +86,7 @@ def main(argv=None):
     print(comp.format_table())
     print(f"wrote {comp.save_json()}")
     print(f"wrote {comp.save_csv()}")
+    print(f"wrote {comp.save_xlsx()}")
     chart = comp.save_charts()
     if chart:
         print(f"wrote {chart}")
