@@ -289,14 +289,13 @@ class IVFIndex:
     @staticmethod
     @functools.partial(jax.jit, static_argnames=("top_k", "nprobe"))
     def _probe_search(q, emb, cents, list_rows, overflow, top_k: int, nprobe: int):
+        """The overflow pool is scored as ONE shared [B,D]×[D,O] GEMM (read
+        once) rather than broadcast into every query's candidate gather —
+        the per-query [B,O,D] materialisation OOMs at 10M-row scale."""
+        b = q.shape[0]
         cscores = q @ cents.T                              # [B, k]
         _, cids = jax.lax.top_k(cscores, nprobe)           # [B, nprobe]
-        cand = list_rows[cids].reshape(q.shape[0], -1)     # [B, nprobe*C]
-        if overflow.shape[0]:
-            cand = jnp.concatenate(
-                [cand, jnp.broadcast_to(overflow, (q.shape[0], overflow.shape[0]))],
-                axis=1,
-            )
+        cand = list_rows[cids].reshape(b, -1)              # [B, nprobe*C]
         valid = cand >= 0
         gathered = emb[jnp.where(valid, cand, 0)]          # [B, M, D]
         scores = jnp.einsum(
@@ -306,6 +305,18 @@ class IVFIndex:
             preferred_element_type=jnp.float32,
         )
         scores = jnp.where(valid, scores, -jnp.inf)
+        if overflow.shape[0]:
+            ovf_scores = jnp.einsum(
+                "bd,od->bo",
+                q.astype(emb.dtype),
+                emb[overflow],
+                preferred_element_type=jnp.float32,
+            )
+            scores = jnp.concatenate([scores, ovf_scores], axis=1)
+            cand = jnp.concatenate(
+                [cand, jnp.broadcast_to(overflow, (b, overflow.shape[0]))],
+                axis=1,
+            )
         top_scores, top_pos = jax.lax.top_k(scores, top_k)
         top_rows = jnp.take_along_axis(cand, top_pos, axis=1)
         return top_scores, top_rows

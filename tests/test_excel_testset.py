@@ -60,18 +60,28 @@ def test_column_names_case_insensitive(images_root, tmp_path):
     assert len(table.captions) == 3
 
 
-def test_xlsx_without_engine_gives_actionable_error(images_root, tmp_path):
+def test_xlsx_loads_natively_and_corrupt_file_raises(images_root, tmp_path):
+    """.xlsx now loads through the stdlib OOXML reader (utils/xlsx.py) —
+    no openpyxl needed; a non-zip file still fails loudly, not silently."""
     pytest.importorskip("pandas")
-    try:
-        import openpyxl  # noqa: F401
+    import zipfile
 
-        pytest.skip("openpyxl installed; the fallback error path is moot")
-    except ImportError:
-        pass
-    fake = tmp_path / "testset.xlsx"
-    shutil.copy(FIXTURE, fake)
-    with pytest.raises(ImportError, match="csv"):
-        load_excel_testset(fake, images_root)
+    from evr_tpu.utils.xlsx import write_xlsx
+
+    rows = [["folder", "caption", "image"]]
+    with open(FIXTURE, newline="", encoding="utf-8") as f:
+        import csv as _csv
+
+        rows += list(_csv.reader(f))[1:]
+    native = tmp_path / "testset.xlsx"
+    write_xlsx(native, {"Sheet1": rows})
+    table = load_excel_testset(native, images_root)
+    assert len(table.captions) > 0
+
+    corrupt = tmp_path / "corrupt.xlsx"
+    shutil.copy(FIXTURE, corrupt)  # CSV bytes with an .xlsx name
+    with pytest.raises(zipfile.BadZipFile):
+        load_excel_testset(corrupt, images_root)
 
 
 def test_eval_consumes_multi_gt(images_root):
