@@ -490,30 +490,36 @@ def _brute_int8_scan(q, buf, scales, slab_rows: int = 500_000, top_k: int = 10):
     return rows, time.perf_counter() - t0
 
 
-def _chained_search_ms(probe_call, queries, n_chain: int = 2) -> float:
+def _chained_search_ms(probe_call, queries, ops=(), n_chain: int = 2) -> float:
     """Device-side per-query latency: scan ``probe_call`` over each query
     inside ONE jitted dispatch, sync once — the chained methodology
     bench.py's headline uses (a per-dispatch timing charges a full relay
-    round trip to every query on this transport). Returns ms/query."""
+    round trip to every query on this transport). Returns ms/query.
+
+    The index operands (``ops``) MUST be passed here, not closed over:
+    closed-over device arrays become jaxpr CONSTANTS, and at the 10M-row
+    tier that ships the 5 GB corpus to the remote compiler, which breaks
+    the compile (measured: 'Broken pipe' at 5.26 GB of captured
+    constants — the CLAUDE.md closure rule, rediscovered)."""
     import jax
     import jax.numpy as jnp
 
     qd = jnp.asarray(queries)
 
     @jax.jit
-    def chained(qs):
+    def chained(qs, *ops_):
         def body(c, q1):
-            s, _ = probe_call(q1[None])
+            s, _ = probe_call(q1[None], *ops_)
             return c + jnp.sum(s), None
 
         out, _ = jax.lax.scan(body, jnp.float32(0), qs)
         return out
 
-    float(chained(qd))  # compile + warm
+    float(chained(qd, *ops))  # compile + warm
     best = float("inf")
     for _ in range(3):
         t0 = time.perf_counter()
-        float(chained(qd))
+        float(chained(qd, *ops))
         best = min(best, (time.perf_counter() - t0) / len(queries) * 1000)
     return best
 
@@ -555,11 +561,12 @@ def bench_ann_big(reps: int, rows: int, d: int = 512) -> None:
         _, rws = ivf.search(q, 10, nprobe=nprobe)  # compile + recall rows
         ms = _best_ms(lambda: ivf.search(q, 10, nprobe=nprobe), max(2, reps // 4))
         dev_ms = _chained_search_ms(
-            lambda q1, _np=nprobe: _IVF._probe_search_int8(
-                q1, ivf.emb, ivf.row_scales, ivf.centroids,
-                ivf.list_rows, ivf.overflow, 10, _np,
+            lambda q1, *ops, _np=nprobe: _IVF._probe_search_int8(
+                q1, *ops, 10, _np,
             ),
             q,
+            ops=(ivf.emb, ivf.row_scales, ivf.centroids,
+                 ivf.list_rows, ivf.overflow),
         )
         print(
             f"N={rows:>11,}  ivf int8 nprobe={nprobe:>3}  : {ms:8.1f} "
@@ -584,11 +591,12 @@ def bench_ann_big(reps: int, rows: int, d: int = 512) -> None:
         _, rws = pq.search(q, 10, nprobe=nprobe)
         ms = _best_ms(lambda: pq.search(q, 10, nprobe=nprobe), max(2, reps // 4))
         dev_ms = _chained_search_ms(
-            lambda q1, _np=nprobe: IVFPQIndex._probe_adc_search(
-                q1, pq.centroids, pq.list_rows, pq.overflow,
-                pq._coarse_assign, pq.codebooks, pq._codes_t, 10, _np,
+            lambda q1, *ops, _np=nprobe: IVFPQIndex._probe_adc_search(
+                q1, *ops, 10, _np,
             ),
             q,
+            ops=(pq.centroids, pq.list_rows, pq.overflow,
+                 pq._coarse_assign, pq.codebooks, pq._codes_t),
         )
         print(
             f"N={rows:>11,}  ivfpq S={sub} nprobe={nprobe:>3}: {ms:8.1f} "
