@@ -550,23 +550,25 @@ def bench_ann_big(reps: int, rows: int, d: int = 512) -> None:
 
     k = 8192
     t0 = time.perf_counter()
+    # capacity_factor 1.3 (not the unpacked default): the packed layout
+    # materialises capacity_factor× the int8 bytes NEXT TO the caller's
+    # corpus — 1.3 keeps packed(6.7 GB)+corpus(5.2 GB) inside HBM at 10M
     ivf = IVFIndex().build_device(
-        buf, n_clusters=k, capacity_factor=2.0, iters=6,
+        buf, n_clusters=k, capacity_factor=1.3, iters=6,
         dtype="int8", row_scales=scales, slab_rows=500_000,
     )
     ivf_build = time.perf_counter() - t0
-    print(f"  ivf build (k={k}): {ivf_build:.1f}s "
+    print(f"  ivf build (k={k}, packed): {ivf_build:.1f}s "
           f"(overflow pool: {int(ivf.overflow.shape[0]):,} rows)", flush=True)
     for nprobe in (8, 32, 64, 128):
         _, rws = ivf.search(q, 10, nprobe=nprobe)  # compile + recall rows
         ms = _best_ms(lambda: ivf.search(q, 10, nprobe=nprobe), max(2, reps // 4))
         dev_ms = _chained_search_ms(
-            lambda q1, *ops, _np=nprobe: _IVF._probe_search_int8(
+            lambda q1, *ops, _np=nprobe: _IVF._probe_search_packed(
                 q1, *ops, 10, _np,
             ),
             q,
-            ops=(ivf.emb, ivf.row_scales, ivf.centroids,
-                 ivf.list_rows, ivf.overflow),
+            ops=ivf._packed_ops(),
         )
         print(
             f"N={rows:>11,}  ivf int8 nprobe={nprobe:>3}  : {ms:8.1f} "
@@ -575,7 +577,7 @@ def bench_ann_big(reps: int, rows: int, d: int = 512) -> None:
             f"recall1@10={_recall_1_at_k(rws, b_rows):.3f}",
             flush=True,
         )
-    del ivf  # int8 emb is the shared buf (zero-copy) — only lists freed
+    del ivf  # frees the packed block array before the PQ build
 
     sub = 64 if d % 64 == 0 else 32
     t0 = time.perf_counter()

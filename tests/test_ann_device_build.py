@@ -50,7 +50,7 @@ def test_build_device_bf16_recall(corpus):
         jnp.asarray(emb), n_clusters=32, iters=5, dtype="bfloat16",
         train_rows=2048, slab_rows=3000,
     )
-    assert idx.emb.dtype == jnp.bfloat16
+    assert idx.packed and idx.emb_lists.dtype == jnp.bfloat16
     _, rows = idx.search(q, 10, nprobe=8)
     assert _overlap(rows, brute) >= 8.0
 
@@ -59,7 +59,7 @@ def test_build_device_int8_storage(corpus):
     emb, q, brute = corpus
     idx = IVFIndex().build_device(
         jnp.asarray(emb), n_clusters=32, iters=5, dtype="int8",
-        train_rows=2048, slab_rows=1000,
+        train_rows=2048, slab_rows=1000, packed=False,
     )
     assert idx.emb.dtype == jnp.int8 and idx.row_scales is not None
     # nprobe=k ≡ brute force under the SAME scoring math the probe uses
@@ -115,9 +115,74 @@ def test_int8_append_preserves_search(corpus):
     )
     ids = idx.append(emb[4096:4296])
     assert ids[0] == 4096 and idx.n_rows == 4296
-    assert idx.row_scales.shape[0] == 4296
+    covered = int((np.asarray(idx.id_lists) >= 0).sum()) + int(
+        idx.overflow.shape[0]
+    )
+    assert covered == 4296  # every row still lives exactly once
     _, rows = idx.search(emb[4100:4101], 10, nprobe=16)
     assert 4100 in rows[0]  # the appended row finds itself
+
+
+def test_packed_matches_unpacked_full_probe(corpus):
+    """The packed [k, C, D] block layout is a pure data-layout change:
+    full-probe results must match the row-id layout exactly, int8 and
+    fp32, including forced-overflow corpora (capacity_factor=1.0)."""
+    emb, q, _ = corpus
+    for dtype in ("int8", "float32"):
+        kw = dict(
+            n_clusters=16, iters=4, dtype=dtype, train_rows=2048,
+            slab_rows=2000, capacity_factor=1.0,
+        )
+        packed = IVFIndex().build_device(jnp.asarray(emb), **kw)
+        unpacked = IVFIndex().build_device(
+            jnp.asarray(emb), packed=False, **kw
+        )
+        assert packed.packed and not unpacked.packed
+        assert packed.overflow.shape[0] > 0  # cf=1.0 must spill
+        sp, rp = packed.search(q, 10, nprobe=16)
+        su, ru = unpacked.search(q, 10, nprobe=16)
+        assert (np.sort(rp, axis=1) == np.sort(ru, axis=1)).all(), dtype
+        np.testing.assert_allclose(
+            np.sort(sp, 1), np.sort(su, 1), rtol=1e-5, atol=1e-5
+        )
+
+
+def test_packed_append_spills_and_stays_exact(corpus):
+    emb, _, _ = corpus
+    idx = IVFIndex().build_device(
+        jnp.asarray(emb[:2000]), n_clusters=8, iters=4, dtype="int8",
+        train_rows=2000, slab_rows=2000, capacity_factor=1.02,
+    )
+    before_ovf = int(idx.overflow.shape[0])
+    idx.append(emb[2000:2400])  # tight capacity → most must spill
+    assert idx.n_rows == 2400
+    covered = int((np.asarray(idx.id_lists) >= 0).sum()) + int(
+        idx.overflow.shape[0]
+    )
+    assert covered == 2400
+    assert int(idx.overflow.shape[0]) > before_ovf
+    assert idx.overflow_emb.shape[0] == int(idx.overflow.shape[0])
+    # full probe after append ≡ brute force under the probe's scoring math
+    sub = emb[:2400]
+    _, rows = idx.search(sub[:8], 1, nprobe=8)
+    assert (rows[:, 0] == np.arange(8)).all()
+    _, rows2 = idx.search(sub[2395:2400], 1, nprobe=8)
+    assert (rows2[:, 0] == np.arange(2395, 2400)).all()
+
+
+def test_packed_save_load_roundtrip(corpus, tmp_path):
+    emb, q, _ = corpus
+    idx = IVFIndex().build_device(
+        jnp.asarray(emb[:3000]), n_clusters=8, iters=4, dtype="int8",
+        train_rows=2048, slab_rows=2000, capacity_factor=1.1,
+    )
+    s0, r0 = idx.search(q, 10, nprobe=8)
+    idx.save(tmp_path / "packed.npz")
+    back = IVFIndex.load(tmp_path / "packed.npz")
+    assert back.packed and back.n_rows == idx.n_rows
+    s1, r1 = back.search(q, 10, nprobe=8)
+    assert np.array_equal(r0, r1)
+    np.testing.assert_allclose(s0, s1, rtol=1e-6, atol=1e-6)
 
 
 def test_ivfpq_build_device_matches_host_build(corpus):
