@@ -102,10 +102,11 @@ class IVFIndex:
         self.centroids = None     # [k, D] device
         self.list_rows = None     # [k, C] int32 device, -1 padded
         self.overflow = None      # [O] int32 device (may be size 0)
-        # packed layout (build_device default — see _pack_device):
-        self.emb_lists = None     # [k, C, D] device, list rows CONTIGUOUS
-        self.scale_lists = None   # [k, C] fp32 — int8 storage only
-        self.id_lists = None      # [k, C] int32 corpus row ids, -1 padded
+        # packed layout (build_device default — see _pack_device): list i's
+        # rows live CONTIGUOUSLY at flat rows [i*C, (i+1)*C)
+        self.emb_lists = None     # [k*C, D] device
+        self.scale_lists = None   # [k*C] fp32 — int8 storage only
+        self.id_lists = None      # [k*C] int32 corpus row ids, -1 padded
         self.overflow_emb = None  # [O, D] device
         self.overflow_scales = None  # [O] fp32 — int8 storage only
         self._n_rows = 0
@@ -127,7 +128,7 @@ class IVFIndex:
     @property
     def _capacity(self) -> int:
         if self.packed:
-            return int(self.emb_lists.shape[1])
+            return int(self.emb_lists.shape[0]) // self.n_clusters
         return int(self.list_rows.shape[1])
 
     @property
@@ -240,6 +241,12 @@ class IVFIndex:
             ]
         )
         capacity = max(1, int(np.ceil(n / n_clusters * capacity_factor)))
+        if packed:
+            # tile-align the per-list block: a [C, D] dynamic_slice at an
+            # 8-aligned row offset is copy-free under the TPU's (8, 128)
+            # tiling — unaligned C made XLA relayout the ENTIRE operand
+            # (measured: a 6.2 GB copy per dispatch at N=10M)
+            capacity = (capacity + 7) // 8 * 8
         lists = np.full((n_clusters, capacity), -1, np.int32)
         overflow: list = []
         fill_inverted_lists(assign, lists, overflow)
@@ -287,9 +294,9 @@ class IVFIndex:
         return self
 
     def _pack_device(self, x_dev, src_scales, lists, overflow, dtype) -> None:
-        """Materialise the packed [k, C, D] block layout on device: gather
-        each list's rows into contiguous slots (chunked to bound transient
-        memory; the scattered row-gather happens ONCE here instead of on
+        """Materialise the packed flat layout on device: list i's rows land
+        contiguously at flat rows [i·C, (i+1)·C) (chunked writes bound the
+        transient; the scattered row-gather happens ONCE here instead of on
         every query), quantizing per row when ``dtype='int8'``. Pad slots
         hold row 0's bytes and are masked via ``id_lists < 0`` at search
         time."""
@@ -300,21 +307,21 @@ class IVFIndex:
             jnp.int8 if int8
             else (jnp.bfloat16 if dtype == "bfloat16" else jnp.float32)
         )
-        ids_host = lists
-        self.id_lists = jnp.asarray(ids_host)
+        ids_flat = jnp.asarray(lists.reshape(-1))
+        self.id_lists = ids_flat
         self._n_rows = n
 
-        out = jnp.zeros((k, capacity, d), store)
-        scl = jnp.zeros((k, capacity), jnp.float32) if int8 else None
-        # chunk so the gathered fp32 transient stays ≲256 MB
+        out = jnp.zeros((k * capacity, d), store)
+        scl = jnp.zeros((k * capacity,), jnp.float32) if int8 else None
+        # chunk (in lists) so the gathered fp32 transient stays ≲256 MB
         chunk = max(1, (64 << 20) // max(1, capacity * d))
 
         @functools.partial(jax.jit, donate_argnums=(0, 1))
         def write_pre_q(buf, sbuf, x, sc, idc, start):
             safe = jnp.where(idc >= 0, idc, 0)
             rows = x[safe]
-            buf = jax.lax.dynamic_update_slice(buf, rows, (start, 0, 0))
-            sbuf = jax.lax.dynamic_update_slice(sbuf, sc[safe], (start, 0))
+            buf = jax.lax.dynamic_update_slice(buf, rows, (start, 0))
+            sbuf = jax.lax.dynamic_update_slice(sbuf, sc[safe], (start,))
             return buf, sbuf
 
         @functools.partial(jax.jit, donate_argnums=(0, 1))
@@ -323,21 +330,21 @@ class IVFIndex:
             r32 = x[safe].astype(jnp.float32)
             scale = jnp.maximum(jnp.max(jnp.abs(r32), axis=-1) / 127.0, 1e-12)
             q = jnp.round(r32 / scale[..., None]).astype(jnp.int8)
-            buf = jax.lax.dynamic_update_slice(buf, q, (start, 0, 0))
-            sbuf = jax.lax.dynamic_update_slice(sbuf, scale, (start, 0))
+            buf = jax.lax.dynamic_update_slice(buf, q, (start, 0))
+            sbuf = jax.lax.dynamic_update_slice(sbuf, scale, (start,))
             return buf, sbuf
 
         @functools.partial(jax.jit, donate_argnums=(0,))
         def write_cast(buf, x, idc, start):
             safe = jnp.where(idc >= 0, idc, 0)
             return jax.lax.dynamic_update_slice(
-                buf, x[safe].astype(store), (start, 0, 0)
+                buf, x[safe].astype(store), (start, 0)
             )
 
         pre_q = src_scales is not None
         for i in range(0, k, chunk):
-            idc = self.id_lists[i : i + chunk]
-            start = jnp.int32(i)
+            idc = ids_flat[i * capacity : (i + chunk) * capacity]
+            start = jnp.int32(i * capacity)
             if pre_q:
                 out, scl = write_pre_q(out, scl, x_dev, src_scales, idc, start)
             elif int8:
@@ -382,7 +389,7 @@ class IVFIndex:
         slots in one dispatch instead (`_append_packed`)."""
         if self.emb is None and not self.packed:
             raise ValueError("IVFIndex.append before build()")
-        d = self.emb_lists.shape[2] if self.packed else self.emb.shape[1]
+        d = self.emb_lists.shape[1] if self.packed else self.emb.shape[1]
         emb_new = np.asarray(emb_new, np.float32)
         if emb_new.ndim != 2 or emb_new.shape[1] != d:
             raise ValueError(
@@ -419,7 +426,10 @@ class IVFIndex:
         int8 = self.scale_lists is not None
         x = jnp.asarray(emb_new)
         assign = np.asarray(jnp.argmax(x @ self.centroids.T, axis=1))
-        fill = np.asarray((np.asarray(self.id_lists) >= 0).sum(axis=1))
+        fill = (
+            (np.asarray(self.id_lists).reshape(-1, capacity) >= 0)
+            .sum(axis=1)
+        )
 
         li, si, ri, ovf_ri = [], [], [], []
         for i, c in enumerate(assign):
@@ -438,16 +448,16 @@ class IVFIndex:
             xq, scale = x.astype(self.emb_lists.dtype), None
 
         if li:
-            li_a, si_a = jnp.asarray(li), jnp.asarray(si)
+            flat = jnp.asarray(
+                np.asarray(li, np.int64) * capacity + np.asarray(si, np.int64)
+            )
             ri_a = jnp.asarray(ri)
-            self.emb_lists = self.emb_lists.at[li_a, si_a].set(xq[ri_a])
-            self.id_lists = self.id_lists.at[li_a, si_a].set(
+            self.emb_lists = self.emb_lists.at[flat].set(xq[ri_a])
+            self.id_lists = self.id_lists.at[flat].set(
                 (start + np.asarray(ri)).astype(np.int32)
             )
             if int8:
-                self.scale_lists = self.scale_lists.at[li_a, si_a].set(
-                    scale[ri_a]
-                )
+                self.scale_lists = self.scale_lists.at[flat].set(scale[ri_a])
         if ovf_ri:
             ovf_a = jnp.asarray(ovf_ri)
             self.overflow_emb = jnp.concatenate(
@@ -554,40 +564,55 @@ class IVFIndex:
         return top_scores, top_rows
 
     @staticmethod
-    @functools.partial(jax.jit, static_argnames=("top_k", "nprobe"))
+    @functools.partial(
+        jax.jit, static_argnames=("top_k", "nprobe", "capacity")
+    )
     def _probe_search_packed(
         q, emb_lists, scale_lists, id_lists, cents,
         overflow_emb, overflow_scales, overflow_ids,
-        top_k: int, nprobe: int,
+        top_k: int, nprobe: int, capacity: int,
     ):
-        """Packed-layout probe: ``emb_lists[cids]`` reads nprobe CONTIGUOUS
-        [C, D] blocks per query (~C·D-byte DMA chunks) instead of gathering
-        tens of thousands of scattered rows — the measured 10M-row
-        row-gather ran at ~22 GB/s effective vs the dense scan's near-peak
-        HBM stream, which made unpacked IVF slower than exact brute force
-        at that scale. int8 storage (scale_lists not None) scores bf16 with
-        fp32 accumulation and exact per-row dequant, like every other int8
-        tier. Overflow pool rides one shared [B,D]×[D,O] GEMM."""
+        """Packed-layout probe: list i's rows live contiguously at flat
+        rows [i·C, (i+1)·C), so each probed list is ONE copy-free
+        `dynamic_slice` (C is 8-aligned → tile-aligned under the TPU's
+        (8, 128) tiling). The measured 10M-row alternatives both lose:
+        per-row gathers run at ~22 GB/s effective (scattered 512-byte
+        reads), and a [k, C, D] block gather makes XLA relayout the entire
+        6 GB operand per dispatch. Probes run under `lax.scan` (vmapped
+        over the query batch inside each step) so peak temp stays at
+        B·C·D bytes for ANY nprobe — compiler-verified ~0 HLO temp at the
+        N=10M geometry. int8 storage (scale_lists not None) scores bf16
+        with fp32 accumulation and exact per-row dequant; the overflow
+        pool rides one shared [B,D]×[D,O] GEMM."""
         b = q.shape[0]
         int8 = scale_lists is not None
         comp = jnp.bfloat16 if int8 else emb_lists.dtype
+        qh = q.astype(comp)
+        d = emb_lists.shape[1]
         cscores = q @ cents.T                               # [B, k]
         _, cids = jax.lax.top_k(cscores, nprobe)            # [B, nprobe]
-        blocks = emb_lists[cids]                            # [B, n, C, D]
-        ids = id_lists[cids].reshape(b, -1)                 # [B, n*C]
-        scores = jnp.einsum(
-            "bd,bncd->bnc",
-            q.astype(comp),
-            blocks.astype(comp),
-            preferred_element_type=jnp.float32,
-        ).reshape(b, -1)
-        if int8:
-            scores = scores * scale_lists[cids].reshape(b, -1)
-        scores = jnp.where(ids >= 0, scores, -jnp.inf)
+        starts = (cids * capacity).T                        # [nprobe, B]
+
+        def step(carry, st):                                # st: [B]
+            def one(s, qb):
+                rows = jax.lax.dynamic_slice(emb_lists, (s, 0), (capacity, d))
+                ids = jax.lax.dynamic_slice(id_lists, (s,), (capacity,))
+                sco = (rows.astype(comp) @ qb).astype(jnp.float32)
+                if int8:
+                    sc = jax.lax.dynamic_slice(scale_lists, (s,), (capacity,))
+                    sco = sco * sc
+                return jnp.where(ids >= 0, sco, -jnp.inf), ids
+
+            sco, ids = jax.vmap(one)(st, qh)                # [B, C] each
+            return carry, (sco, ids)
+
+        _, (sco, ids) = jax.lax.scan(step, 0, starts)       # [np, B, C]
+        scores = sco.transpose(1, 0, 2).reshape(b, -1)
+        ids = ids.transpose(1, 0, 2).reshape(b, -1)
         if overflow_emb.shape[0]:
             ovf_scores = jnp.einsum(
                 "bd,od->bo",
-                q.astype(comp),
+                qh,
                 overflow_emb.astype(comp),
                 preferred_element_type=jnp.float32,
             )
@@ -623,7 +648,7 @@ class IVFIndex:
         top_k = max(1, min(top_k, cap, self.n_rows))
         if self.packed:
             scores, rows = self._probe_search_packed(
-                q, *self._packed_ops(), top_k, nprobe,
+                q, *self._packed_ops(), top_k, nprobe, self._capacity,
             )
         elif self.row_scales is not None:
             scores, rows = self._probe_search_int8(

@@ -564,8 +564,8 @@ def bench_ann_big(reps: int, rows: int, d: int = 512) -> None:
         _, rws = ivf.search(q, 10, nprobe=nprobe)  # compile + recall rows
         ms = _best_ms(lambda: ivf.search(q, 10, nprobe=nprobe), max(2, reps // 4))
         dev_ms = _chained_search_ms(
-            lambda q1, *ops, _np=nprobe: _IVF._probe_search_packed(
-                q1, *ops, 10, _np,
+            lambda q1, *ops, _np=nprobe, _c=ivf._capacity: (
+                _IVF._probe_search_packed(q1, *ops, 10, _np, _c)
             ),
             q,
             ops=ivf._packed_ops(),
