@@ -15,11 +15,18 @@ TPU-first):
   quantize much finer. Codebooks train with the vmapped Euclidean k-means
   from `pq.kmeans_l2`.
 - **Search** (one jitted dispatch): centroid GEMM → top-nprobe lists →
-  gather candidate row-ids and their [M, S] codes → ADC. The score
-  decomposes exactly as ``q·x ≈ q·c + q·residual``: the first term is the
-  already-computed centroid score broadcast over the list, the second is a
-  per-query [S, K] table accumulated over subspaces with a `lax.scan` of
-  [B, M] gathers (working set [B, M], never [B, M, S]).
+  ADC over each probed list's codes. The score decomposes exactly as
+  ``q·x ≈ q·c_stored + q·residual``: the first term is the centroid score
+  already in hand, the second comes from the per-query [S·K] flat table
+  (64 KB fp32 — VMEM-resident). The packed layout (`build_device`
+  default) stores list i's codes contiguously at flat rows
+  [i·C, (i+1)·C) so each probe is one copy-free [C, S] `dynamic_slice` +
+  C·S table lookups; the legacy host-build layout scans subspaces with
+  [B, M] gathers through the [S, N] code matrix (fine at ≤1M rows, the
+  measured 10M cost was 94 ms/query). Full-list rows spill to their
+  next-nearest centroid's list (residual re-encoded against the stored
+  list's centroid — the decomposition stays coherent), so the overflow
+  pool that every query must ADC stays ~empty.
 - **Re-rank** (optional): exact host re-score of the top-R candidates
   against originals retained in HOST memory.
 
@@ -56,9 +63,22 @@ class IVFPQIndex:
         self._coarse_assign = None  # [N] int32 (overflow scoring)
         self._originals = None  # [N, D] HOST fp32 (only if kept)
         self._codes_t = None    # [S, N] uint8 scan operand (lazy)
+        # packed layout (build_device default — mirrors ivf.IVFIndex):
+        # list i's CODES live contiguously at flat rows [i·C, (i+1)·C)
+        self.codes_lists = None     # [k*C, S] uint8
+        self.id_lists = None        # [k*C] int32 corpus row ids, -1 padded
+        self.overflow_codes = None  # [O, S] uint8
+        self._overflow_assign = None  # [O] int32 coarse centroid per row
+        self._n_rows = 0
+
+    @property
+    def packed(self) -> bool:
+        return self.codes_lists is not None
 
     @property
     def n_rows(self) -> int:
+        if self.packed:
+            return self._n_rows
         return 0 if self.codes is None else int(self.codes.shape[0])
 
     @property
@@ -66,7 +86,15 @@ class IVFPQIndex:
         return 0 if self.centroids is None else int(self.centroids.shape[0])
 
     @property
+    def _capacity(self) -> int:
+        if self.packed:
+            return int(self.codes_lists.shape[0]) // self.n_clusters
+        return int(self.list_rows.shape[1])
+
+    @property
     def code_bytes(self) -> int:
+        if self.packed:
+            return self._n_rows * int(self.codes_lists.shape[1])
         return 0 if self.codes is None else int(np.prod(self.codes.shape))
 
     def build(
@@ -80,6 +108,7 @@ class IVFPQIndex:
         pq_iters: int = 10,
         seed: int = 0,
         keep_originals: bool = True,
+        spill_choices: int = 4,
     ) -> "IVFPQIndex":
         emb = np.asarray(emb, np.float32)
         n, d = emb.shape
@@ -100,8 +129,31 @@ class IVFPQIndex:
         )
         assign_np = np.asarray(assign)
 
-        # residuals from the coarse centroid — the fine quantizer's input
-        resid = x - cents[assign]
+        # inverted lists: identical placement semantics to ivf.IVFIndex —
+        # corpus-order fill, full-list rows try their next-nearest
+        # centroids (spill_choices), the rest reach the overflow pool
+        from evr_tpu.index.ivf import fill_inverted_lists_multi
+
+        m = max(1, min(spill_choices, n_clusters))
+        if m > 1:
+            _, topm = jax.lax.top_k(x @ cents.T, m)
+            topm = np.asarray(topm)
+        else:
+            topm = assign_np.reshape(-1, 1)
+        capacity = max(1, int(np.ceil(n / n_clusters * capacity_factor)))
+        lists = np.full((n_clusters, capacity), -1, np.int32)
+        overflow: list = []
+        placement = fill_inverted_lists_multi(topm, lists, overflow)
+
+        # residuals from each row's STORED centroid (its list's centroid;
+        # overflow rows use their nearest) — the fine quantizer's input.
+        # Keeping encoding and placement coherent preserves the
+        # q·x ≈ q·c_stored + q·r̃ decomposition for spilled rows.
+        enc_cent = np.where(placement >= 0, placement, assign_np).astype(
+            np.int32
+        )
+        enc_cent_j = jnp.asarray(enc_cent)
+        resid = x - cents[enc_cent_j]
         ds = d // n_subspaces
         rs = resid.reshape(n, n_subspaces, ds).transpose(1, 0, 2)  # [S,N,d]
         keys = jax.random.split(jax.random.PRNGKey(seed + 1), n_subspaces)
@@ -109,21 +161,12 @@ class IVFPQIndex:
             lambda k_, xs: kmeans_l2(k_, xs, n_centroids, iters=pq_iters)
         )(keys, rs)
 
-        # inverted lists: identical semantics to ivf.IVFIndex.build —
-        # corpus-order fill, beyond-capacity rows spill to the overflow pool
-        from evr_tpu.index.ivf import fill_inverted_lists
-
-        capacity = max(1, int(np.ceil(n / n_clusters * capacity_factor)))
-        lists = np.full((n_clusters, capacity), -1, np.int32)
-        overflow: list = []
-        fill_inverted_lists(assign_np, lists, overflow)
-
         self.centroids = cents
         self.list_rows = jnp.asarray(lists)
         self.overflow = jnp.asarray(np.asarray(overflow, np.int32))
         self.codebooks = books
         self.codes = codes.T.astype(jnp.uint8)       # [N, S]
-        self._coarse_assign = jnp.asarray(assign_np)  # [N] (overflow scoring)
+        self._coarse_assign = enc_cent_j              # [N] (overflow scoring)
         self._originals = emb if keep_originals else None
         self._codes_t = None
         return self
@@ -142,15 +185,28 @@ class IVFPQIndex:
         pq_train_rows: int = 65_536,
         slab_rows: int = 1_000_000,
         row_scales=None,
+        packed: bool = True,
+        spill_choices: int = 4,
     ) -> "IVFPQIndex":
         """10M+-row build from a device-resident corpus, mirroring
         ``IVFIndex.build_device``: coarse k-means AND the residual PQ
         codebooks train fp32 on a strided sample; assignment + residual
-        encoding then stream device slabs (one jitted program per slab —
-        argmax GEMM, residual subtract, per-subspace L2 code argmin).
-        Only the [N] assignment crosses to the host; the uint8 codes
+        encoding then stream device slabs. Only the [N, M] choice ranking
+        crosses to the host (for the list fill); the uint8 codes
         (S bytes/row — 640 MB at N=10M, S=64) stay resident. Originals are
         NOT retained (no host re-rank at this tier).
+
+        ``packed`` (default) stores each list's CODES contiguously at flat
+        rows [i·C, (i+1)·C) — probing then dynamic-slices nprobe [C, S]
+        blocks instead of gathering candidate codes row-by-row through the
+        [S, N] matrix (the measured 10M-row cost of that path: 94 ms/query
+        at nprobe=8, the 64-step scan of [B, 1.5M] gathers). Residuals are
+        encoded against each row's STORED list centroid, so spilled rows
+        (``spill_choices``) keep the q·c + q·r̃ decomposition coherent.
+        ``packed=False`` keeps the legacy row-gather layout and forces
+        single-choice placement (its search scores every candidate against
+        the probed list's centroid, which is only coherent for top-1
+        placement).
 
         ``row_scales``: pass when ``x_dev`` is an int8-quantized corpus
         (per-row symmetric scales) — rows are dequantised slab-wise before
@@ -190,50 +246,146 @@ class IVFPQIndex:
             lambda k_, xs: kmeans_l2(k_, xs, n_centroids, iters=pq_iters)
         )(keys, rs)
 
-        @jax.jit
-        def encode_slab(slab, scales, c, bks):
-            x = slab.astype(jnp.float32) * scales[:, None]
-            assign = jnp.argmax(x @ c.T, axis=1)
-            r = x - c[assign]
-            mm = r.shape[0]
-            rss = r.reshape(mm, n_subspaces, ds).transpose(1, 0, 2)
-            c_sq = jnp.sum(jnp.square(bks), axis=2)          # [S, K]
-            dots = jnp.einsum(
-                "smd,skd->smk", rss, bks, preferred_element_type=jnp.float32
-            )
-            codes = jnp.argmin(c_sq[:, None, :] - 2.0 * dots, axis=2)
-            return assign.astype(jnp.int32), codes.T.astype(jnp.uint8)
+        from evr_tpu.index.ivf import fill_inverted_lists_multi
 
-        assigns, code_slabs = [], []
-        for i in range(0, n, slab_rows):
-            slab = x_dev[i : i + slab_rows]
-            scales = (
-                row_scales[i : i + slab_rows]
-                if row_scales is not None
-                else jnp.ones((slab.shape[0],), jnp.float32)
-            )
-            a, cd = encode_slab(slab, scales, cents, books)
-            assigns.append(np.asarray(a))
-            code_slabs.append(cd)
-        assign_np = np.concatenate(assigns)
+        mc = max(1, min(spill_choices, n_clusters)) if packed else 1
 
-        from evr_tpu.index.ivf import fill_inverted_lists
+        @functools.partial(jax.jit, static_argnames=("mm",))
+        def assign_slab(slab, scales, c, mm):
+            sco = (slab.astype(jnp.float32) * scales[:, None]) @ c.T
+            if mm == 1:
+                return jnp.argmax(sco, axis=1).astype(jnp.int32)[:, None]
+            return jax.lax.top_k(sco, mm)[1].astype(jnp.int32)
 
+        def slab_scales(i, mrows):
+            if row_scales is not None:
+                return row_scales[i : i + mrows]
+            return jnp.ones((mrows,), jnp.float32)
+
+        topm = np.concatenate(
+            [
+                np.asarray(
+                    assign_slab(
+                        x_dev[i : i + slab_rows],
+                        slab_scales(i, min(slab_rows, n - i)),
+                        cents,
+                        mc,
+                    )
+                )
+                for i in range(0, n, slab_rows)
+            ]
+        )
         capacity = max(1, int(np.ceil(n / n_clusters * capacity_factor)))
+        if packed:
+            # 8-aligned [C, S] blocks slice copy-free under (8, 128) tiling
+            capacity = (capacity + 7) // 8 * 8
         lists = np.full((n_clusters, capacity), -1, np.int32)
         overflow: list = []
-        fill_inverted_lists(assign_np, lists, overflow)
+        placement = fill_inverted_lists_multi(topm, lists, overflow)
+        enc_cent = np.where(placement >= 0, placement, topm[:, 0]).astype(
+            np.int32
+        )
 
         self.centroids = cents
+        self.codebooks = books
+        self._originals = None
+        self._codes_t = None
+        c_sq = jnp.sum(jnp.square(books), axis=2)            # [S, K]
+
+        def encode_resid(rows, cent_ids):
+            r = rows - cents[cent_ids]
+            mm = r.shape[0]
+            rss = r.reshape(mm, n_subspaces, ds).transpose(1, 0, 2)
+            dots = jnp.einsum(
+                "smd,skd->smk", rss, books,
+                preferred_element_type=jnp.float32,
+            )
+            return jnp.argmin(
+                c_sq[:, None, :] - 2.0 * dots, axis=2
+            ).T.astype(jnp.uint8)                             # [mm, S]
+
+        if packed:
+            ones = (
+                row_scales
+                if row_scales is not None
+                else jnp.ones((n,), jnp.float32)
+            )
+            ids_flat = jnp.asarray(lists.reshape(-1))
+            k = n_clusters
+            buf = jnp.zeros((k * capacity, n_subspaces), jnp.uint8)
+            # chunk (in lists) bounds the gathered fp32 transient ≲256 MB
+            chunk = max(1, (64 << 20) // max(1, capacity * d))
+
+            @functools.partial(jax.jit, donate_argnums=(0,))
+            def pack_chunk(b, x, sc, idc, cent_ids, start):
+                safe = jnp.where(idc >= 0, idc, 0)
+                rows = x[safe].astype(jnp.float32) * sc[safe][:, None]
+                codes = encode_resid(rows, cent_ids)
+                return jax.lax.dynamic_update_slice(b, codes, (start, 0))
+
+            cent_of_slot = np.repeat(
+                np.arange(k, dtype=np.int32), capacity
+            )
+            for i in range(0, k, chunk):
+                lo, hi = i * capacity, min(k, i + chunk) * capacity
+                buf = pack_chunk(
+                    buf, x_dev, ones,
+                    ids_flat[lo:hi],
+                    jnp.asarray(cent_of_slot[lo:hi]),
+                    jnp.int32(lo),
+                )
+            self.codes_lists = buf
+            self.id_lists = ids_flat
+            self._n_rows = n
+            self.overflow = jnp.asarray(np.asarray(overflow, np.int32))
+            if len(overflow):
+                ovf = np.asarray(overflow, np.int64)
+                oa = jnp.asarray(enc_cent[ovf])
+
+                @jax.jit
+                def encode_overflow(x, sc, rows_idx, cent_ids):
+                    rows = (
+                        x[rows_idx].astype(jnp.float32)
+                        * sc[rows_idx][:, None]
+                    )
+                    return encode_resid(rows, cent_ids)
+
+                self.overflow_codes = encode_overflow(
+                    x_dev, ones, jnp.asarray(ovf), oa
+                )
+                self._overflow_assign = oa
+            else:
+                self.overflow_codes = jnp.zeros(
+                    (0, n_subspaces), jnp.uint8
+                )
+                self._overflow_assign = jnp.zeros((0,), jnp.int32)
+            self.codes = None
+            self.list_rows = None
+            self._coarse_assign = None
+            return self
+
+        # legacy unpacked layout: [N, S] codes in corpus order, residuals
+        # vs each row's nearest centroid (placement is single-choice here)
+        @jax.jit
+        def encode_slab_codes(slab, scales, cent_ids):
+            x = slab.astype(jnp.float32) * scales[:, None]
+            return encode_resid(x, cent_ids)
+
+        enc_j = jnp.asarray(enc_cent)
+        code_slabs = [
+            encode_slab_codes(
+                x_dev[i : i + slab_rows],
+                slab_scales(i, min(slab_rows, n - i)),
+                enc_j[i : i + slab_rows],
+            )
+            for i in range(0, n, slab_rows)
+        ]
         self.list_rows = jnp.asarray(lists)
         self.overflow = jnp.asarray(np.asarray(overflow, np.int32))
-        self.codebooks = books
         self.codes = (
             jnp.concatenate(code_slabs) if len(code_slabs) > 1 else code_slabs[0]
         )
-        self._coarse_assign = jnp.asarray(assign_np)
-        self._originals = None
-        self._codes_t = None
+        self._coarse_assign = enc_j
         return self
 
     def append(self, emb_new: np.ndarray) -> np.ndarray:
@@ -246,7 +398,7 @@ class IVFPQIndex:
         outgrows the build-time training (FrameIndex applies a 1.5× bound
         for serving). Every-row-lives-exactly-once is preserved.
         """
-        if self.codes is None:
+        if self.codes is None and not self.packed:
             raise ValueError("IVFPQIndex.append before build()")
         emb_new = np.asarray(emb_new, np.float32)
         d = int(self.centroids.shape[1])
@@ -254,6 +406,8 @@ class IVFPQIndex:
             raise ValueError(
                 f"append rows must be (M, {d}), got {emb_new.shape}"
             )
+        if self.packed:
+            return self._append_packed(emb_new)
         start = self.n_rows
         m = len(emb_new)
         x = jnp.asarray(emb_new)
@@ -286,6 +440,74 @@ class IVFPQIndex:
         if self._originals is not None:
             self._originals = np.concatenate([self._originals, emb_new], axis=0)
         self._codes_t = None
+        return np.arange(start, start + m)
+
+    def _append_packed(self, emb_new: np.ndarray) -> np.ndarray:
+        """Packed-layout append, mirroring `IVFIndex._append_packed`:
+        assign each new row its nearest centroid, residual-encode against
+        it with the FROZEN codebooks, scatter free-slot placements into
+        the [k·C, S] code blocks in one `.at[]` dispatch, spill the rest
+        (codes + coarse assignment) to the overflow pool."""
+        start = self.n_rows
+        capacity = self._capacity
+        m = len(emb_new)
+        x = jnp.asarray(emb_new)
+        s, k, ds = self.codebooks.shape
+        assign = jnp.argmax(x @ self.centroids.T, axis=1)
+        resid = x - self.centroids[assign]
+        rs = resid.reshape(m, s, ds).transpose(1, 0, 2)
+        c_sq = jnp.sum(jnp.square(self.codebooks), axis=2)
+        dots = jnp.einsum(
+            "smd,skd->smk", rs, self.codebooks,
+            preferred_element_type=jnp.float32,
+        )
+        codes_new = jnp.argmin(
+            c_sq[:, None, :] - 2.0 * dots, axis=2
+        ).T.astype(jnp.uint8)                                  # [M, S]
+
+        assign_np = np.asarray(assign)
+        fill = (
+            (np.asarray(self.id_lists).reshape(-1, capacity) >= 0)
+            .sum(axis=1)
+        )
+        li, si, ri, ovf_ri = [], [], [], []
+        for i, c in enumerate(assign_np):
+            if fill[c] < capacity:
+                li.append(int(c))
+                si.append(int(fill[c]))
+                ri.append(i)
+                fill[c] += 1
+            else:
+                ovf_ri.append(i)
+        if li:
+            flat = jnp.asarray(
+                np.asarray(li, np.int64) * capacity + np.asarray(si, np.int64)
+            )
+            ri_a = jnp.asarray(ri)
+            self.codes_lists = self.codes_lists.at[flat].set(codes_new[ri_a])
+            self.id_lists = self.id_lists.at[flat].set(
+                (start + np.asarray(ri)).astype(np.int32)
+            )
+        if ovf_ri:
+            ovf_a = jnp.asarray(ovf_ri)
+            self.overflow_codes = jnp.concatenate(
+                [self.overflow_codes, codes_new[ovf_a]], axis=0
+            )
+            self._overflow_assign = jnp.concatenate(
+                [
+                    self._overflow_assign,
+                    jnp.asarray(assign_np[ovf_ri].astype(np.int32)),
+                ]
+            )
+            self.overflow = jnp.concatenate(
+                [
+                    self.overflow,
+                    jnp.asarray(
+                        (start + np.asarray(ovf_ri)).astype(np.int32)
+                    ),
+                ]
+            )
+        self._n_rows += m
         return np.arange(start, start + m)
 
     # Large arrays are ARGUMENTS, not closures: closed-over device arrays
@@ -349,6 +571,73 @@ class IVFPQIndex:
         top_scores, top_pos = jax.lax.top_k(scores, top_k)
         return top_scores, jnp.take_along_axis(cand, top_pos, axis=1)
 
+    @staticmethod
+    @functools.partial(
+        jax.jit, static_argnames=("top_k", "nprobe", "capacity")
+    )
+    def _probe_adc_search_packed(
+        q, cents, books, codes_lists, id_lists,
+        overflow_codes, overflow_assign, overflow_ids,
+        top_k: int, nprobe: int, capacity: int,
+    ):
+        """Packed-layout ADC: list i's codes live contiguously at flat
+        rows [i·C, (i+1)·C), so each probed list is ONE copy-free
+        [C, S] `dynamic_slice`; its ADC is C·S lookups into the query's
+        flattened [S·K] table (64 KB fp32 at S=64, K=256 — VMEM-resident)
+        instead of the legacy path's per-subspace [B, M] gathers through
+        the full [S, N] code matrix. Probes run under `lax.scan` (vmapped
+        over the query batch inside each step) so the working set stays
+        [B, C, S] for any nprobe. The coarse term rides along as scan xs:
+        every row in a list was residual-encoded against THAT list's
+        centroid (spill-aware build), so q·c_list + q·r̃ is coherent."""
+        b = q.shape[0]
+        s, kk, ds = books.shape
+        qs = q.reshape(b, s, ds).transpose(1, 0, 2)          # [S, B, d]
+        tables = jnp.einsum(
+            "sbd,skd->bsk", qs, books,
+            preferred_element_type=jnp.float32,
+        )                                                     # [B, S, K]
+        tables_flat = tables.reshape(b, s * kk)
+        offs = (jnp.arange(s, dtype=jnp.int32) * kk)[None, :]  # [1, S]
+
+        cscores = q @ cents.T                                 # [B, k]
+        cvals, cids = jax.lax.top_k(cscores, nprobe)          # [B, nprobe]
+        starts = (cids * capacity).T                          # [nprobe, B]
+        coarse = cvals.T                                      # [nprobe, B]
+
+        def step(carry, inp):
+            st, co = inp                                      # [B], [B]
+
+            def one(s0, tflat, c0):
+                blk = jax.lax.dynamic_slice(
+                    codes_lists, (s0, 0), (capacity, s)
+                )                                             # [C, S] u8
+                ids = jax.lax.dynamic_slice(id_lists, (s0,), (capacity,))
+                idx = blk.astype(jnp.int32) + offs            # [C, S]
+                looked = jnp.take(tflat, idx, axis=0)         # [C, S]
+                sco = c0 + jnp.sum(looked, axis=1)
+                return jnp.where(ids >= 0, sco, -jnp.inf), ids
+
+            sco, ids = jax.vmap(one)(st, tables_flat, co)     # [B, C] each
+            return carry, (sco, ids)
+
+        _, (sco, ids) = jax.lax.scan(step, 0, (starts, coarse))
+        scores = sco.transpose(1, 0, 2).reshape(b, -1)
+        ids = ids.transpose(1, 0, 2).reshape(b, -1)
+        if overflow_ids.shape[0]:
+            o = overflow_ids.shape[0]
+            oidx = (overflow_codes.astype(jnp.int32) + offs).reshape(-1)
+            looked = jax.vmap(
+                lambda t: jnp.take(t, oidx).reshape(o, s)
+            )(tables_flat)                                    # [B, O, S]
+            ovf = jnp.sum(looked, axis=2) + cscores[:, overflow_assign]
+            scores = jnp.concatenate([scores, ovf], axis=1)
+            ids = jnp.concatenate(
+                [ids, jnp.broadcast_to(overflow_ids, (b, o))], axis=1
+            )
+        top_scores, top_pos = jax.lax.top_k(scores, top_k)
+        return top_scores, jnp.take_along_axis(ids, top_pos, axis=1)
+
     def search(
         self,
         queries: np.ndarray,
@@ -359,22 +648,30 @@ class IVFPQIndex:
         """(scores [B, k], row ids [B, k]); unreachable slots carry
         (-inf, -1). Without ``rerank`` scores are the ADC approximation
         q·c + q̃·r̃; with it, exact cosines of the re-scored candidates."""
-        if self.codes is None:
+        if self.codes is None and not self.packed:
             raise ValueError("IVFPQIndex.search before build()")
         if rerank is not None and self._originals is None:
             raise ValueError("rerank requires keep_originals=True at build")
         nprobe = max(1, min(nprobe, self.n_clusters))
         q = jnp.asarray(np.atleast_2d(np.asarray(queries, np.float32)))
-        cap = self.list_rows.shape[1] * nprobe + int(self.overflow.shape[0])
+        cap = self._capacity * nprobe + int(self.overflow.shape[0])
         fetch = max(1, min(top_k if rerank is None else max(top_k, rerank),
                            cap, self.n_rows))
-        if self._codes_t is None:
-            self._codes_t = self.codes.T  # [S, N] uint8 scan operand
-        scores, rows = self._probe_adc_search(
-            q, self.centroids, self.list_rows, self.overflow,
-            self._coarse_assign, self.codebooks, self._codes_t,
-            fetch, nprobe,
-        )
+        if self.packed:
+            scores, rows = self._probe_adc_search_packed(
+                q, self.centroids, self.codebooks,
+                self.codes_lists, self.id_lists,
+                self.overflow_codes, self._overflow_assign, self.overflow,
+                fetch, nprobe, self._capacity,
+            )
+        else:
+            if self._codes_t is None:
+                self._codes_t = self.codes.T  # [S, N] uint8 scan operand
+            scores, rows = self._probe_adc_search(
+                q, self.centroids, self.list_rows, self.overflow,
+                self._coarse_assign, self.codebooks, self._codes_t,
+                fetch, nprobe,
+            )
         scores, rows = np.asarray(scores), np.asarray(rows)
         rows = np.where(np.isfinite(scores), rows, -1)
         if rerank is None:
@@ -392,6 +689,19 @@ class IVFPQIndex:
 
     # -- persistence --------------------------------------------------------
     def save(self, path) -> None:
+        if self.packed:
+            np.savez(
+                path,
+                centroids=np.asarray(self.centroids),
+                codebooks=np.asarray(self.codebooks),
+                codes_lists=np.asarray(self.codes_lists),
+                id_lists=np.asarray(self.id_lists),
+                overflow=np.asarray(self.overflow),
+                overflow_codes=np.asarray(self.overflow_codes),
+                overflow_assign=np.asarray(self._overflow_assign),
+                n_rows=np.int64(self._n_rows),
+            )
+            return
         arrs = {
             "centroids": np.asarray(self.centroids),
             "list_rows": np.asarray(self.list_rows),
@@ -409,9 +719,18 @@ class IVFPQIndex:
         z = np.load(path)
         idx = cls()
         idx.centroids = jnp.asarray(z["centroids"])
-        idx.list_rows = jnp.asarray(z["list_rows"])
-        idx.overflow = jnp.asarray(z["overflow"].astype(np.int32))
         idx.codebooks = jnp.asarray(z["codebooks"])
+        idx.overflow = jnp.asarray(z["overflow"].astype(np.int32))
+        if "codes_lists" in z.files:
+            idx.codes_lists = jnp.asarray(z["codes_lists"])
+            idx.id_lists = jnp.asarray(z["id_lists"])
+            idx.overflow_codes = jnp.asarray(z["overflow_codes"])
+            idx._overflow_assign = jnp.asarray(
+                z["overflow_assign"].astype(np.int32)
+            )
+            idx._n_rows = int(z["n_rows"])
+            return idx
+        idx.list_rows = jnp.asarray(z["list_rows"])
         idx.codes = jnp.asarray(z["codes"])
         idx._coarse_assign = jnp.asarray(z["coarse_assign"])
         idx._originals = z["originals"] if "originals" in z.files else None

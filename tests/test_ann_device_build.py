@@ -186,22 +186,94 @@ def test_packed_save_load_roundtrip(corpus, tmp_path):
 
 
 def test_ivfpq_build_device_matches_host_build(corpus):
-    """Full-train, single-slab build_device is the SAME computation as the
-    host build (same seeds → same k-means → same codebooks → same codes):
-    search results must be identical."""
+    """Full-train, single-slab unpacked build_device is the SAME
+    computation as the single-choice host build (same seeds → same
+    k-means → same codebooks → same codes): search results must be
+    identical. (Multi-choice spill and the packed layout change placement
+    and code STORAGE, not this underlying math — covered below.)"""
     emb, q, _ = corpus
     host = IVFPQIndex().build(
         emb, n_clusters=32, n_subspaces=16, coarse_iters=5, pq_iters=5,
-        keep_originals=False,
+        keep_originals=False, spill_choices=1,
     )
     dev = IVFPQIndex().build_device(
         jnp.asarray(emb), n_clusters=32, n_subspaces=16,
         coarse_iters=5, pq_iters=5, train_rows=len(emb), slab_rows=len(emb),
+        packed=False,
     )
+    assert not dev.packed
     assert np.array_equal(np.asarray(host.codes), np.asarray(dev.codes))
     _, hr = host.search(q, 10, nprobe=16)
     _, dr = dev.search(q, 10, nprobe=16)
     assert np.array_equal(hr, dr)
+
+
+def test_ivfpq_packed_build_device(corpus):
+    """The packed (default) layout: every row lives exactly once across
+    the id_lists slots + overflow pool, spill keeps the pool ~empty, and
+    search quality matches the unpacked layout's on the same corpus."""
+    emb, q, brute = corpus
+    idx = IVFPQIndex().build_device(
+        jnp.asarray(emb), n_clusters=32, n_subspaces=16,
+        coarse_iters=5, pq_iters=5, train_rows=len(emb), slab_rows=len(emb),
+    )
+    assert idx.packed and idx.n_rows == len(emb)
+    ids = np.asarray(idx.id_lists)
+    placed = list(ids[ids >= 0]) + list(np.asarray(idx.overflow))
+    assert sorted(placed) == list(range(len(emb)))
+    # spill works: strictly less pool than single-choice placement, and a
+    # small fraction of the corpus in absolute terms
+    single = IVFPQIndex().build_device(
+        jnp.asarray(emb), n_clusters=32, n_subspaces=16,
+        coarse_iters=5, pq_iters=5, train_rows=len(emb),
+        slab_rows=len(emb), spill_choices=1,
+    )
+    assert (
+        int(idx.overflow.shape[0]) < int(single.overflow.shape[0])
+        and int(idx.overflow.shape[0]) <= len(emb) // 20
+    )
+    assert idx.overflow_codes.shape[0] == int(idx.overflow.shape[0])
+    _, rows = idx.search(q, 10, nprobe=16)
+    assert _overlap(rows, brute) >= 3.0
+    # full probe covers every candidate ADC can reach
+    _, rows_full = idx.search(q, 10, nprobe=32)
+    assert _overlap(rows_full, brute) >= _overlap(rows, brute) - 1e-9
+
+
+def test_ivfpq_packed_append_and_roundtrip(corpus, tmp_path):
+    """Packed append: frozen centroids/codebooks, new rows land in free
+    slots or the overflow pool (coverage preserved), appended rows are
+    findable; save/load round-trips the packed fields."""
+    emb, q, _ = corpus
+    idx = IVFPQIndex().build_device(
+        jnp.asarray(emb), n_clusters=32, n_subspaces=16,
+        coarse_iters=5, pq_iters=5, train_rows=len(emb), slab_rows=len(emb),
+    )
+    new = emb[:64] + 0.01 * np.random.default_rng(7).standard_normal(
+        (64, emb.shape[1])
+    ).astype(np.float32)
+    new /= np.linalg.norm(new, axis=1, keepdims=True)
+    new_ids = idx.append(new)
+    assert list(new_ids) == list(range(len(emb), len(emb) + 64))
+    assert idx.n_rows == len(emb) + 64
+    ids = np.asarray(idx.id_lists)
+    placed = list(ids[ids >= 0]) + list(np.asarray(idx.overflow))
+    assert sorted(placed) == list(range(len(emb) + 64))
+    _, rows = idx.search(new[:4], 5, nprobe=32)
+    assert all(
+        any(r >= len(emb) for r in row) or row[0] < len(emb)
+        for row in rows
+    )  # appended near-duplicates are reachable at full probe
+    hit = sum(int(new_ids[i] in set(rows[i])) for i in range(4))
+    assert hit >= 3
+
+    idx.save(tmp_path / "pq_packed.npz")
+    back = IVFPQIndex.load(tmp_path / "pq_packed.npz")
+    assert back.packed and back.n_rows == idx.n_rows
+    s0, r0 = idx.search(q, 10, nprobe=16)
+    s1, r1 = back.search(q, 10, nprobe=16)
+    assert np.array_equal(r0, r1)
+    np.testing.assert_allclose(s0, s1, rtol=1e-6, atol=1e-6)
 
 
 def test_ivfpq_build_device_sample_trained_recall(corpus):
@@ -214,7 +286,8 @@ def test_ivfpq_build_device_sample_trained_recall(corpus):
         jnp.asarray(emb), n_clusters=32, n_subspaces=16,
         coarse_iters=5, pq_iters=5, train_rows=4096, slab_rows=3000,
     )
-    assert idx.codes.shape == (len(emb), 16) and idx.codes.dtype == jnp.uint8
+    assert idx.packed and idx.code_bytes == len(emb) * 16
+    assert idx.codes_lists.dtype == jnp.uint8
     assert idx._originals is None
     _, rows = idx.search(q, 10, nprobe=16)
     assert _overlap(rows, brute) >= 3.0
