@@ -293,10 +293,18 @@ class IVFIndex:
                 return jnp.argmax(sco, axis=1).astype(jnp.int32)[:, None]
             return jax.lax.top_k(sco, mm)[1].astype(jnp.int32)
 
+        # m == 1 fuses the GEMM into the argmax reduce (no score matrix
+        # ever materialises); top_k is a TopK custom-call that BREAKS that
+        # fusion — the full [rows, k] fp32 scores land in HBM plus 32×
+        # lane-padded output temps (measured OOM at 500k×8192 next to a
+        # 5.16 GB corpus). Bound the materialised scores to ~1 GB.
+        a_rows = slab_rows if m == 1 else min(
+            slab_rows, max(8192, (1 << 30) // (4 * n_clusters))
+        )
         topm = np.concatenate(
             [
-                np.asarray(assign_slab(x_dev[i : i + slab_rows], cents, m))
-                for i in range(0, n, slab_rows)
+                np.asarray(assign_slab(x_dev[i : i + a_rows], cents, m))
+                for i in range(0, n, a_rows)
             ]
         )
         capacity = max(1, int(np.ceil(n / n_clusters * capacity_factor)))

@@ -262,17 +262,23 @@ class IVFPQIndex:
                 return row_scales[i : i + mrows]
             return jnp.ones((mrows,), jnp.float32)
 
+        # m == 1 fuses GEMM→argmax; top_k is a fusion-breaking custom-call
+        # that materialises the [rows, k] scores — bound them to ~1 GB
+        # (see ivf.IVFIndex.build_device, same measured OOM)
+        a_rows = slab_rows if mc == 1 else min(
+            slab_rows, max(8192, (1 << 30) // (4 * n_clusters))
+        )
         topm = np.concatenate(
             [
                 np.asarray(
                     assign_slab(
-                        x_dev[i : i + slab_rows],
-                        slab_scales(i, min(slab_rows, n - i)),
+                        x_dev[i : i + a_rows],
+                        slab_scales(i, min(a_rows, n - i)),
                         cents,
                         mc,
                     )
                 )
-                for i in range(0, n, slab_rows)
+                for i in range(0, n, a_rows)
             ]
         )
         capacity = max(1, int(np.ceil(n / n_clusters * capacity_factor)))
