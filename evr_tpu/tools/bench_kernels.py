@@ -519,6 +519,76 @@ def _tie_recall(q, buf, scales, rws, b_rows, eps: float = 1e-3) -> float:
     return float(ok.mean())
 
 
+def _exact_scan_probe(qq, bufr, scr, top_k: int = 10):
+    """The exact int8 chunked scan as a (scores, rows) probe for the
+    batched device-timing harness (same math as `_brute_int8_scan`)."""
+    import jax
+    import jax.numpy as jnp
+
+    def body(c, sl):
+        slab, sc = sl
+        s = jnp.einsum(
+            "bd,nd->bn",
+            qq.astype(jnp.bfloat16),
+            slab.astype(jnp.bfloat16),
+            preferred_element_type=jnp.float32,
+        ) * sc
+        return c, jax.lax.top_k(s, top_k)
+
+    _, (ss, rr) = jax.lax.scan(body, 0, (bufr, scr))
+    b = qq.shape[0]
+    ss = ss.transpose(1, 0, 2).reshape(b, -1)
+    s2, pos = jax.lax.top_k(ss, top_k)
+    return s2, pos
+
+
+def _batched_device_ms(probe_call, queries, ops=(), r_lo: int = 8,
+                       r_hi: int = 32) -> float:
+    """Device-side ms per query BATCH: scan R perturbed copies of the
+    batch through ``probe_call`` inside one jit and difference two R's —
+    (t(r_hi) − t(r_lo)) / (r_hi − r_lo) cancels the relay round trip and
+    dispatch constants exactly.
+
+    This replaces the single-query chained number for the ANN tiers: a
+    B=1 probe is an MXU-starved matvec plus per-scan-step overhead and
+    measured 10–100× slower than the same work batched (4M rows, nprobe=8:
+    3.2 ms/query chained vs 0.033 ms/query in an 8-batch — the retrieval
+    serving path always batches, so the batched number is the honest one).
+    Operands are ARGUMENTS, never closures (CLAUDE.md: closed-over device
+    arrays become jaxpr constants and wedge the remote compiler)."""
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    qd = jnp.asarray(queries)
+
+    @functools.partial(jax.jit, static_argnames=("r",))
+    def run(qb, r: int, *ops_):
+        key = jax.random.PRNGKey(0)
+        qs = qb[None] + 1e-4 * jax.random.normal(
+            key, (r,) + qb.shape, jnp.float32
+        )
+
+        def body(c, q1):
+            s, _ = probe_call(q1, *ops_)
+            return c + jnp.sum(s), None
+
+        out, _ = jax.lax.scan(body, jnp.float32(0), qs)
+        return out
+
+    times = {}
+    for r in (r_lo, r_hi):
+        float(run(qd, r, *ops))  # compile + warm
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            float(run(qd, r, *ops))
+            best = min(best, time.perf_counter() - t0)
+        times[r] = best
+    return max(0.0, (times[r_hi] - times[r_lo]) / (r_hi - r_lo)) * 1000
+
+
 def _chained_search_ms(probe_call, queries, ops=(), n_chain: int = 2) -> float:
     """Device-side per-query latency: scan ``probe_call`` over each query
     inside ONE jitted dispatch, sync once — the chained methodology
@@ -572,8 +642,16 @@ def bench_ann_big(reps: int, rows: int, d: int = 512) -> None:
           f"({rows * (d + 4) / 1e9:.2f} GB HBM)", flush=True)
 
     b_rows, b_sec = _brute_int8_scan(q, buf, scales)
+    n_slabs = rows // 500_000
+    dev_exact = _batched_device_ms(
+        _exact_scan_probe, q,
+        ops=(buf.reshape(n_slabs, 500_000, d),
+             scales.reshape(n_slabs, 500_000)),
+        r_lo=2, r_hi=6,
+    )
     print(f"N={rows:>11,}  exact one-dispatch scan: "
-          f"{b_sec * 1000:8.1f} ms/batch({nq}) incl. 1 relay RT", flush=True)
+          f"{b_sec * 1000:8.1f} ms/batch({nq}) incl. 1 relay RT   "
+          f"device {dev_exact:7.2f} ms/batch", flush=True)
 
     from evr_tpu.index.ivf import IVFIndex as _IVF
 
@@ -594,7 +672,7 @@ def bench_ann_big(reps: int, rows: int, d: int = 512) -> None:
     for nprobe in (8, 32, 64, 128):
         _, rws = ivf.search(q, 10, nprobe=nprobe)  # compile + recall rows
         ms = _best_ms(lambda: ivf.search(q, 10, nprobe=nprobe), max(2, reps // 4))
-        dev_ms = _chained_search_ms(
+        dev_ms = _batched_device_ms(
             lambda q1, *ops, _np=nprobe, _c=ivf._capacity: (
                 _IVF._probe_search_packed(q1, *ops, 10, _np, _c)
             ),
@@ -603,7 +681,7 @@ def bench_ann_big(reps: int, rows: int, d: int = 512) -> None:
         )
         print(
             f"N={rows:>11,}  ivf int8 nprobe={nprobe:>3}  : {ms:8.1f} "
-            f"ms/batch({nq})  device {dev_ms:7.2f} ms/query  "
+            f"ms/batch({nq})  device {dev_ms:7.2f} ms/batch  "
             f"recall@10={_recall(rws, b_rows):.3f}  "
             f"tie@10={_tie_recall(q, buf, scales, rws, b_rows):.3f}  "
             f"recall1@10={_recall_1_at_k(rws, b_rows):.3f}",
@@ -624,7 +702,7 @@ def bench_ann_big(reps: int, rows: int, d: int = 512) -> None:
     for nprobe in (8, 32, 64, 128):
         _, rws = pq.search(q, 10, nprobe=nprobe)
         ms = _best_ms(lambda: pq.search(q, 10, nprobe=nprobe), max(2, reps // 4))
-        dev_ms = _chained_search_ms(
+        dev_ms = _batched_device_ms(
             lambda q1, *ops, _np=nprobe, _c=pq._capacity: (
                 IVFPQIndex._probe_adc_search_packed(q1, *ops, 10, _np, _c)
             ),
@@ -634,7 +712,7 @@ def bench_ann_big(reps: int, rows: int, d: int = 512) -> None:
         )
         print(
             f"N={rows:>11,}  ivfpq S={sub} nprobe={nprobe:>3}: {ms:8.1f} "
-            f"ms/batch({nq})  device {dev_ms:7.2f} ms/query  "
+            f"ms/batch({nq})  device {dev_ms:7.2f} ms/batch  "
             f"recall@10={_recall(rws, b_rows):.3f}  "
             f"tie@10={_tie_recall(q, buf, scales, rws, b_rows):.3f}  "
             f"recall1@10={_recall_1_at_k(rws, b_rows):.3f}",
