@@ -588,14 +588,18 @@ class IVFPQIndex:
     ):
         """Packed-layout ADC: list i's codes live contiguously at flat
         rows [i·C, (i+1)·C), so each probed list is ONE copy-free
-        [C, S] `dynamic_slice`; its ADC is C·S lookups into the query's
-        flattened [S·K] table (64 KB fp32 at S=64, K=256 — VMEM-resident)
-        instead of the legacy path's per-subspace [B, M] gathers through
-        the full [S, N] code matrix. Probes run under `lax.scan` (vmapped
-        over the query batch inside each step) so the working set stays
-        [B, C, S] for any nprobe. The coarse term rides along as scan xs:
-        every row in a list was residual-encoded against THAT list's
-        centroid (spill-aware build), so q·c_list + q·r̃ is coherent."""
+        [C, S] `dynamic_slice`. The table lookup itself is formulated as a
+        **one-hot × table contraction on the MXU**, not a `jnp.take`:
+        per-element gathers run on the TPU's scalar unit and measured
+        ~6.5 ms per probed list per batch at C=1664, S=64 — the one-hot
+        GEMM (bf16 one-hot entries are exact 0/1, tables stay fp32, fp32
+        accumulation, so the looked-up values are EXACT) measures 7×
+        faster end-to-end (PERF.md §ADC). Probes run under `lax.scan`
+        (vmapped over the query batch inside each step) so the working
+        set stays [B, C, S, K]-one-hot per step for any nprobe. The
+        coarse term rides along as scan xs: every row in a list was
+        residual-encoded against THAT list's centroid (spill-aware
+        build), so q·c_list + q·r̃ is coherent."""
         b = q.shape[0]
         s, kk, ds = books.shape
         qs = q.reshape(b, s, ds).transpose(1, 0, 2)          # [S, B, d]
@@ -603,8 +607,6 @@ class IVFPQIndex:
             "sbd,skd->bsk", qs, books,
             preferred_element_type=jnp.float32,
         )                                                     # [B, S, K]
-        tables_flat = tables.reshape(b, s * kk)
-        offs = (jnp.arange(s, dtype=jnp.int32) * kk)[None, :]  # [1, S]
 
         cscores = q @ cents.T                                 # [B, k]
         cvals, cids = jax.lax.top_k(cscores, nprobe)          # [B, nprobe]
@@ -614,17 +616,21 @@ class IVFPQIndex:
         def step(carry, inp):
             st, co = inp                                      # [B], [B]
 
-            def one(s0, tflat, c0):
+            def one(s0, tb, c0):
                 blk = jax.lax.dynamic_slice(
                     codes_lists, (s0, 0), (capacity, s)
                 )                                             # [C, S] u8
                 ids = jax.lax.dynamic_slice(id_lists, (s0,), (capacity,))
-                idx = blk.astype(jnp.int32) + offs            # [C, S]
-                looked = jnp.take(tflat, idx, axis=0)         # [C, S]
-                sco = c0 + jnp.sum(looked, axis=1)
+                oh = jax.nn.one_hot(
+                    blk.astype(jnp.int32), kk, dtype=jnp.bfloat16
+                )                                             # [C, S, K]
+                sco = c0 + jnp.einsum(
+                    "csk,sk->c", oh, tb,
+                    preferred_element_type=jnp.float32,
+                )
                 return jnp.where(ids >= 0, sco, -jnp.inf), ids
 
-            sco, ids = jax.vmap(one)(st, tables_flat, co)     # [B, C] each
+            sco, ids = jax.vmap(one)(st, tables, co)          # [B, C] each
             return carry, (sco, ids)
 
         _, (sco, ids) = jax.lax.scan(step, 0, (starts, coarse))
@@ -632,11 +638,17 @@ class IVFPQIndex:
         ids = ids.transpose(1, 0, 2).reshape(b, -1)
         if overflow_ids.shape[0]:
             o = overflow_ids.shape[0]
-            oidx = (overflow_codes.astype(jnp.int32) + offs).reshape(-1)
-            looked = jax.vmap(
-                lambda t: jnp.take(t, oidx).reshape(o, s)
-            )(tables_flat)                                    # [B, O, S]
-            ovf = jnp.sum(looked, axis=2) + cscores[:, overflow_assign]
+            # the pool's one-hot is shared across the whole query batch
+            # (ONE [O, S, K] operand → one GEMM for all B); spill keeps
+            # O ≲ 0.6% of the corpus so the materialised one-hot stays
+            # small next to the probed lists'
+            oh = jax.nn.one_hot(
+                overflow_codes.astype(jnp.int32), kk, dtype=jnp.bfloat16
+            )                                                 # [O, S, K]
+            ovf = jnp.einsum(
+                "osk,bsk->bo", oh, tables,
+                preferred_element_type=jnp.float32,
+            ) + cscores[:, overflow_assign]
             scores = jnp.concatenate([scores, ovf], axis=1)
             ids = jnp.concatenate(
                 [ids, jnp.broadcast_to(overflow_ids, (b, o))], axis=1

@@ -623,7 +623,8 @@ def _chained_search_ms(probe_call, queries, ops=(), n_chain: int = 2) -> float:
     return best
 
 
-def bench_ann_big(reps: int, rows: int, d: int = 512) -> None:
+def bench_ann_big(reps: int, rows: int, d: int = 512,
+                  tiers: str = "both") -> None:
     """VERDICT r2 #8: the ANN tiers MEASURED at claimed scale — a real
     ≥10M-row on-chip build (int8 IVF ≈ rows·(D+4) bytes ≈ 5.1 GB at 10M;
     IVF-PQ codes ≈ rows·S bytes ≈ 640 MB). Corpus is generated on device
@@ -658,6 +659,9 @@ def bench_ann_big(reps: int, rows: int, d: int = 512) -> None:
     # k=8192 is the 10M-row geometry; smaller rows (CPU smokes of this
     # path) scale k down so the k-means GEMMs stay tractable off-chip
     k = 8192 if rows > 2_000_000 else max(64, rows // 1000)
+    if tiers not in ("ivf", "both"):
+        _bench_ann_big_pq(reps, rows, d, k, nq, buf, scales, q, b_rows)
+        return
     t0 = time.perf_counter()
     # capacity_factor 1.3 (not the unpacked default): the packed layout
     # materialises capacity_factor× the int8 bytes NEXT TO the caller's
@@ -688,6 +692,16 @@ def bench_ann_big(reps: int, rows: int, d: int = 512) -> None:
             flush=True,
         )
     del ivf  # frees the packed block array before the PQ build
+    if tiers in ("ivf",):
+        return
+    _bench_ann_big_pq(reps, rows, d, k, nq, buf, scales, q, b_rows)
+
+
+def _bench_ann_big_pq(reps, rows, d, k, nq, buf, scales, q, b_rows) -> None:
+    """The IVF-PQ half of the claimed-scale measurement (split out so
+    ``--tiers ivfpq`` can re-measure ADC changes without re-paying the
+    IVF build)."""
+    from evr_tpu.index.ivfpq import IVFPQIndex
 
     sub = 64 if d % 64 == 0 else 32
     t0 = time.perf_counter()
@@ -820,6 +834,11 @@ def main() -> None:
         "device-resident int8 path runs instead (corpus generated on-chip, "
         "build_device streaming — the honest 10M+ measurement, VERDICT r2 #8)",
     )
+    ap.add_argument(
+        "--tiers", choices=["ivf", "ivfpq", "both"], default="both",
+        help="which ANN tier(s) the big --rows run measures (ivfpq skips "
+        "the IVF build when only the ADC path changed)",
+    )
     args = ap.parse_args()
 
     import jax
@@ -849,7 +868,7 @@ def main() -> None:
             print(f"== {name} ==")
             if name in ("ivf", "ivfpq") and args.rows:
                 if args.rows > 2_000_000:
-                    bench_ann_big(args.reps, args.rows)
+                    bench_ann_big(args.reps, args.rows, tiers=args.tiers)
                     break  # shared corpus run covers both tiers
                 fn(args.reps, ns=(args.rows,))
             else:
