@@ -69,6 +69,7 @@ class IVFPQIndex:
         self.id_lists = None        # [k*C] int32 corpus row ids, -1 padded
         self.overflow_codes = None  # [O, S] uint8
         self._overflow_assign = None  # [O] int32 coarse centroid per row
+        self._overflow_recon = None  # [O, D] fp32 cache (pool GEMM operand)
         self._n_rows = 0
 
     @property
@@ -516,6 +517,37 @@ class IVFPQIndex:
         self._n_rows += m
         return np.arange(start, start + m)
 
+    def _pool_recon(self):
+        """PQ-reconstructed overflow rows ``c(x) + r̃(x)`` as a [O, D] fp32
+        device array (lazily cached, invalidated by append growth).
+
+        The pool is searched by EVERY query, and its ADC one-hot is shared
+        across the batch — but at the 10M geometry that shared one-hot is
+        still a ~1.9 GB [O, S, K] HBM materialisation per dispatch. Since
+        the pool's ADC score ``q·c + Σ_s q_s·book_s[code_s]`` equals
+        ``q·(c + r̃)`` exactly (up to fp summation order), storing the
+        reconstruction once (O ≲ 0.6% of the corpus under spill placement
+        — 117 MB fp32 at N=10M vs 640 MB codes) turns every pool scoring
+        into one plain [B, D]×[D, O] MXU GEMM with no one-hot at all."""
+        o = int(self.overflow.shape[0])
+        if self._overflow_recon is not None and (
+            int(self._overflow_recon.shape[0]) == o
+        ):
+            return self._overflow_recon
+        books = np.asarray(self.codebooks)  # [S, K, ds]
+        s, _, ds = books.shape
+        if o == 0:
+            self._overflow_recon = jnp.zeros((0, s * ds), jnp.float32)
+            return self._overflow_recon
+        codes = np.asarray(self.overflow_codes).astype(np.int64)  # [O, S]
+        resid = books[np.arange(s)[None, :], codes, :]  # [O, S, ds]
+        recon = (
+            np.asarray(self.centroids)[np.asarray(self._overflow_assign)]
+            + resid.reshape(o, s * ds)
+        ).astype(np.float32)
+        self._overflow_recon = jnp.asarray(recon)
+        return self._overflow_recon
+
     # Large arrays are ARGUMENTS, not closures: closed-over device arrays
     # become jaxpr constants and wedge this environment's remote compiler
     # (CLAUDE.md). The per-candidate codes are gathered PER SUBSPACE inside
@@ -579,12 +611,12 @@ class IVFPQIndex:
 
     @staticmethod
     @functools.partial(
-        jax.jit, static_argnames=("top_k", "nprobe", "capacity")
+        jax.jit, static_argnames=("top_k", "nprobe", "capacity", "adc_impl")
     )
     def _probe_adc_search_packed(
         q, cents, books, codes_lists, id_lists,
-        overflow_codes, overflow_assign, overflow_ids,
-        top_k: int, nprobe: int, capacity: int,
+        overflow_recon, overflow_ids,
+        top_k: int, nprobe: int, capacity: int, adc_impl: str = "xla",
     ):
         """Packed-layout ADC: list i's codes live contiguously at flat
         rows [i·C, (i+1)·C), so each probed list is ONE copy-free
@@ -594,12 +626,18 @@ class IVFPQIndex:
         ~6.5 ms per probed list per batch at C=1664, S=64 — the one-hot
         GEMM (bf16 one-hot entries are exact 0/1, tables stay fp32, fp32
         accumulation, so the looked-up values are EXACT) measures 7×
-        faster end-to-end (PERF.md §ADC). Probes run under `lax.scan`
-        (vmapped over the query batch inside each step) so the working
-        set stays [B, C, S, K]-one-hot per step for any nprobe. The
-        coarse term rides along as scan xs: every row in a list was
-        residual-encoded against THAT list's centroid (spill-aware
-        build), so q·c_list + q·r̃ is coherent."""
+        faster end-to-end (PERF.md §ADC). ``adc_impl="xla"`` materialises
+        that one-hot through HBM under a `lax.scan` over probes;
+        ``adc_impl="pallas"`` routes the probed blocks through
+        `ops/adc_pallas.py`, which builds the one-hot chunk-wise in VMEM
+        so HBM only ever sees uint8 codes in / fp32 scores out (measured
+        on chip, PERF.md §ADC-pallas). The coarse term q·c_list is added
+        outside either path: every row in a list was residual-encoded
+        against THAT list's centroid (spill-aware build), so
+        q·c_list + q·r̃ is coherent. The overflow pool is scored as ONE
+        [B, D]×[D, O] GEMM against its PQ-reconstructed rows
+        (``_pool_recon``: q·(c + r̃) ≡ the pool's ADC score) — no pool
+        one-hot exists in either impl."""
         b = q.shape[0]
         s, kk, ds = books.shape
         qs = q.reshape(b, s, ds).transpose(1, 0, 2)          # [S, B, d]
@@ -610,45 +648,63 @@ class IVFPQIndex:
 
         cscores = q @ cents.T                                 # [B, k]
         cvals, cids = jax.lax.top_k(cscores, nprobe)          # [B, nprobe]
-        starts = (cids * capacity).T                          # [nprobe, B]
-        coarse = cvals.T                                      # [nprobe, B]
 
-        def step(carry, inp):
-            st, co = inp                                      # [B], [B]
+        if adc_impl == "pallas":
+            from evr_tpu.ops.adc_pallas import adc_list_scores
 
-            def one(s0, tb, c0):
+            starts_flat = (cids * capacity).reshape(-1)       # [B*nprobe]
+
+            def slice_one(s0):
                 blk = jax.lax.dynamic_slice(
                     codes_lists, (s0, 0), (capacity, s)
-                )                                             # [C, S] u8
-                ids = jax.lax.dynamic_slice(id_lists, (s0,), (capacity,))
-                oh = jax.nn.one_hot(
-                    blk.astype(jnp.int32), kk, dtype=jnp.bfloat16
-                )                                             # [C, S, K]
-                sco = c0 + jnp.einsum(
-                    "csk,sk->c", oh, tb,
-                    preferred_element_type=jnp.float32,
                 )
-                return jnp.where(ids >= 0, sco, -jnp.inf), ids
+                ids1 = jax.lax.dynamic_slice(id_lists, (s0,), (capacity,))
+                return blk, ids1
 
-            sco, ids = jax.vmap(one)(st, tables, co)          # [B, C] each
-            return carry, (sco, ids)
+            blocks, idsb = jax.vmap(slice_one)(starts_flat)
+            resid = adc_list_scores(blocks, tables, nprobe=nprobe)
+            sco = resid.reshape(b, nprobe, capacity) + cvals[:, :, None]
+            ids3 = idsb.reshape(b, nprobe, capacity)
+            scores = jnp.where(ids3 >= 0, sco, -jnp.inf).reshape(b, -1)
+            ids = ids3.reshape(b, -1)
+        else:
+            starts = (cids * capacity).T                      # [nprobe, B]
+            coarse = cvals.T                                  # [nprobe, B]
 
-        _, (sco, ids) = jax.lax.scan(step, 0, (starts, coarse))
-        scores = sco.transpose(1, 0, 2).reshape(b, -1)
-        ids = ids.transpose(1, 0, 2).reshape(b, -1)
+            def step(carry, inp):
+                st, co = inp                                  # [B], [B]
+
+                def one(s0, tb, c0):
+                    blk = jax.lax.dynamic_slice(
+                        codes_lists, (s0, 0), (capacity, s)
+                    )                                         # [C, S] u8
+                    ids1 = jax.lax.dynamic_slice(
+                        id_lists, (s0,), (capacity,)
+                    )
+                    oh = jax.nn.one_hot(
+                        blk.astype(jnp.int32), kk, dtype=jnp.bfloat16
+                    )                                         # [C, S, K]
+                    sco1 = c0 + jnp.einsum(
+                        "csk,sk->c", oh, tb,
+                        preferred_element_type=jnp.float32,
+                    )
+                    return jnp.where(ids1 >= 0, sco1, -jnp.inf), ids1
+
+                sco1, ids1 = jax.vmap(one)(st, tables, co)    # [B, C] each
+                return carry, (sco1, ids1)
+
+            _, (sco, ids) = jax.lax.scan(step, 0, (starts, coarse))
+            scores = sco.transpose(1, 0, 2).reshape(b, -1)
+            ids = ids.transpose(1, 0, 2).reshape(b, -1)
         if overflow_ids.shape[0]:
             o = overflow_ids.shape[0]
-            # the pool's one-hot is shared across the whole query batch
-            # (ONE [O, S, K] operand → one GEMM for all B); spill keeps
-            # O ≲ 0.6% of the corpus so the materialised one-hot stays
-            # small next to the probed lists'
-            oh = jax.nn.one_hot(
-                overflow_codes.astype(jnp.int32), kk, dtype=jnp.bfloat16
-            )                                                 # [O, S, K]
-            ovf = jnp.einsum(
-                "osk,bsk->bo", oh, tables,
+            # q·(c + r̃) of the reconstructed pool rows — one MXU GEMM,
+            # identical values to the pool's ADC decomposition
+            ovf = jax.lax.dot_general(
+                q, overflow_recon,
+                (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
-            ) + cscores[:, overflow_assign]
+            )                                                 # [B, O]
             scores = jnp.concatenate([scores, ovf], axis=1)
             ids = jnp.concatenate(
                 [ids, jnp.broadcast_to(overflow_ids, (b, o))], axis=1
@@ -662,14 +718,24 @@ class IVFPQIndex:
         top_k: int,
         nprobe: int,
         rerank: int | None = None,
+        adc_impl: str = "auto",
     ) -> tuple[np.ndarray, np.ndarray]:
         """(scores [B, k], row ids [B, k]); unreachable slots carry
         (-inf, -1). Without ``rerank`` scores are the ADC approximation
-        q·c + q̃·r̃; with it, exact cosines of the re-scored candidates."""
+        q·c + q̃·r̃; with it, exact cosines of the re-scored candidates.
+        ``adc_impl``: "xla" (HBM one-hot GEMM), "pallas" (in-VMEM one-hot,
+        `ops/adc_pallas.py`), or "auto" (follow the on-chip measurement:
+        pallas on TPU, xla elsewhere — PERF.md §ADC-pallas)."""
         if self.codes is None and not self.packed:
             raise ValueError("IVFPQIndex.search before build()")
         if rerank is not None and self._originals is None:
             raise ValueError("rerank requires keep_originals=True at build")
+        if adc_impl not in ("auto", "xla", "pallas"):
+            raise ValueError(f"unknown adc_impl {adc_impl!r}")
+        if adc_impl == "auto":
+            adc_impl = (
+                "pallas" if jax.default_backend() == "tpu" else "xla"
+            )
         nprobe = max(1, min(nprobe, self.n_clusters))
         q = jnp.asarray(np.atleast_2d(np.asarray(queries, np.float32)))
         cap = self._capacity * nprobe + int(self.overflow.shape[0])
@@ -679,8 +745,8 @@ class IVFPQIndex:
             scores, rows = self._probe_adc_search_packed(
                 q, self.centroids, self.codebooks,
                 self.codes_lists, self.id_lists,
-                self.overflow_codes, self._overflow_assign, self.overflow,
-                fetch, nprobe, self._capacity,
+                self._pool_recon(), self.overflow,
+                fetch, nprobe, self._capacity, adc_impl,
             )
         else:
             if self._codes_t is None:

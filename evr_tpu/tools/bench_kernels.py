@@ -713,25 +713,117 @@ def _bench_ann_big_pq(reps, rows, d, k, nq, buf, scales, q, b_rows) -> None:
     print(f"  ivfpq build (k={k}, S={sub}, packed): {pq_build:.1f}s "
           f"({rows * sub / 1e9:.2f} GB codes, overflow pool: "
           f"{int(pq.overflow.shape[0]):,} rows)", flush=True)
-    for nprobe in (8, 32, 64, 128):
-        _, rws = pq.search(q, 10, nprobe=nprobe)
-        ms = _best_ms(lambda: pq.search(q, 10, nprobe=nprobe), max(2, reps // 4))
-        dev_ms = _batched_device_ms(
-            lambda q1, *ops, _np=nprobe, _c=pq._capacity: (
-                IVFPQIndex._probe_adc_search_packed(q1, *ops, 10, _np, _c)
-            ),
-            q,
-            ops=(pq.centroids, pq.codebooks, pq.codes_lists, pq.id_lists,
-                 pq.overflow_codes, pq._overflow_assign, pq.overflow),
-        )
-        print(
-            f"N={rows:>11,}  ivfpq S={sub} nprobe={nprobe:>3}: {ms:8.1f} "
-            f"ms/batch({nq})  device {dev_ms:7.2f} ms/batch  "
-            f"recall@10={_recall(rws, b_rows):.3f}  "
-            f"tie@10={_tie_recall(q, buf, scales, rws, b_rows):.3f}  "
-            f"recall1@10={_recall_1_at_k(rws, b_rows):.3f}",
-            flush=True,
-        )
+    for impl in ("xla", "pallas"):
+        for nprobe in (8, 32, 64, 128):
+            _, rws = pq.search(q, 10, nprobe=nprobe, adc_impl=impl)
+            ms = _best_ms(
+                lambda: pq.search(q, 10, nprobe=nprobe, adc_impl=impl),
+                max(2, reps // 4),
+            )
+            dev_ms = _batched_device_ms(
+                lambda q1, *ops, _np=nprobe, _c=pq._capacity, _i=impl: (
+                    IVFPQIndex._probe_adc_search_packed(
+                        q1, *ops, 10, _np, _c, _i
+                    )
+                ),
+                q,
+                ops=(pq.centroids, pq.codebooks, pq.codes_lists,
+                     pq.id_lists, pq._pool_recon(), pq.overflow),
+            )
+            print(
+                f"N={rows:>11,}  ivfpq S={sub} {impl:>6} "
+                f"nprobe={nprobe:>3}: {ms:8.1f} "
+                f"ms/batch({nq})  device {dev_ms:7.2f} ms/batch  "
+                f"recall@10={_recall(rws, b_rows):.3f}  "
+                f"tie@10={_tie_recall(q, buf, scales, rws, b_rows):.3f}  "
+                f"recall1@10={_recall_1_at_k(rws, b_rows):.3f}",
+                flush=True,
+            )
+
+
+def bench_adc(
+    reps: int, d: int = 512, s: int = 64, kk: int = 256, b: int = 8,
+    capacity: int = 1664, n_lists: int = 512, o: int = 57_344,
+) -> None:
+    """ADC formulation shoot-out at the measured 10M-row geometry
+    (C=1664, S=64, K=256, B=8 — PERF.md §ADC) on SYNTHETIC codes, so the
+    kernel re-measures without re-paying the 10M build:
+
+      - full packed probe+ADC dispatch, xla (HBM one-hot) vs pallas
+        (in-VMEM one-hot, `ops/adc_pallas.py`), incl. the reconstructed
+        overflow-pool GEMM both now share;
+      - kernel-only `adc_list_scores`, VPU multiply-reduce vs MXU matvec
+        (`fused=`), at matching [B·nprobe, C, S] block shapes."""
+    import jax
+    import jax.numpy as jnp
+
+    from evr_tpu.index.ivfpq import IVFPQIndex
+    from evr_tpu.ops.adc_pallas import adc_list_scores
+
+    key = jax.random.PRNGKey(0)
+    ks = jax.random.split(key, 8)
+    codes_lists = jax.random.randint(
+        ks[0], (n_lists * capacity, s), 0, kk, jnp.int32
+    ).astype(jnp.uint8)
+    id_lists = jnp.arange(n_lists * capacity, dtype=jnp.int32)
+    cents = jax.random.normal(ks[1], (n_lists, d), jnp.float32)
+    cents = cents / jnp.linalg.norm(cents, axis=1, keepdims=True)
+    books = 0.05 * jax.random.normal(ks[2], (s, kk, d // s), jnp.float32)
+    recon = jax.random.normal(ks[3], (o, d), jnp.float32)
+    overflow_ids = (
+        jnp.arange(o, dtype=jnp.int32) + jnp.int32(n_lists * capacity)
+    )
+    q = jax.random.normal(ks[4], (b, d), jnp.float32)
+    q = q / jnp.linalg.norm(q, axis=1, keepdims=True)
+    print(
+        f"geometry: C={capacity} S={s} K={kk} B={b} lists={n_lists} "
+        f"pool={o:,} (codes {n_lists * capacity * s / 1e6:.0f} MB)"
+    )
+
+    probes = [p_ for p_ in (8, 32, 128) if p_ <= n_lists]
+    for impl in ("xla", "pallas"):
+        for nprobe in probes:
+            dev_ms = _batched_device_ms(
+                lambda q1, *ops, _np=nprobe, _i=impl: (
+                    IVFPQIndex._probe_adc_search_packed(
+                        q1, *ops, 10, _np, capacity, _i
+                    )
+                ),
+                q,
+                ops=(cents, books, codes_lists, id_lists, recon,
+                     overflow_ids),
+            )
+            print(
+                f"probe+ADC {impl:>6} nprobe={nprobe:>3}: device "
+                f"{dev_ms:8.2f} ms/batch({b})", flush=True,
+            )
+
+    for fused in (False, True):
+        for nprobe in probes:
+            blocks = jax.random.randint(
+                ks[5], (b * nprobe, capacity, s), 0, kk, jnp.int32
+            ).astype(jnp.uint8)
+
+            def _kernel_call(q1, blocks_, books_, _f=fused):
+                bq = q1.shape[0]
+                qs = q1.reshape(bq, s, d // s).transpose(1, 0, 2)
+                tables = jnp.einsum(
+                    "sbd,skd->bsk", qs, books_,
+                    preferred_element_type=jnp.float32,
+                )
+                np_ = blocks_.shape[0] // bq
+                return adc_list_scores(
+                    blocks_, tables, nprobe=np_, fused=_f
+                ), None
+
+            dev_ms = _batched_device_ms(
+                _kernel_call, q, ops=(blocks, books)
+            )
+            mode = "mxu-matvec" if fused else "vpu-reduce"
+            print(
+                f"kernel-only {mode} nprobe={nprobe:>3}: device "
+                f"{dev_ms:8.2f} ms/batch({b})", flush=True,
+            )
 
 
 def jnp_sum_probe(x) -> float:
@@ -826,7 +918,7 @@ def main() -> None:
 
     pin_platform_from_env()
     ap = argparse.ArgumentParser(description=__doc__)
-    ap.add_argument("what", choices=["block", "attention", "encode", "int8", "sweep", "roofline", "captioner", "siglip", "ivf", "pq", "ivfpq", "all"])
+    ap.add_argument("what", choices=["block", "attention", "encode", "int8", "sweep", "roofline", "captioner", "siglip", "ivf", "pq", "ivfpq", "adc", "all"])
     ap.add_argument("--reps", type=int, default=20, help="chained applications per dispatch")
     ap.add_argument(
         "--rows", type=int, default=None,
@@ -862,6 +954,7 @@ def main() -> None:
         "ivf": bench_ivf,
         "pq": bench_pq,
         "ivfpq": bench_ivfpq,
+        "adc": bench_adc,
     }
     for name, fn in runs.items():
         if args.what in (name, "all"):
