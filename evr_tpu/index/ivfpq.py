@@ -124,6 +124,10 @@ class IVFPQIndex:
         if n_centroids > n:
             raise ValueError(f"n_centroids={n_centroids} > n_rows={n}")
 
+        # a rebuild replaces centroids/codebooks/overflow: drop the pool
+        # reconstruction cache now (shape-equality alone can alias a stale
+        # cache when the new pool happens to match the old row count)
+        self._overflow_recon = None
         x = jnp.asarray(emb)
         cents, assign = kmeans(
             jax.random.PRNGKey(seed), x, n_clusters, iters=coarse_iters
@@ -214,6 +218,9 @@ class IVFPQIndex:
         residual encoding so the PQ codebooks see true magnitudes."""
         import jax.numpy as jnp
 
+        # rebuild replaces centroids/codebooks/overflow: drop the pool
+        # reconstruction cache (shape check alone can alias stale rows)
+        self._overflow_recon = None
         n, d = x_dev.shape
         if d % n_subspaces:
             raise ValueError(
@@ -611,12 +618,16 @@ class IVFPQIndex:
 
     @staticmethod
     @functools.partial(
-        jax.jit, static_argnames=("top_k", "nprobe", "capacity", "adc_impl")
+        jax.jit,
+        static_argnames=(
+            "top_k", "nprobe", "capacity", "adc_impl", "interpret"
+        ),
     )
     def _probe_adc_search_packed(
         q, cents, books, codes_lists, id_lists,
         overflow_recon, overflow_ids,
         top_k: int, nprobe: int, capacity: int, adc_impl: str = "xla",
+        interpret: bool = False,
     ):
         """Packed-layout ADC: list i's codes live contiguously at flat
         rows [i·C, (i+1)·C), so each probed list is ONE copy-free
@@ -628,10 +639,12 @@ class IVFPQIndex:
         accumulation, so the looked-up values are EXACT) measures 7×
         faster end-to-end (PERF.md §ADC). ``adc_impl="xla"`` materialises
         that one-hot through HBM under a `lax.scan` over probes;
-        ``adc_impl="pallas"`` routes the probed blocks through
-        `ops/adc_pallas.py`, which builds the one-hot chunk-wise in VMEM
-        so HBM only ever sees uint8 codes in / fp32 scores out (measured
-        on chip, PERF.md §ADC-pallas). The coarse term q·c_list is added
+        ``adc_impl="pallas"`` scans the probes the same way but routes
+        each [B, C, S] probe step through `ops/adc_pallas.py`, which
+        builds the one-hot chunk-wise in VMEM so HBM only ever sees uint8
+        codes in / fp32 scores out (``interpret`` is resolved by the
+        caller — `search` — so trace-time backend probing never disagrees
+        with the executing backend). The coarse term q·c_list is added
         outside either path: every row in a list was residual-encoded
         against THAT list's centroid (spill-aware build), so
         q·c_list + q·r̃ is coherent. The overflow pool is scored as ONE
@@ -652,21 +665,34 @@ class IVFPQIndex:
         if adc_impl == "pallas":
             from evr_tpu.ops.adc_pallas import adc_list_scores
 
-            starts_flat = (cids * capacity).reshape(-1)       # [B*nprobe]
+            # scan over probes, [B, C, S] working set per step — the HBM
+            # envelope matches the xla path's scan bound instead of
+            # materialising all [B*nprobe, C, S] probed blocks at once
+            starts = (cids * capacity).T                      # [nprobe, B]
+            coarse = cvals.T                                  # [nprobe, B]
 
-            def slice_one(s0):
-                blk = jax.lax.dynamic_slice(
-                    codes_lists, (s0, 0), (capacity, s)
-                )
-                ids1 = jax.lax.dynamic_slice(id_lists, (s0,), (capacity,))
-                return blk, ids1
+            def step(carry, inp):
+                st, co = inp                                  # [B], [B]
 
-            blocks, idsb = jax.vmap(slice_one)(starts_flat)
-            resid = adc_list_scores(blocks, tables, nprobe=nprobe)
-            sco = resid.reshape(b, nprobe, capacity) + cvals[:, :, None]
-            ids3 = idsb.reshape(b, nprobe, capacity)
-            scores = jnp.where(ids3 >= 0, sco, -jnp.inf).reshape(b, -1)
-            ids = ids3.reshape(b, -1)
+                def slice_one(s0):
+                    blk = jax.lax.dynamic_slice(
+                        codes_lists, (s0, 0), (capacity, s)
+                    )
+                    ids1 = jax.lax.dynamic_slice(
+                        id_lists, (s0,), (capacity,)
+                    )
+                    return blk, ids1
+
+                blocks, ids1 = jax.vmap(slice_one)(st)        # [B, C, S]
+                resid = adc_list_scores(
+                    blocks, tables, nprobe=1, interpret=interpret
+                )                                             # [B, C]
+                sco1 = resid + co[:, None]
+                return carry, (jnp.where(ids1 >= 0, sco1, -jnp.inf), ids1)
+
+            _, (sco, ids) = jax.lax.scan(step, 0, (starts, coarse))
+            scores = sco.transpose(1, 0, 2).reshape(b, -1)
+            ids = ids.transpose(1, 0, 2).reshape(b, -1)
         else:
             starts = (cids * capacity).T                      # [nprobe, B]
             coarse = cvals.T                                  # [nprobe, B]
@@ -724,8 +750,12 @@ class IVFPQIndex:
         (-inf, -1). Without ``rerank`` scores are the ADC approximation
         q·c + q̃·r̃; with it, exact cosines of the re-scored candidates.
         ``adc_impl``: "xla" (HBM one-hot GEMM), "pallas" (in-VMEM one-hot,
-        `ops/adc_pallas.py`), or "auto" (follow the on-chip measurement:
-        pallas on TPU, xla elsewhere — PERF.md §ADC-pallas)."""
+        `ops/adc_pallas.py`, opt-in), or "auto". "auto" resolves to "xla"
+        on every backend until an on-chip ADC-pallas measurement is
+        recorded in PERF.md — the Pallas kernel's real Mosaic lowering at
+        the production geometry is exercised only in interpret mode in
+        this environment's tests, so it must not sit on the default
+        serving path on faith."""
         if self.codes is None and not self.packed:
             raise ValueError("IVFPQIndex.search before build()")
         if rerank is not None and self._originals is None:
@@ -733,9 +763,7 @@ class IVFPQIndex:
         if adc_impl not in ("auto", "xla", "pallas"):
             raise ValueError(f"unknown adc_impl {adc_impl!r}")
         if adc_impl == "auto":
-            adc_impl = (
-                "pallas" if jax.default_backend() == "tpu" else "xla"
-            )
+            adc_impl = "xla"
         nprobe = max(1, min(nprobe, self.n_clusters))
         q = jnp.asarray(np.atleast_2d(np.asarray(queries, np.float32)))
         cap = self._capacity * nprobe + int(self.overflow.shape[0])
@@ -747,6 +775,7 @@ class IVFPQIndex:
                 self.codes_lists, self.id_lists,
                 self._pool_recon(), self.overflow,
                 fetch, nprobe, self._capacity, adc_impl,
+                interpret=jax.default_backend() != "tpu",
             )
         else:
             if self._codes_t is None:

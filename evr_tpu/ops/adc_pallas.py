@@ -28,8 +28,10 @@ summation order (each (c, s) term is a single exact table read).
 
 `fused=False` (default) contracts with a VPU multiply-reduce;
 `fused=True` reshapes the chunk one-hot to [128, S·K] and issues an MXU
-matvec — both are measured on chip (PERF.md §ADC-pallas); the dispatch
-wrapper in `ivfpq.py` follows the measurement.
+matvec. This kernel is OPT-IN (`adc_impl="pallas"`): until an on-chip
+measurement of the real Mosaic lowering is recorded in PERF.md
+(§ADC-pallas), `adc_impl="auto"` stays on the XLA one-hot path —
+interpret-mode CPU tests prove values, not the TPU compile.
 
 No reference counterpart: the reference brute-forces fp32 numpy
 (`Backend/services/embedding_service.py`); ANN tiers are new capability.
@@ -94,7 +96,13 @@ def adc_list_scores(
     interpret: bool | None = None,
 ) -> jax.Array:
     """Residual ADC scores [P, C] fp32 for each probed block against its
-    owning query's table (block i belongs to query i // nprobe)."""
+    owning query's table (block i belongs to query i // nprobe).
+
+    ``interpret`` should be passed explicitly by the caller (who knows
+    which backend it chose — `ivfpq.search` does); the ``None`` fallback
+    re-probes the default backend at trace time, which can disagree with
+    the executing backend inside an outer jit targeting a non-default
+    platform."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     p, c, s = blocks.shape
