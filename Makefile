@@ -1,7 +1,7 @@
 # Convenience targets. The native library also auto-builds on first use
 # (evr_tpu/native/loader.py).
 
-.PHONY: all native test bench check clean
+.PHONY: all native test test-fast bench check clean
 
 # full local gate: tests on the virtual CPU mesh + driver entry points
 check: test
@@ -16,8 +16,14 @@ native:
 	    evr_tpu/native/src/image_loader.cc \
 	    -o evr_tpu/native/libevr_native.so -ljpeg
 
+# full suite: ~55 min on this 1-core host (measured round 4) — run before
+# committing work that spans subsystems
 test:
 	python -m pytest tests/ -q -rs
+
+# smoke tier: one representative test per subsystem, < 5 min (tests/smoke.txt)
+test-fast:
+	grep -v '^#' tests/smoke.txt | xargs python -m pytest -q -rs
 
 bench:
 	python bench.py
