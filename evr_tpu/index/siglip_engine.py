@@ -11,11 +11,14 @@ Preprocessing: SigLIP normalizes to [-1, 1] ((x/255 − 0.5)/0.5 — mean=std=
 0.5 per channel), NOT the CLIP mean/std; staging therefore happens here.
 
 Tokenization: SigLIP ships a SentencePiece vocabulary which is a
-DEPLOYMENT ASSET on this zero-egress image (same policy as the Whisper
-weights — gated, never silently substituted). Pass ``tokenize_fn``
+DEPLOYMENT ASSET on this zero-egress image. Pass ``tokenize_fn``
 (texts → [B, context] int32 ids, padded) — e.g. a
-``transformers.SiglipTokenizer`` loaded from a local path — or text
-methods raise with instructions. Image-only serving works without it.
+``transformers.SiglipTokenizer`` loaded from a local path — for real-id
+parity. Without one, a deterministic byte-level fallback
+(`tokenizer/fallbacks.SiglipFallbackTokenizer`) keeps the whole
+ingest→search pipeline drivable zero-egress, same policy as the CLIP BPE
+fallback: stable ids, explicitly NON-parity, and the active source is
+recorded in ``tokenizer_source`` so it can never masquerade as parity.
 """
 
 from __future__ import annotations
@@ -69,6 +72,16 @@ class SiglipEngine:
                 ),
                 self.params,
             )
+        if tokenize_fn is None:
+            from evr_tpu.tokenizer.fallbacks import SiglipFallbackTokenizer
+
+            tokenize_fn = SiglipFallbackTokenizer(
+                context_length=self.cfg.text.context_length,
+                vocab_size=self.cfg.text.vocab_size,
+            )
+            self.tokenizer_source = "fallback"
+        else:
+            self.tokenizer_source = "provided"
         self.tokenize_fn = tokenize_fn
         self.batch_size = batch_size
         self._dtype = jnp.bfloat16 if compute_dtype == "bfloat16" else jnp.float32
@@ -122,19 +135,8 @@ class SiglipEngine:
             (0, self.cfg.embed_dim), np.float32
         )
 
-    def _require_tokenizer(self):
-        if self.tokenize_fn is None:
-            raise RuntimeError(
-                "SigLIP text encoding needs a tokenizer: pass "
-                "SiglipEngine(tokenize_fn=...) — e.g. a local "
-                "transformers.SiglipTokenizer — the SentencePiece vocab is "
-                "a deployment asset on zero-egress images (see module "
-                "docstring)."
-            )
-
     def encode_texts(self, texts, normalise: bool = True) -> np.ndarray:
         del normalise
-        self._require_tokenizer()
         tokens = np.asarray(self.tokenize_fn(list(texts)), np.int32)
         if tokens.ndim != 2 or tokens.shape[1] != self.cfg.text.context_length:
             raise ValueError(

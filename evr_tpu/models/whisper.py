@@ -654,7 +654,11 @@ class WhisperASR:
     """Convenience wrapper: one jit-compiled transcribe fn over a checkpoint.
 
     ``detokenize`` maps token-id lists to text (wire an HF WhisperTokenizer
-    when its assets exist); without it ``transcribe`` returns id lists. The
+    when its assets exist); without it ``transcribe`` returns id lists.
+    ``detokenize="fallback"`` installs the deterministic byte-level
+    stand-in (`tokenizer/fallbacks.WhisperFallbackTokenizer` — explicitly
+    NON-parity; readable text needs the real vocab) so the transcribe →
+    transcript → speech-search pipeline runs zero-egress. The
     forced prompt defaults to the multilingual transcribe header
     (sot, language, task=transcribe, notimestamps) with ids supplied by the
     caller, since the id→language table lives in the tokenizer assets.
@@ -666,11 +670,18 @@ class WhisperASR:
         cfg: WhisperConfig,
         prompt_ids: list[int],
         max_len: int = 224,
-        detokenize: Callable[[list[int]], str] | None = None,
+        detokenize: Callable[[list[int]], str] | str | None = None,
         dtype=jnp.float32,
     ):
         self.cfg = cfg
         self.params = params
+        if detokenize == "fallback":
+            from evr_tpu.tokenizer.fallbacks import WhisperFallbackTokenizer
+
+            detokenize = WhisperFallbackTokenizer.for_config(cfg).decode
+            self.tokenizer_source = "fallback"
+        else:
+            self.tokenizer_source = "provided" if detokenize else "none"
         self.detokenize = detokenize
         self.prompt = jnp.asarray(prompt_ids, jnp.int32)
         self.filters = jnp.asarray(

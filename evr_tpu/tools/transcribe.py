@@ -9,9 +9,11 @@ token ids when no tokenizer assets are wired) out.
 Weights are a deployment asset: pass an HF Whisper checkpoint state dict
 (``--hf-checkpoint model.pt``, e.g. ``torch.save(model.state_dict(),...)``
 of any ``openai/whisper-*``) plus its ``--size``. With ``--tokenizer-dir``
-pointing at HF WhisperTokenizer assets the output is text; otherwise the
-tool prints the generated token ids (still useful to smoke the compute
-path end-to-end on random-init weights via ``--random-init``).
+pointing at HF WhisperTokenizer assets the output is real-vocab text;
+otherwise the deterministic byte-level fallback detokenizer
+(`tokenizer/fallbacks.WhisperFallbackTokenizer`, explicitly non-parity)
+keeps the output textual and the transcript artifacts searchable —
+``--raw-ids`` restores the id-list output as the parity oracle.
 """
 
 from __future__ import annotations
@@ -41,7 +43,10 @@ def main(argv=None):
     parser.add_argument("--random-init", action="store_true",
                         help="random weights (compute-path smoke, ids only)")
     parser.add_argument("--tokenizer-dir", default=None,
-                        help="HF WhisperTokenizer assets dir (enables text output)")
+                        help="HF WhisperTokenizer assets dir (real-vocab text)")
+    parser.add_argument("--raw-ids", action="store_true",
+                        help="print raw token ids instead of the byte-level "
+                        "fallback detokenization (parity-oracle mode)")
     parser.add_argument("--prompt-ids", type=int, nargs="+", default=None,
                         help="forced header token ids (default: [sot])")
     parser.add_argument("--max-len", type=int, default=224)
@@ -85,7 +90,14 @@ def main(argv=None):
     else:
         raise SystemExit("need --hf-checkpoint (or --random-init for a smoke run)")
 
-    detok = _load_detokenizer(args.tokenizer_dir) if args.tokenizer_dir else None
+    if args.tokenizer_dir:
+        detok = _load_detokenizer(args.tokenizer_dir)
+    elif args.raw_ids:
+        detok = None
+    else:
+        # zero-egress default: the deterministic byte-level fallback
+        # (tokenizer/fallbacks.py) — NON-parity; real text needs the vocab
+        detok = "fallback"
     prompt = args.prompt_ids if args.prompt_ids is not None else [cfg.sot_id]
     asr = WhisperASR(params, cfg, prompt_ids=prompt, max_len=args.max_len,
                      detokenize=detok)

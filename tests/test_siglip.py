@@ -192,11 +192,19 @@ def test_siglip_engine_encodes_images_and_text():
     assert eng.get_text_features("a dog running") is t
 
 
-def test_siglip_engine_text_without_tokenizer_raises():
+def test_siglip_engine_without_tokenizer_uses_fallback():
+    """No tokenize_fn → the deterministic byte-level fallback stands in
+    (zero-egress drivability, VERDICT r3 #8) and announces itself."""
     eng = _tiny_engine(tokenize=False)
-    with pytest.raises(RuntimeError, match="tokenize_fn"):
-        eng.get_text_features("anything")
-    # image path still works (image-only serving)
+    assert eng.tokenizer_source == "fallback"
+    t = eng.get_text_features("anything")
+    assert t.shape == (32,)
+    np.testing.assert_allclose(np.linalg.norm(t), 1.0, rtol=1e-5)
+    # deterministic: same text → same ids → identical features
+    eng2 = _tiny_engine(tokenize=False)
+    np.testing.assert_array_equal(t, eng2.get_text_features("anything"))
+    assert _tiny_engine(tokenize=True).tokenizer_source == "provided"
+    # image path unaffected
     staged = np.zeros((2, 32, 32, 3), np.uint8)
     assert eng.encode_staged_images(staged).shape == (2, 32)
 
