@@ -78,9 +78,11 @@ class FrameIndex:
         searches probe ``ivf_nprobe`` of ``ivf_clusters`` k-means lists
         instead of reading every row; nprobe = n_clusters is bit-exact
         brute force. Video-scoped searches always run exact (a single
-        video's row range is small). ``ivf_clusters=None`` → ~√N. Not
-        combinable with int8 storage or a device mesh — at mesh scale the
-        sharded exact path already wins, see PERF.md), or 'ivfpq'
+        video's row range is small). ``ivf_clusters=None`` → ~√N (per
+        shard under a mesh). With a device mesh this tier row-shards into
+        per-device sub-indexes probed by ONE shard_map dispatch
+        (`parallel/sharded_ann.ShardedIVFIndex`; float32/bfloat16 shards
+        — int8+ivf stays single-device), or 'ivfpq'
         (probed + PQ-compressed tier, `index/ivfpq.py` — same probing
         semantics over residual uint8 codes with an always-on exact
         re-rank of 4×k candidates; same restrictions as 'ivf')."""
@@ -97,7 +99,12 @@ class FrameIndex:
             raise ValueError(
                 "search_impl='ivfpq' supports float32/bfloat16 storage only"
             )
-        if search_impl in ("ivf", "ivfpq") and mesh is not None:
+        if search_impl == "ivf" and mesh is not None and device_dtype == "int8":
+            raise ValueError(
+                "mesh-sharded IVF stores float32/bfloat16 shards; use "
+                "single-device IVF for the int8 inverted-file tier"
+            )
+        if search_impl == "ivfpq" and mesh is not None:
             raise ValueError(
                 f"search_impl={search_impl!r} is single-device; use the "
                 "sharded exact path (mesh=...) for scale-out"
@@ -259,7 +266,38 @@ class FrameIndex:
         if mats:
             full[:total] = np.concatenate(mats, axis=0)
         self._ivf = None
-        if self.search_impl == "ivf" and total > 1:
+        n_shards_mesh = (
+            self.mesh.shape[self.mesh_axis] if self.mesh is not None else 0
+        )
+        if (
+            self.search_impl == "ivf"
+            and self.mesh is not None
+            and total >= 2 * n_shards_mesh
+        ):
+            # mesh-sharded ANN tier: per-shard sub-indexes + one shard_map
+            # probe with an all-gather top-k merge (parallel/sharded_ann.py)
+            import math as _math
+
+            from evr_tpu.parallel.sharded_ann import ShardedIVFIndex
+
+            r = _math.ceil(total / n_shards_mesh)
+            smallest = max(1, total - (n_shards_mesh - 1) * r)
+            k = self.ivf_clusters or max(
+                1, int(round((total / n_shards_mesh) ** 0.5))
+            )
+            self._ivf = ShardedIVFIndex(self.mesh, self.mesh_axis).build(
+                full[:total],
+                n_clusters=max(1, min(k, smallest)),
+                capacity_factor=1.3,
+                iters=6,
+                dtype=(
+                    "bfloat16"
+                    if self.device_dtype == "bfloat16"
+                    else "float32"
+                ),
+            )
+            self._ivf_built_rows = total
+        elif self.search_impl == "ivf" and total > 1:
             from evr_tpu.index.ivf import IVFIndex
 
             k = self.ivf_clusters or max(1, int(round(total**0.5)))

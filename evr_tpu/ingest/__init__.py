@@ -2,6 +2,7 @@ from .scene import detect_scenes, content_curve, cuts_from_curve, ContentDetecto
 from .frames import extract_scene_frames, extract_uniform_frames
 from .annotate import build_frame_record, Annotator, NullAnnotator, annotate_folder
 from .zeroshot import COCO_CLASSES, ZeroShotObjectAnnotator, make_region_grid, nms_xywh
+from .ocr import LocalOCRAnnotator, detect_text_regions
 from .pipeline import ingest_video, IngestResult
 from .transcripts import (
     SegmentTranscriber,
@@ -26,6 +27,8 @@ __all__ = [
     "ZeroShotObjectAnnotator",
     "make_region_grid",
     "nms_xywh",
+    "LocalOCRAnnotator",
+    "detect_text_regions",
     "ingest_video",
     "IngestResult",
     "SegmentTranscriber",

@@ -92,3 +92,22 @@ class CompositeAnnotator:
             out["text_detections"] += list(result.get("text_detections", []))
             out["object_detections"] += list(result.get("object_detections", []))
         return out
+
+    def annotate_batch(self, paths) -> list[dict]:
+        """Folder-batched protocol (`annotate_folder` prefers it): children
+        exposing ``annotate_batch`` (the TPU zero-shot/OCR annotators) keep
+        their one-device-dispatch batching; the rest run per frame."""
+        merged = [
+            {"text_detections": [], "object_detections": []} for _ in paths
+        ]
+        for ann in self.annotators:
+            if hasattr(ann, "annotate_batch"):
+                results = ann.annotate_batch(paths)
+            else:
+                results = [ann(p) for p in paths]
+            for out, result in zip(merged, results):
+                out["text_detections"] += list(result.get("text_detections", []))
+                out["object_detections"] += list(
+                    result.get("object_detections", [])
+                )
+        return merged

@@ -76,6 +76,13 @@ def main():
         "the schema the reference needs YOLOv8 for",
     )
     parser.add_argument(
+        "--local-ocr", default="auto", choices=("auto", "on", "off"),
+        help="annotate uploaded videos' text_detections with the "
+        "zero-egress OCR (ingest/ocr.py: host line detector + TPU CTC "
+        "recognizer) — fills the schema the reference needs EasyOCR for. "
+        "auto = on when the committed checkpoint exists",
+    )
+    parser.add_argument(
         "--batch-window-ms",
         type=float,
         default=None,
@@ -160,11 +167,24 @@ def main():
     from evr_tpu.utils import get_logger
 
     log = get_logger("evr_tpu.serving")
-    annotator = None
+    annotators = []
     if args.zeroshot_objects:
         from evr_tpu.ingest.zeroshot import ZeroShotObjectAnnotator
 
-        annotator = ZeroShotObjectAnnotator(engine)
+        annotators.append(ZeroShotObjectAnnotator(engine))
+    if args.local_ocr != "off":
+        from evr_tpu.ingest.ocr import DEFAULT_CHECKPOINT, LocalOCRAnnotator
+
+        if args.local_ocr == "on" or DEFAULT_CHECKPOINT.exists():
+            annotators.append(LocalOCRAnnotator())
+    if not annotators:
+        annotator = None
+    elif len(annotators) == 1:
+        annotator = annotators[0]
+    else:
+        from evr_tpu.ingest.annotators import CompositeAnnotator
+
+        annotator = CompositeAnnotator(*annotators)
     ctx = ServingContext(
         args.data_root,
         engine=engine,

@@ -34,6 +34,13 @@ def main(argv=None):
         "(ingest/zeroshot.py; COCO-80 vocabulary over the CLIP towers) — "
         "no YOLO install needed",
     )
+    parser.add_argument(
+        "--local-ocr", default="auto", choices=("auto", "on", "off"),
+        help="fill text_detections with the zero-egress OCR "
+        "(ingest/ocr.py; CTC recognizer over host-detected line boxes) — "
+        "no EasyOCR install needed. auto = on when the committed "
+        "checkpoint exists (it ships with the repo)",
+    )
     args = parser.parse_args(argv)
 
     from evr_tpu.config import DataRootConfig
@@ -49,11 +56,24 @@ def main(argv=None):
     registry = VideoRegistry(data_root.mapping_path)
     index = FrameIndex(embed_dim=engine.cfg.embed_dim)
     store = MetadataStore()
-    annotator = None
+    annotators = []
     if args.zeroshot_objects:
         from evr_tpu.ingest.zeroshot import ZeroShotObjectAnnotator
 
-        annotator = ZeroShotObjectAnnotator(engine)
+        annotators.append(ZeroShotObjectAnnotator(engine))
+    if args.local_ocr != "off":
+        from evr_tpu.ingest.ocr import DEFAULT_CHECKPOINT, LocalOCRAnnotator
+
+        if args.local_ocr == "on" or DEFAULT_CHECKPOINT.exists():
+            annotators.append(LocalOCRAnnotator())
+    annotator = None
+    if annotators:
+        if len(annotators) == 1:
+            annotator = annotators[0]
+        else:
+            from evr_tpu.ingest.annotators import CompositeAnnotator
+
+            annotator = CompositeAnnotator(*annotators)
 
     for video in args.videos:
         if args.uniform:

@@ -201,14 +201,19 @@ def test_frame_index_ivf_search_hits_resolve():
         assert np.isfinite(h.score)
 
 
-def test_frame_index_ivf_rejects_mesh_and_accepts_int8():
+def test_frame_index_ivf_mesh_and_int8_rules():
+    """ivf+mesh is a supported tier since round 4 (parallel/sharded_ann —
+    exercised in tests/test_sharded_ann.py); ivf+mesh+int8 and ivfpq+mesh
+    stay rejected."""
     import pytest as _pytest
 
-    class FakeMesh:  # anything non-None must be rejected before use
+    class FakeMesh:  # rejected combinations must fail before mesh use
         pass
 
     with _pytest.raises(ValueError, match="single-device"):
-        _frame_index("ivf", mesh=FakeMesh())
+        _frame_index("ivfpq", mesh=FakeMesh())
+    with _pytest.raises(ValueError, match="float32/bfloat16"):
+        _frame_index("ivf", mesh=FakeMesh(), device_dtype="int8")
 
     # int8 IVF storage is a supported tier (4× less HBM, exact per-row
     # dequant at score time); ivfpq keeps the rejection since PQ already
