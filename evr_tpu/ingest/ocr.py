@@ -510,12 +510,19 @@ class LocalOCRAnnotator:
 
     def _frame_crops(self, gray_u8: np.ndarray):
         boxes = detect_text_regions(gray_u8, max_regions=self.max_regions)
-        crops = [
-            stage_crop(
-                gray_u8[y : y + bh, x : x + bw].astype(np.float32) / 255.0
+        h, w = gray_u8.shape
+        crops = []
+        for x, y, bw, bh in boxes:
+            # connected components hug the stroke gradient tightly; a small
+            # proportional margin keeps the first/last glyph's outer edge
+            # inside the crop (measured: tight crops drop leading thin
+            # letters like 'f')
+            m = max(2, bh // 8)
+            x0, y0 = max(0, x - m), max(0, y - m)
+            x1, y1 = min(w, x + bw + m), min(h, y + bh + m)
+            crops.append(
+                stage_crop(gray_u8[y0:y1, x0:x1].astype(np.float32) / 255.0)
             )
-            for (x, y, bw, bh) in boxes
-        ]
         return boxes, crops
 
     def _emit(self, boxes, texts, confs, width, height):
