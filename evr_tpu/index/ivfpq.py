@@ -71,6 +71,10 @@ class IVFPQIndex:
         self._overflow_assign = None  # [O] int32 coarse centroid per row
         self._overflow_recon = None  # [O, D] fp32 cache (pool GEMM operand)
         self._n_rows = 0
+        # OPQ rotation (Ge et al., CVPR 2013): residuals are encoded as
+        # r @ R, so the ADC side of a search uses q @ R while the coarse
+        # q·c term stays unrotated (R orthogonal ⇒ q·r = (qR)·(rR)).
+        self.rotation = None    # [D, D] fp32 or None
 
     @property
     def packed(self) -> bool:
@@ -192,6 +196,7 @@ class IVFPQIndex:
         row_scales=None,
         packed: bool = True,
         spill_choices: int = 4,
+        opq_iters: int = 0,
     ) -> "IVFPQIndex":
         """10M+-row build from a device-resident corpus, mirroring
         ``IVFIndex.build_device``: coarse k-means AND the residual PQ
@@ -248,11 +253,34 @@ class IVFPQIndex:
         resid = (sample - cents[s_assign])[::pq_stride][:pq_take]
         m = resid.shape[0]
         ds = d // n_subspaces
-        rs = resid.reshape(m, n_subspaces, ds).transpose(1, 0, 2)
         keys = jax.random.split(jax.random.PRNGKey(seed + 1), n_subspaces)
-        books, _ = jax.vmap(
-            lambda k_, xs: kmeans_l2(k_, xs, n_centroids, iters=pq_iters)
-        )(keys, rs)
+
+        def train_books(r_rot, iters_):
+            rs_ = r_rot.reshape(m, n_subspaces, ds).transpose(1, 0, 2)
+            return jax.vmap(
+                lambda k_, xs: kmeans_l2(k_, xs, n_centroids, iters=iters_)
+            )(keys, rs_)
+
+        rot = None
+        if opq_iters > 0:
+            # OPQ on the RESIDUAL sample: alternate (a) train books on the
+            # rotated residuals, (b) Procrustes-update R from SVD of
+            # residᵀ·recon ([D, D] host SVD; the [m, D] matmuls stay on
+            # device). R=I reproduces plain residual PQ exactly.
+            rot = jnp.eye(d, dtype=jnp.float32)
+            inner = max(2, pq_iters // 2)
+            for _ in range(opq_iters):
+                books_i, assign_i = train_books(resid @ rot, inner)
+                recon = jnp.take_along_axis(
+                    books_i, assign_i[:, :, None].astype(jnp.int32), axis=1
+                ).transpose(1, 0, 2).reshape(m, d)        # [m, D] rotated
+                u, _, vt = np.linalg.svd(
+                    np.asarray(resid.T @ recon), full_matrices=False
+                )
+                rot = jnp.asarray((u @ vt).astype(np.float32))
+            resid = resid @ rot
+        books, _ = train_books(resid, pq_iters)
+        self.rotation = rot
 
         from evr_tpu.index.ivf import fill_inverted_lists_multi
 
@@ -308,6 +336,8 @@ class IVFPQIndex:
 
         def encode_resid(rows, cent_ids):
             r = rows - cents[cent_ids]
+            if rot is not None:
+                r = r @ rot
             mm = r.shape[0]
             rss = r.reshape(mm, n_subspaces, ds).transpose(1, 0, 2)
             dots = jnp.einsum(
@@ -427,6 +457,8 @@ class IVFPQIndex:
         x = jnp.asarray(emb_new)
         assign = jnp.argmax(x @ self.centroids.T, axis=1)
         resid = x - self.centroids[assign]
+        if self.rotation is not None:
+            resid = resid @ self.rotation
         s, k, ds = self.codebooks.shape
         rs = resid.reshape(m, s, ds).transpose(1, 0, 2)        # [S, M, d]
         # argmin ||r - c||² = argmin(|c|² - 2 r·c), batched over subspaces
@@ -469,6 +501,8 @@ class IVFPQIndex:
         s, k, ds = self.codebooks.shape
         assign = jnp.argmax(x @ self.centroids.T, axis=1)
         resid = x - self.centroids[assign]
+        if self.rotation is not None:
+            resid = resid @ self.rotation
         rs = resid.reshape(m, s, ds).transpose(1, 0, 2)
         c_sq = jnp.sum(jnp.square(self.codebooks), axis=2)
         dots = jnp.einsum(
@@ -548,9 +582,13 @@ class IVFPQIndex:
             return self._overflow_recon
         codes = np.asarray(self.overflow_codes).astype(np.int64)  # [O, S]
         resid = books[np.arange(s)[None, :], codes, :]  # [O, S, ds]
+        resid = resid.reshape(o, s * ds)
+        if self.rotation is not None:
+            # codes live in rotated space: r = r_rot @ Rᵀ (R orthogonal)
+            resid = resid @ np.asarray(self.rotation).T
         recon = (
             np.asarray(self.centroids)[np.asarray(self._overflow_assign)]
-            + resid.reshape(o, s * ds)
+            + resid
         ).astype(np.float32)
         self._overflow_recon = jnp.asarray(recon)
         return self._overflow_recon
@@ -564,12 +602,14 @@ class IVFPQIndex:
     @staticmethod
     @functools.partial(jax.jit, static_argnames=("top_k", "nprobe"))
     def _probe_adc_search(
-        q, cents, list_rows, overflow, coarse_assign, books, codes_t,
+        q, q_adc, cents, list_rows, overflow, coarse_assign, books, codes_t,
         top_k: int, nprobe: int,
     ):
         b = q.shape[0]
         s, k, ds = books.shape
-        qs = q.reshape(b, s, ds).transpose(1, 0, 2)        # [S, B, d]
+        # ADC tables use the OPQ-rotated query (q_adc == q without OPQ);
+        # the coarse q·c term below stays unrotated
+        qs = q_adc.reshape(b, s, ds).transpose(1, 0, 2)    # [S, B, d]
         tables = jnp.einsum(
             "sbd,skd->sbk", qs, books,
             preferred_element_type=jnp.float32,
@@ -624,7 +664,7 @@ class IVFPQIndex:
         ),
     )
     def _probe_adc_search_packed(
-        q, cents, books, codes_lists, id_lists,
+        q, q_adc, cents, books, codes_lists, id_lists,
         overflow_recon, overflow_ids,
         top_k: int, nprobe: int, capacity: int, adc_impl: str = "xla",
         interpret: bool = False,
@@ -653,7 +693,9 @@ class IVFPQIndex:
         one-hot exists in either impl."""
         b = q.shape[0]
         s, kk, ds = books.shape
-        qs = q.reshape(b, s, ds).transpose(1, 0, 2)          # [S, B, d]
+        # ADC tables from the OPQ-rotated query; coarse q·c and the pool
+        # GEMM (un-rotated reconstructions) from the raw query
+        qs = q_adc.reshape(b, s, ds).transpose(1, 0, 2)      # [S, B, d]
         tables = jnp.einsum(
             "sbd,skd->bsk", qs, books,
             preferred_element_type=jnp.float32,
@@ -766,12 +808,13 @@ class IVFPQIndex:
             adc_impl = "xla"
         nprobe = max(1, min(nprobe, self.n_clusters))
         q = jnp.asarray(np.atleast_2d(np.asarray(queries, np.float32)))
+        q_adc = q if self.rotation is None else q @ self.rotation
         cap = self._capacity * nprobe + int(self.overflow.shape[0])
         fetch = max(1, min(top_k if rerank is None else max(top_k, rerank),
                            cap, self.n_rows))
         if self.packed:
             scores, rows = self._probe_adc_search_packed(
-                q, self.centroids, self.codebooks,
+                q, q_adc, self.centroids, self.codebooks,
                 self.codes_lists, self.id_lists,
                 self._pool_recon(), self.overflow,
                 fetch, nprobe, self._capacity, adc_impl,
@@ -781,7 +824,7 @@ class IVFPQIndex:
             if self._codes_t is None:
                 self._codes_t = self.codes.T  # [S, N] uint8 scan operand
             scores, rows = self._probe_adc_search(
-                q, self.centroids, self.list_rows, self.overflow,
+                q, q_adc, self.centroids, self.list_rows, self.overflow,
                 self._coarse_assign, self.codebooks, self._codes_t,
                 fetch, nprobe,
             )
@@ -803,8 +846,7 @@ class IVFPQIndex:
     # -- persistence --------------------------------------------------------
     def save(self, path) -> None:
         if self.packed:
-            np.savez(
-                path,
+            arrs_p = dict(
                 centroids=np.asarray(self.centroids),
                 codebooks=np.asarray(self.codebooks),
                 codes_lists=np.asarray(self.codes_lists),
@@ -814,6 +856,9 @@ class IVFPQIndex:
                 overflow_assign=np.asarray(self._overflow_assign),
                 n_rows=np.int64(self._n_rows),
             )
+            if self.rotation is not None:
+                arrs_p["rotation"] = np.asarray(self.rotation)
+            np.savez(path, **arrs_p)
             return
         arrs = {
             "centroids": np.asarray(self.centroids),
@@ -834,6 +879,8 @@ class IVFPQIndex:
         idx.centroids = jnp.asarray(z["centroids"])
         idx.codebooks = jnp.asarray(z["codebooks"])
         idx.overflow = jnp.asarray(z["overflow"].astype(np.int32))
+        if "rotation" in z.files:
+            idx.rotation = jnp.asarray(z["rotation"])
         if "codes_lists" in z.files:
             idx.codes_lists = jnp.asarray(z["codes_lists"])
             idx.id_lists = jnp.asarray(z["id_lists"])

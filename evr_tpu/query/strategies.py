@@ -85,6 +85,40 @@ class QueryEngine:
             self._searcher = TextSearcher(
                 embedding_engine, index, batch_window_ms=batch_window_ms
             )
+        # ANN serving tier keeps micro-batching even though the fused
+        # searcher is disabled (VERDICT r3 #4): concurrent global searches
+        # coalesce into ONE probe dispatch — the device ADC/probe scores a
+        # batch of 8 for nearly the cost of 1 (PERF.md 10M table), so
+        # under concurrent load per-query latency drops instead of
+        # serializing on the index lock. Scoped searches stay per-call
+        # (they run the small exact path).
+        self._ann_batcher = None
+        if (
+            self._searcher is None
+            and batch_window_ms is not None
+            and getattr(index, "search_impl", None) in ("ivf", "ivfpq")
+        ):
+            from evr_tpu.serving.batcher import MicroBatcher, flush_padded
+
+            def _ann_batch(key, items):
+                k_ = key
+                import numpy as _np
+
+                return flush_padded(
+                    items,
+                    8,
+                    lambda padded: self.index.search_raw(
+                        _np.stack(
+                            [_np.asarray(v, _np.float32).reshape(-1)
+                             for v in padded]
+                        ),
+                        k_,
+                    ),
+                )
+
+            self._ann_batcher = MicroBatcher(
+                _ann_batch, max_batch=8, window_s=batch_window_ms / 1e3
+            )
 
     # -- shared plumbing --------------------------------------------------
     def _candidates(
@@ -107,6 +141,17 @@ class QueryEngine:
                 hits.append(SearchHit(video, frame, float(score), int(row), fidx))
             return hits
         vec = self.engine.get_text_features(processed_text)
+        if self._ann_batcher is not None and video_name is None:
+            scores, rows = self._ann_batcher.submit(k, vec)
+            hits = []
+            for score, row in zip(scores, rows):
+                if not _np_isfinite(score):
+                    continue
+                video, frame, fidx = self.index.resolve_row(int(row))
+                hits.append(
+                    SearchHit(video, frame, float(score), int(row), fidx)
+                )
+            return hits
         return self.index.search(vec, k, video_name)[0]
 
     def _negative_vec(

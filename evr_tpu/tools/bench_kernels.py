@@ -624,7 +624,8 @@ def _chained_search_ms(probe_call, queries, ops=(), n_chain: int = 2) -> float:
 
 
 def bench_ann_big(reps: int, rows: int, d: int = 512,
-                  tiers: str = "both") -> None:
+                  tiers: str = "both", subspaces: int = 64,
+                  opq_iters: int = 0) -> None:
     """VERDICT r2 #8: the ANN tiers MEASURED at claimed scale — a real
     ≥10M-row on-chip build (int8 IVF ≈ rows·(D+4) bytes ≈ 5.1 GB at 10M;
     IVF-PQ codes ≈ rows·S bytes ≈ 640 MB). Corpus is generated on device
@@ -660,7 +661,8 @@ def bench_ann_big(reps: int, rows: int, d: int = 512,
     # path) scale k down so the k-means GEMMs stay tractable off-chip
     k = 8192 if rows > 2_000_000 else max(64, rows // 1000)
     if tiers not in ("ivf", "both"):
-        _bench_ann_big_pq(reps, rows, d, k, nq, buf, scales, q, b_rows)
+        _bench_ann_big_pq(reps, rows, d, k, nq, buf, scales, q, b_rows,
+                          subspaces, opq_iters)
         return
     t0 = time.perf_counter()
     # capacity_factor 1.3 (not the unpacked default): the packed layout
@@ -694,26 +696,32 @@ def bench_ann_big(reps: int, rows: int, d: int = 512,
     del ivf  # frees the packed block array before the PQ build
     if tiers in ("ivf",):
         return
-    _bench_ann_big_pq(reps, rows, d, k, nq, buf, scales, q, b_rows)
+    _bench_ann_big_pq(reps, rows, d, k, nq, buf, scales, q, b_rows,
+                      subspaces, opq_iters)
 
 
-def _bench_ann_big_pq(reps, rows, d, k, nq, buf, scales, q, b_rows) -> None:
+def _bench_ann_big_pq(reps, rows, d, k, nq, buf, scales, q, b_rows,
+                      subspaces: int = 64, opq_iters: int = 0,
+                      adc_impls=("xla",)) -> None:
     """The IVF-PQ half of the claimed-scale measurement (split out so
     ``--tiers ivfpq`` can re-measure ADC changes without re-paying the
-    IVF build)."""
+    IVF build). ``subspaces``/``opq_iters`` drive the VERDICT r3 #1
+    fidelity sweep (S ∈ {64, 128} at D=512; OPQ rotation on/off)."""
     from evr_tpu.index.ivfpq import IVFPQIndex
 
-    sub = 64 if d % 64 == 0 else 32
+    sub = subspaces if d % subspaces == 0 else (64 if d % 64 == 0 else 32)
     t0 = time.perf_counter()
     pq = IVFPQIndex().build_device(
         buf, n_clusters=k, n_subspaces=sub, capacity_factor=1.3,
         coarse_iters=6, pq_iters=6, row_scales=scales, slab_rows=500_000,
+        opq_iters=opq_iters,
     )
     pq_build = time.perf_counter() - t0
-    print(f"  ivfpq build (k={k}, S={sub}, packed): {pq_build:.1f}s "
+    print(f"  ivfpq build (k={k}, S={sub}, opq={opq_iters}, packed): "
+          f"{pq_build:.1f}s "
           f"({rows * sub / 1e9:.2f} GB codes, overflow pool: "
           f"{int(pq.overflow.shape[0]):,} rows)", flush=True)
-    for impl in ("xla", "pallas"):
+    for impl in adc_impls:
         for nprobe in (8, 32, 64, 128):
             _, rws = pq.search(q, 10, nprobe=nprobe, adc_impl=impl)
             ms = _best_ms(
@@ -723,7 +731,9 @@ def _bench_ann_big_pq(reps, rows, d, k, nq, buf, scales, q, b_rows) -> None:
             dev_ms = _batched_device_ms(
                 lambda q1, *ops, _np=nprobe, _c=pq._capacity, _i=impl: (
                     IVFPQIndex._probe_adc_search_packed(
-                        q1, *ops, 10, _np, _c, _i
+                        q1,
+                        q1 if pq.rotation is None else q1 @ pq.rotation,
+                        *ops, 10, _np, _c, _i,
                     )
                 ),
                 q,
@@ -786,7 +796,7 @@ def bench_adc(
             dev_ms = _batched_device_ms(
                 lambda q1, *ops, _np=nprobe, _i=impl: (
                     IVFPQIndex._probe_adc_search_packed(
-                        q1, *ops, 10, _np, capacity, _i
+                        q1, q1, *ops, 10, _np, capacity, _i
                     )
                 ),
                 q,
@@ -927,6 +937,14 @@ def main() -> None:
         "build_device streaming — the honest 10M+ measurement, VERDICT r2 #8)",
     )
     ap.add_argument(
+        "--subspaces", type=int, default=64,
+        help="ivfpq big run: PQ subspaces S (bytes/row); 64 or 128 at D=512",
+    )
+    ap.add_argument(
+        "--opq-iters", type=int, default=0,
+        help="ivfpq big run: OPQ rotation training iterations (0 = plain)",
+    )
+    ap.add_argument(
         "--tiers", choices=["ivf", "ivfpq", "both"], default="both",
         help="which ANN tier(s) the big --rows run measures (ivfpq skips "
         "the IVF build when only the ADC path changed)",
@@ -961,7 +979,9 @@ def main() -> None:
             print(f"== {name} ==")
             if name in ("ivf", "ivfpq") and args.rows:
                 if args.rows > 2_000_000:
-                    bench_ann_big(args.reps, args.rows, tiers=args.tiers)
+                    bench_ann_big(args.reps, args.rows, tiers=args.tiers,
+                                  subspaces=args.subspaces,
+                                  opq_iters=args.opq_iters)
                     break  # shared corpus run covers both tiers
                 fn(args.reps, ns=(args.rows,))
             else:

@@ -276,3 +276,89 @@ def test_batched_result_cached_under_flush_version(small_engine_index):
     s2, r2 = plain.search("stale window query", 3)
     np.testing.assert_array_equal(r1, r2)
     np.testing.assert_allclose(s1, s2, rtol=1e-5, atol=1e-6)
+
+
+def test_query_engine_ann_tier_micro_batches(monkeypatch):
+    """VERDICT r3 #4: the ANN serving tier (search_impl='ivf'/'ivfpq')
+    keeps `batch_window_ms` coalescing even though the fused TextSearcher
+    is disabled there — concurrent global queries share ONE probe
+    dispatch, results identical to the unbatched engine, scoped searches
+    bypass the batcher."""
+    from evr_tpu.index import FrameIndex
+    from evr_tpu.query import MetadataStore, QueryEngine
+
+    from tests.test_query import FakeEngine
+
+    rng = np.random.default_rng(7)
+    dim = 16
+    emb = rng.normal(size=(400, dim)).astype(np.float32)
+    emb /= np.linalg.norm(emb, axis=1, keepdims=True)
+
+    def build(window):
+        idx = FrameIndex(
+            embed_dim=dim, pad_multiple=32, search_impl="ivf",
+            ivf_clusters=8, ivf_nprobe=8,
+        )
+        idx.add_video("v", emb, [f"{i}.jpg" for i in range(len(emb))])
+        eng = FakeEngine(dim=dim)
+        for i in range(8):
+            eng.register(f"q{i}", i)
+        store = MetadataStore()
+        store.add_video(
+            "v",
+            [
+                {
+                    "frameidx": i, "frameid": f"{i}.jpg",
+                    "video": "videos/v.mp4", "filepath": f"frames/{i}.jpg",
+                    "tags": [], "metadata": {},
+                    "text_detections": {"detections": []},
+                    "object_detections": {"detections": []},
+                }
+                for i in range(len(emb))
+            ],
+            fps=25.0,
+        )
+        return QueryEngine(eng, idx, store, batch_window_ms=window)
+
+    plain = build(None)
+    assert plain._ann_batcher is None
+    batched = build(25.0)
+    assert batched._ann_batcher is not None and batched._searcher is None
+
+    queries = [f"q{i}" for i in range(6)]
+    expected = {
+        q: [(h.row, round(h.score, 5)) for h in plain._candidates_n(q, 5, None)]
+        for q in queries
+    }
+
+    calls = []
+    orig = batched.index.search_raw
+
+    def counting(qmat, k, video_name=None):
+        calls.append(np.atleast_2d(np.asarray(qmat)).shape[0])
+        return orig(qmat, k, video_name)
+
+    monkeypatch.setattr(batched.index, "search_raw", counting)
+
+    got = {}
+    lock = threading.Lock()
+
+    def worker(q):
+        hits = batched._candidates_n(q, 5, None)
+        with lock:
+            got[q] = [(h.row, round(h.score, 5)) for h in hits]
+
+    threads = [threading.Thread(target=worker, args=(q,)) for q in queries]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+
+    assert got == expected
+    assert len(calls) < 6, calls           # coalesced, not one-per-query
+    assert all(c in (1, 2, 4, 8) for c in calls), calls  # bucketed shapes
+
+    # scoped searches bypass the batcher (exact path, no coalescing key)
+    calls.clear()
+    hits = batched._candidates_n("q1", 5, "v")
+    assert hits and calls == []
