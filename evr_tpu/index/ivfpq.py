@@ -49,6 +49,44 @@ from evr_tpu.index.ivf import kmeans
 from evr_tpu.index.pq import kmeans_l2
 
 
+def _train_residual_quantizers(
+    resid, n_subspaces: int, n_centroids: int, pq_iters: int,
+    opq_iters: int, seed: int,
+):
+    """(codebooks [S, K, ds], rotation [D, D] | None) from a residual
+    training sample [m, D] (device fp32). ``opq_iters > 0`` runs the OPQ
+    alternation (Ge et al., CVPR 2013): train books on rotated residuals,
+    Procrustes-update R from the [D, D] host SVD of residᵀ·recon; the
+    [m, D] matmuls stay on device. R=I reproduces plain residual PQ."""
+    m, d = resid.shape
+    ds = d // n_subspaces
+    keys = jax.random.split(jax.random.PRNGKey(seed + 1), n_subspaces)
+
+    def train_books(r_rot, iters_):
+        rs_ = r_rot.reshape(m, n_subspaces, ds).transpose(1, 0, 2)
+        return jax.vmap(
+            lambda k_, xs: kmeans_l2(k_, xs, n_centroids, iters=iters_)
+        )(keys, rs_)
+
+    rot = None
+    if opq_iters > 0:
+        rot = jnp.eye(d, dtype=jnp.float32)
+        inner = max(2, pq_iters // 2)
+        for _ in range(opq_iters):
+            books_i, assign_i = train_books(resid @ rot, inner)
+            recon = jnp.take_along_axis(
+                books_i, assign_i[:, :, None].astype(jnp.int32), axis=1
+            ).transpose(1, 0, 2).reshape(m, d)            # [m, D] rotated
+            u, _, vt = np.linalg.svd(
+                np.asarray(resid.T @ recon), full_matrices=False
+            )
+            rot = jnp.asarray((u @ vt).astype(np.float32))
+        resid = resid @ rot
+    books, _ = train_books(resid, pq_iters)
+    return books, rot
+
+
+
 class IVFPQIndex:
     """Probed, compressed cosine top-k. ``build`` once over L2-normalised
     embeddings; ``search(queries, top_k, nprobe, rerank=)`` is one jitted
@@ -71,6 +109,9 @@ class IVFPQIndex:
         self._overflow_assign = None  # [O] int32 coarse centroid per row
         self._overflow_recon = None  # [O, D] fp32 cache (pool GEMM operand)
         self._n_rows = 0
+        # host-DRAM exact-rerank store (attach_host_store)
+        self._originals_int8 = None
+        self._originals_int8_scales = None
         # OPQ rotation (Ge et al., CVPR 2013): residuals are encoded as
         # r @ R, so the ADC side of a search uses q @ R while the coarse
         # q·c term stays unrotated (R orthogonal ⇒ q·r = (qR)·(rR)).
@@ -251,35 +292,10 @@ class IVFPQIndex:
         pq_take = min(pq_train_rows, sample.shape[0])
         pq_stride = max(1, sample.shape[0] // pq_take)
         resid = (sample - cents[s_assign])[::pq_stride][:pq_take]
-        m = resid.shape[0]
         ds = d // n_subspaces
-        keys = jax.random.split(jax.random.PRNGKey(seed + 1), n_subspaces)
-
-        def train_books(r_rot, iters_):
-            rs_ = r_rot.reshape(m, n_subspaces, ds).transpose(1, 0, 2)
-            return jax.vmap(
-                lambda k_, xs: kmeans_l2(k_, xs, n_centroids, iters=iters_)
-            )(keys, rs_)
-
-        rot = None
-        if opq_iters > 0:
-            # OPQ on the RESIDUAL sample: alternate (a) train books on the
-            # rotated residuals, (b) Procrustes-update R from SVD of
-            # residᵀ·recon ([D, D] host SVD; the [m, D] matmuls stay on
-            # device). R=I reproduces plain residual PQ exactly.
-            rot = jnp.eye(d, dtype=jnp.float32)
-            inner = max(2, pq_iters // 2)
-            for _ in range(opq_iters):
-                books_i, assign_i = train_books(resid @ rot, inner)
-                recon = jnp.take_along_axis(
-                    books_i, assign_i[:, :, None].astype(jnp.int32), axis=1
-                ).transpose(1, 0, 2).reshape(m, d)        # [m, D] rotated
-                u, _, vt = np.linalg.svd(
-                    np.asarray(resid.T @ recon), full_matrices=False
-                )
-                rot = jnp.asarray((u @ vt).astype(np.float32))
-            resid = resid @ rot
-        books, _ = train_books(resid, pq_iters)
+        books, rot = _train_residual_quantizers(
+            resid, n_subspaces, n_centroids, pq_iters, opq_iters, seed
+        )
         self.rotation = rot
 
         from evr_tpu.index.ivf import fill_inverted_lists_multi
@@ -431,6 +447,221 @@ class IVFPQIndex:
         )
         self._coarse_assign = enc_j
         return self
+
+
+    def build_device_streamed(
+        self,
+        slab_fn,
+        n_rows: int,
+        d: int,
+        n_clusters: int,
+        n_subspaces: int = 64,
+        n_centroids: int = 256,
+        capacity_factor: float = 1.1,
+        coarse_iters: int = 6,
+        pq_iters: int = 6,
+        opq_iters: int = 0,
+        seed: int = 0,
+        train_rows: int = 524_288,
+        pq_train_rows: int = 65_536,
+        slab_rows: int = 500_000,
+        spill_choices: int = 4,
+        assign_sub_rows: int = 25_000,
+        progress=None,
+    ) -> "IVFPQIndex":
+        """100M-row build where the corpus NEVER exists in HBM — the
+        regime `build_device` cannot reach (a resident [100M, 512] int8
+        corpus is 51 GB against a 16 GB v5e). ``slab_fn(start, m)`` must
+        return the fp32 device rows [m, d] for corpus positions
+        [start, start+m), deterministically (it is called up to three
+        times per slab: sampling, assignment, encoding); rows the caller
+        considers canonical-int8 should be returned already dequantised.
+
+        Three streamed passes, none of which retains a slab:
+
+        1. **Sample** — a per-slab strided subsample trains the coarse
+           k-means and the residual PQ/OPQ quantizers (the same
+           `_train_residual_quantizers` the resident build uses).
+        2. **Assign** — each slab scores against the centroids in
+           ``assign_sub_rows`` sub-chunks under one jitted `lax.map`
+           (bounding the [rows, k] score transient), and only the tiny
+           [m, spill_choices] choice ranking crosses to the host, where
+           `fill_inverted_lists_multi` places every row exactly once
+           (spill keeps the always-scanned pool ~empty).
+        3. **Encode+scatter** — each slab re-generates, residual-encodes
+           against its rows' STORED list centroids (OPQ-rotated), and the
+           uint8 codes scatter straight into the packed [k·C, S] block
+           layout (placed rows) or the overflow code table (pool rows).
+           HBM holds codes + ids only: ~N·(S·cf + 4·cf) bytes.
+
+        Search-side everything matches `build_device(packed=True)` —
+        ``nprobe = n_clusters`` reads every row. HBM at N=100M, S=64,
+        cf=1.1: 7.0 GB codes + 0.44 GB ids. Reference counterpart: none
+        (the reference's faiss import is unused, `Backend/app.py:21`)."""
+        if d % n_subspaces:
+            raise ValueError(
+                f"embed dim {d} not divisible by n_subspaces={n_subspaces}"
+            )
+        if n_rows < n_clusters:
+            raise ValueError(f"n_rows={n_rows} < n_clusters={n_clusters}")
+        self._overflow_recon = None
+        log = progress or (lambda msg: None)
+        n_slabs = (n_rows + slab_rows - 1) // slab_rows
+
+        # -- pass 1: strided sample -> coarse + PQ/OPQ training ----------
+        per_slab = max(1, (min(train_rows, n_rows) + n_slabs - 1) // n_slabs)
+        parts = []
+        for i in range(n_slabs):
+            start = i * slab_rows
+            m_i = min(slab_rows, n_rows - start)
+            stride = max(1, m_i // per_slab)
+            parts.append(slab_fn(start, m_i)[::stride][:per_slab])
+        sample = jnp.concatenate(parts, axis=0)
+        del parts
+        log(f"sample {sample.shape[0]:,} rows; coarse k-means k={n_clusters}")
+        cents, s_assign = kmeans(
+            jax.random.PRNGKey(seed), sample, n_clusters, iters=coarse_iters
+        )
+        pq_take = min(pq_train_rows, sample.shape[0])
+        pq_stride = max(1, sample.shape[0] // pq_take)
+        resid = (sample - cents[s_assign])[::pq_stride][:pq_take]
+        del sample, s_assign
+        books, rot = _train_residual_quantizers(
+            resid, n_subspaces, n_centroids, pq_iters, opq_iters, seed
+        )
+        del resid
+        self.rotation = rot
+        ds = d // n_subspaces
+
+        # -- pass 2: streamed assignment, host list fill -----------------
+        mc = max(1, min(spill_choices, n_clusters))
+
+        @functools.partial(jax.jit, static_argnames=("mm", "sub"))
+        def slab_topm(slab, c, mm, sub):
+            padded_rows = (slab.shape[0] + sub - 1) // sub * sub
+            pad = padded_rows - slab.shape[0]
+            x = jnp.pad(slab, ((0, pad), (0, 0)))
+            x = x.reshape(padded_rows // sub, sub, d)
+
+            def one(chunk):
+                sco = chunk @ c.T
+                if mm == 1:
+                    return jnp.argmax(sco, axis=1).astype(jnp.int32)[:, None]
+                return jax.lax.top_k(sco, mm)[1].astype(jnp.int32)
+
+            return jax.lax.map(one, x).reshape(padded_rows, mm)[
+                : slab.shape[0]
+            ]
+
+        from evr_tpu.index.ivf import fill_inverted_lists_multi
+
+        topm = np.empty((n_rows, mc), np.int32)
+        for i in range(n_slabs):
+            start = i * slab_rows
+            m_i = min(slab_rows, n_rows - start)
+            topm[start : start + m_i] = np.asarray(
+                slab_topm(slab_fn(start, m_i), cents, mc, assign_sub_rows)
+            )
+            if i % 25 == 0:
+                log(f"assign slab {i + 1}/{n_slabs}")
+        capacity = max(
+            1, int(np.ceil(n_rows / n_clusters * capacity_factor))
+        )
+        capacity = (capacity + 7) // 8 * 8
+        lists = np.full((n_clusters, capacity), -1, np.int32)
+        overflow: list = []
+        placement = fill_inverted_lists_multi(topm, lists, overflow)
+        enc_cent = np.where(placement >= 0, placement, topm[:, 0]).astype(
+            np.int32
+        )
+        del placement, topm
+        ovf = np.asarray(overflow, np.int64)
+        o = len(ovf)
+        log(
+            f"lists filled: capacity={capacity}, overflow pool {o:,} rows "
+            f"({o / n_rows:.2%})"
+        )
+
+        # destination slot per row: packed flat slot for placed rows,
+        # k*C + pool-index for overflow rows
+        flat_ids = lists.reshape(-1)
+        valid = flat_ids >= 0
+        dest = np.full(n_rows, -1, np.int64)
+        dest[flat_ids[valid]] = np.flatnonzero(valid)
+        kc = n_clusters * capacity
+        dest[ovf] = kc + np.arange(o)
+        assert (dest >= 0).all(), "every row must have exactly one slot"
+
+        # -- pass 3: streamed residual encode + scatter ------------------
+        rot_j = rot if rot is not None else jnp.zeros((0, 0), jnp.float32)
+
+        @functools.partial(jax.jit, donate_argnums=(0, 1))
+        def encode_scatter(buf_main, buf_pool, slab, c, bks, r_, ec, dst):
+            rr = slab - c[ec]
+            if r_.shape[0]:
+                rr = rr @ r_
+            mm = rr.shape[0]
+            rss = rr.reshape(mm, n_subspaces, ds).transpose(1, 0, 2)
+            c_sq = jnp.sum(jnp.square(bks), axis=2)
+            dots = jnp.einsum(
+                "smd,skd->smk", rss, bks,
+                preferred_element_type=jnp.float32,
+            )
+            codes = jnp.argmin(
+                c_sq[:, None, :] - 2.0 * dots, axis=2
+            ).T.astype(jnp.uint8)                          # [mm, S]
+            in_main = dst < kc
+            main_idx = jnp.where(in_main, dst, kc)         # kc = trash row
+            pool_idx = jnp.where(in_main, buf_pool.shape[0] - 1, dst - kc)
+            buf_main = buf_main.at[main_idx].set(codes)
+            buf_pool = buf_pool.at[pool_idx].set(codes)
+            return buf_main, buf_pool
+
+        buf_main = jnp.zeros((kc + 1, n_subspaces), jnp.uint8)  # +1 trash
+        buf_pool = jnp.zeros((o + 1, n_subspaces), jnp.uint8)
+        for i in range(n_slabs):
+            start = i * slab_rows
+            m_i = min(slab_rows, n_rows - start)
+            buf_main, buf_pool = encode_scatter(
+                buf_main, buf_pool, slab_fn(start, m_i), cents, books,
+                rot_j, jnp.asarray(enc_cent[start : start + m_i]),
+                jnp.asarray(dest[start : start + m_i].astype(np.int32)),
+            )
+            if i % 25 == 0:
+                log(f"encode slab {i + 1}/{n_slabs}")
+
+        self.centroids = cents
+        self.codebooks = books
+        self.codes_lists = buf_main[:kc]
+        self.id_lists = jnp.asarray(flat_ids)
+        self.overflow = jnp.asarray(ovf.astype(np.int32))
+        self.overflow_codes = buf_pool[:o]
+        self._overflow_assign = jnp.asarray(enc_cent[ovf])
+        self._n_rows = n_rows
+        self.codes = None
+        self.list_rows = None
+        self._coarse_assign = None
+        self._originals = None
+        self._codes_t = None
+        return self
+
+    def attach_host_store(self, rows_int8, scales) -> None:
+        """Attach a HOST-memory full-fidelity row store for exact re-rank
+        at scales where the rows cannot live in HBM (the two-tier
+        DiskANN/SCaNN-style serving shape: uint8 PQ codes resident on
+        device generate candidates; the host DRAM store of int8 rows +
+        per-row scales re-scores the top-R exactly). ``search(...,
+        rerank=R)`` then gathers R candidate rows per query from host
+        memory — a few hundred KB — instead of needing 51 GB of HBM at
+        N=100M, D=512."""
+        rows_int8 = np.asarray(rows_int8)
+        scales = np.asarray(scales, np.float32)
+        if rows_int8.dtype != np.int8:
+            raise ValueError("host store rows must be int8")
+        if rows_int8.shape[0] != scales.shape[0]:
+            raise ValueError("rows/scales length mismatch")
+        self._originals_int8 = rows_int8
+        self._originals_int8_scales = scales
 
     def append(self, emb_new: np.ndarray) -> np.ndarray:
         """Incremental add WITHOUT retraining: assign new rows to their
@@ -800,8 +1031,15 @@ class IVFPQIndex:
         serving path on faith."""
         if self.codes is None and not self.packed:
             raise ValueError("IVFPQIndex.search before build()")
-        if rerank is not None and self._originals is None:
-            raise ValueError("rerank requires keep_originals=True at build")
+        if (
+            rerank is not None
+            and self._originals is None
+            and self._originals_int8 is None
+        ):
+            raise ValueError(
+                "rerank requires keep_originals=True at build or an "
+                "attach_host_store() int8 row store"
+            )
         if adc_impl not in ("auto", "xla", "pallas"):
             raise ValueError(f"unknown adc_impl {adc_impl!r}")
         if adc_impl == "auto":
@@ -834,8 +1072,14 @@ class IVFPQIndex:
             k = min(top_k, fetch)
             return scores[:, :k], rows[:, :k]
         qn = np.asarray(q)
-        cand = self._originals[np.where(rows >= 0, rows, 0)]   # [B, R, D]
-        exact = np.einsum("bd,brd->br", qn, cand).astype(np.float32)
+        safe_rows = np.where(rows >= 0, rows, 0)
+        if self._originals is not None:
+            cand = self._originals[safe_rows]                  # [B, R, D]
+            exact = np.einsum("bd,brd->br", qn, cand).astype(np.float32)
+        else:
+            cand = self._originals_int8[safe_rows].astype(np.float32)
+            cand *= self._originals_int8_scales[safe_rows][:, :, None]
+            exact = np.einsum("bd,brd->br", qn, cand).astype(np.float32)
         exact = np.where(rows >= 0, exact, -np.inf)
         k = min(top_k, exact.shape[1])
         order = np.argsort(-exact, axis=1)[:, :k]

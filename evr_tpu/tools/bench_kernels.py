@@ -625,7 +625,7 @@ def _chained_search_ms(probe_call, queries, ops=(), n_chain: int = 2) -> float:
 
 def bench_ann_big(reps: int, rows: int, d: int = 512,
                   tiers: str = "both", subspaces: int = 64,
-                  opq_iters: int = 0) -> None:
+                  opq_iters: int = 0, rerank: int = 0) -> None:
     """VERDICT r2 #8: the ANN tiers MEASURED at claimed scale — a real
     ≥10M-row on-chip build (int8 IVF ≈ rows·(D+4) bytes ≈ 5.1 GB at 10M;
     IVF-PQ codes ≈ rows·S bytes ≈ 640 MB). Corpus is generated on device
@@ -662,7 +662,7 @@ def bench_ann_big(reps: int, rows: int, d: int = 512,
     k = 8192 if rows > 2_000_000 else max(64, rows // 1000)
     if tiers not in ("ivf", "both"):
         _bench_ann_big_pq(reps, rows, d, k, nq, buf, scales, q, b_rows,
-                          subspaces, opq_iters)
+                          subspaces, opq_iters, rerank=rerank)
         return
     t0 = time.perf_counter()
     # capacity_factor 1.3 (not the unpacked default): the packed layout
@@ -697,12 +697,12 @@ def bench_ann_big(reps: int, rows: int, d: int = 512,
     if tiers in ("ivf",):
         return
     _bench_ann_big_pq(reps, rows, d, k, nq, buf, scales, q, b_rows,
-                      subspaces, opq_iters)
+                      subspaces, opq_iters, rerank=rerank)
 
 
 def _bench_ann_big_pq(reps, rows, d, k, nq, buf, scales, q, b_rows,
                       subspaces: int = 64, opq_iters: int = 0,
-                      adc_impls=("xla",)) -> None:
+                      adc_impls=("xla",), rerank: int = 0) -> None:
     """The IVF-PQ half of the claimed-scale measurement (split out so
     ``--tiers ivfpq`` can re-measure ADC changes without re-paying the
     IVF build). ``subspaces``/``opq_iters`` drive the VERDICT r3 #1
@@ -721,6 +721,31 @@ def _bench_ann_big_pq(reps, rows, d, k, nq, buf, scales, q, b_rows,
           f"{pq_build:.1f}s "
           f"({rows * sub / 1e9:.2f} GB codes, overflow pool: "
           f"{int(pq.overflow.shape[0]):,} rows)", flush=True)
+    if rerank:
+        # two-tier serving shape (VERDICT r3 #1): PQ codes stay the only
+        # HBM-resident index; the full-fidelity int8 rows live in HOST
+        # DRAM and exact-re-rank the ADC top-R. The one-time D2H of the
+        # corpus is the store build (production would mmap it from disk).
+        t0 = time.perf_counter()
+        host_rows = np.asarray(buf)
+        host_scales = np.asarray(scales)
+        pq.attach_host_store(host_rows, host_scales)
+        print(f"  host store D2H: {time.perf_counter() - t0:.1f}s "
+              f"({host_rows.nbytes / 1e9:.2f} GB in host DRAM)", flush=True)
+        for nprobe in (8, 32, 64, 128):
+            _, rws = pq.search(q, 10, nprobe=nprobe, rerank=rerank)
+            ms = _best_ms(
+                lambda: pq.search(q, 10, nprobe=nprobe, rerank=rerank),
+                max(2, reps // 4),
+            )
+            print(
+                f"N={rows:>11,}  ivfpq S={sub} rerank={rerank} "
+                f"nprobe={nprobe:>3}: {ms:8.1f} ms/batch({nq})  "
+                f"recall@10={_recall(rws, b_rows):.3f}  "
+                f"tie@10={_tie_recall(q, buf, scales, rws, b_rows):.3f}  "
+                f"recall1@10={_recall_1_at_k(rws, b_rows):.3f}",
+                flush=True,
+            )
     for impl in adc_impls:
         for nprobe in (8, 32, 64, 128):
             _, rws = pq.search(q, 10, nprobe=nprobe, adc_impl=impl)
@@ -749,6 +774,222 @@ def _bench_ann_big_pq(reps, rows, d, k, nq, buf, scales, q, b_rows,
                 f"recall1@10={_recall_1_at_k(rws, b_rows):.3f}",
                 flush=True,
             )
+
+
+def bench_ann_streamed(reps: int, rows: int, d: int = 512,
+                       n_clusters: int = 16_384, subspaces: int = 64,
+                       opq_iters: int = 0, rerank: int = 0,
+                       nq: int = 32, slab_rows: int = 500_000,
+                       n_centers: int = 16_384, seed: int = 0) -> None:
+    """VERDICT r3 #1 at the CLAIMED scale: N=100M on a 16 GB chip, where
+    the corpus (51 GB int8 / 205 GB fp32) cannot exist in HBM and IVF-PQ
+    codes (~N·S·1.1 bytes) are the ONLY resident index. The corpus is a
+    deterministic function of (seed, slab index) — the same clustered
+    recipe as `_device_corpus_int8`, canonicalised through int8
+    quantisation — so the build, the exact oracle, and the optional host
+    re-rank store all stream slab regenerations instead of ever holding
+    the corpus. With ``rerank > 0`` the int8 rows are downloaded ONCE into
+    host DRAM (the two-tier DiskANN/SCaNN serving shape: device codes
+    generate candidates, host store re-scores the top-R exactly).
+
+    Prints build seconds, device ms/query-batch vs nprobe, and
+    recall@10 / tie@10 / recall1@10 against a streamed exact oracle."""
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    from evr_tpu.index.ivfpq import IVFPQIndex
+
+    assert rows % slab_rows == 0, "rows must tile into equal slabs"
+    n_slabs = rows // slab_rows
+    noise = 0.35 / float(np.sqrt(d))
+
+    key = jax.random.PRNGKey(seed)
+    kc, key = jax.random.split(key)
+    centers = jax.random.normal(kc, (n_centers, d), jnp.float32)
+    centers = centers / jnp.linalg.norm(centers, axis=1, keepdims=True)
+    # fixed BEFORE the jits close over it — the per-slab stream must not
+    # depend on later Python-level key reassignment (late-binding closure)
+    slab_root = jax.random.fold_in(key, 987_654)
+
+    @functools.partial(jax.jit, static_argnames=("m",))
+    def gen_slab_int8(c, slab_idx, m):
+        k1, k2 = jax.random.split(jax.random.fold_in(slab_root, slab_idx))
+        cid = jax.random.randint(k1, (m,), 0, c.shape[0])
+        x = c[cid] + noise * jax.random.normal(k2, (m, d), jnp.float32)
+        x = x / jnp.linalg.norm(x, axis=1, keepdims=True)
+        scale = jnp.maximum(jnp.max(jnp.abs(x), axis=1) / 127.0, 1e-12)
+        q8 = jnp.round(x / scale[:, None]).astype(jnp.int8)
+        return q8, scale
+
+    @functools.partial(jax.jit, static_argnames=("m",))
+    def gen_slab_fp32(c, slab_idx, m):
+        q8, scale = gen_slab_int8(c, slab_idx, m)
+        return q8.astype(jnp.float32) * scale[:, None]
+
+    def slab_fn(start, m):
+        return gen_slab_fp32(centers, jnp.int32(start // slab_rows), m)
+
+    # queries: near-corpus rows from slab 0 (the 10M recipe)
+    kq, key = jax.random.split(key)
+    first = slab_fn(0, slab_rows)
+    q = first[:nq] + (0.1 / float(np.sqrt(d))) * jax.random.normal(
+        kq, (nq, d), jnp.float32
+    )
+    q = np.asarray(q / jnp.linalg.norm(q, axis=1, keepdims=True))
+    del first
+
+    sub = subspaces if d % subspaces == 0 else 64
+    cf = 1.1
+    print(f"streamed build: N={rows:,} D={d} k={n_clusters} S={sub} "
+          f"cf={cf} opq={opq_iters} "
+          f"(codes ≈ {rows * sub * cf / 1e9:.1f} GB HBM; corpus never "
+          f"resident)", flush=True)
+    t0 = time.perf_counter()
+    pq = IVFPQIndex().build_device_streamed(
+        slab_fn, rows, d, n_clusters=n_clusters, n_subspaces=sub,
+        capacity_factor=cf, coarse_iters=6, pq_iters=6,
+        opq_iters=opq_iters, slab_rows=slab_rows,
+        assign_sub_rows=12_500,
+        progress=lambda m: print(f"  [{time.perf_counter() - t0:7.1f}s] {m}",
+                                 flush=True),
+    )
+    build_s = time.perf_counter() - t0
+    print(f"  build total: {build_s:.1f}s (capacity={pq._capacity}, "
+          f"overflow {int(pq.overflow.shape[0]):,})", flush=True)
+
+    # ---- streamed exact oracle: top-10 + per-row exact scorer ----------
+    qd = jnp.asarray(q)
+
+    @functools.partial(jax.jit, static_argnames=("m",), donate_argnums=(1, 2))
+    def oracle_step(c, best_s, best_r, slab_idx, start, m):
+        slab = gen_slab_fp32(c, slab_idx, m)
+        sco = jax.lax.dot_general(
+            qd, slab, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )                                                   # [B, m]
+        s1, p1 = jax.lax.top_k(sco, 10)
+        r1 = p1.astype(jnp.int32) + start
+        s_all = jnp.concatenate([best_s, s1], axis=1)
+        r_all = jnp.concatenate([best_r, r1], axis=1)
+        s2, p2 = jax.lax.top_k(s_all, 10)
+        return s2, jnp.take_along_axis(r_all, p2, axis=1)
+
+    t0 = time.perf_counter()
+    best_s = jnp.full((nq, 10), -jnp.inf, jnp.float32)
+    best_r = jnp.full((nq, 10), -1, jnp.int32)
+    for i in range(n_slabs):
+        start = i * slab_rows
+        best_s, best_r = oracle_step(
+            centers, best_s, best_r, jnp.int32(i), jnp.int32(start),
+            slab_rows,
+        )
+    b_scores = np.asarray(best_s)
+    b_rows = np.asarray(best_r)
+    print(f"  exact oracle pass: {time.perf_counter() - t0:.1f}s",
+          flush=True)
+
+    T_PAD = 1024  # fixed gather width -> ONE remote compile for all calls
+
+    @functools.partial(jax.jit, static_argnames=("m",))
+    def score_rows(c, slab_idx, local_rows, m):
+        slab = gen_slab_fp32(c, slab_idx, m)
+        rowsv = slab[local_rows]                            # [T_PAD, D]
+        return rowsv @ qd.T                                 # [T_PAD, B]
+
+    def exact_scores_of(rws):
+        """[B, R] exact scores of specific rows via slab regeneration —
+        one jitted gather+dot per slab that contains any requested row
+        (requests padded to a fixed width so the kernel compiles once)."""
+        rws = np.asarray(rws)
+        out = np.full(rws.shape, -np.inf, np.float32)
+        need = sorted({int(r) // slab_rows for r in rws.ravel() if r >= 0})
+        for si in need:
+            mask = (rws >= si * slab_rows) & (rws < (si + 1) * slab_rows)
+            if not mask.any():
+                continue
+            flat = np.flatnonzero(mask.ravel())
+            local = (rws.ravel()[flat] - si * slab_rows).astype(np.int32)
+            for lo in range(0, len(flat), T_PAD):
+                part = flat[lo : lo + T_PAD]
+                lpart = local[lo : lo + T_PAD]
+                padded = np.zeros((T_PAD,), np.int32)
+                padded[: len(lpart)] = lpart
+                sc = np.asarray(
+                    score_rows(centers, jnp.int32(si), jnp.asarray(padded),
+                               slab_rows)
+                )                                           # [T_PAD, B]
+                bidx = part // rws.shape[1]
+                out.ravel()[part] = sc[np.arange(len(part)), bidx]
+        return out
+
+    eps = 1e-3
+
+    def metrics(rws):
+        rec = _recall(rws, b_rows)
+        r1 = _recall_1_at_k(rws, b_rows)
+        exact = exact_scores_of(rws)
+        thresh = b_scores[:, -1] - eps
+        valid = rws >= 0
+        tie = float(np.mean(np.where(valid, exact >= thresh[:, None], False)))
+        return rec, tie, r1
+
+    if rerank:
+        t0 = time.perf_counter()
+        host_rows = np.empty((rows, d), np.int8)
+        host_scales = np.empty((rows,), np.float32)
+        for i in range(n_slabs):
+            q8, sc = gen_slab_int8(centers, jnp.int32(i), slab_rows)
+            host_rows[i * slab_rows : (i + 1) * slab_rows] = np.asarray(q8)
+            host_scales[i * slab_rows : (i + 1) * slab_rows] = np.asarray(sc)
+            if i % 20 == 0:
+                print(f"  host store slab {i + 1}/{n_slabs} "
+                      f"({time.perf_counter() - t0:.0f}s)", flush=True)
+        pq.attach_host_store(host_rows, host_scales)
+        print(f"  host store D2H: {time.perf_counter() - t0:.1f}s "
+              f"({host_rows.nbytes / 1e9:.1f} GB host DRAM)", flush=True)
+
+    q8b = q[:8]
+    for nprobe in (4, 8, 16, 32):
+        _, rws = pq.search(q, 10, nprobe=nprobe)
+        ms = _best_ms(lambda: pq.search(q8b, 10, nprobe=nprobe),
+                      max(2, reps // 4))
+        dev_ms = _batched_device_ms(
+            lambda q1, *ops, _np=nprobe, _c=pq._capacity: (
+                IVFPQIndex._probe_adc_search_packed(
+                    q1,
+                    q1 if pq.rotation is None else q1 @ pq.rotation,
+                    *ops, 10, _np, _c, "xla",
+                )
+            ),
+            q8b,
+            ops=(pq.centroids, pq.codebooks, pq.codes_lists,
+                 pq.id_lists, pq._pool_recon(), pq.overflow),
+        )
+        rec, tie, r1 = metrics(rws)
+        print(
+            f"N={rows:>12,}  ivfpq S={sub} nprobe={nprobe:>3}"
+            f"          : {ms:8.1f} ms/batch(8)  device {dev_ms:7.2f} "
+            f"ms/batch  recall@10={rec:.3f}  tie@10={tie:.3f}  "
+            f"recall1@10={r1:.3f}",
+            flush=True,
+        )
+        if rerank:
+            _, rws = pq.search(q, 10, nprobe=nprobe, rerank=rerank)
+            ms = _best_ms(
+                lambda: pq.search(q8b, 10, nprobe=nprobe, rerank=rerank),
+                max(2, reps // 4),
+            )
+            rec, tie, r1 = metrics(rws)
+            print(
+                f"N={rows:>12,}  ivfpq S={sub} nprobe={nprobe:>3} "
+                f"rerank={rerank}: {ms:8.1f} ms/batch(8)  "
+                f"(host re-score)   recall@10={rec:.3f}  tie@10={tie:.3f}  "
+                f"recall1@10={r1:.3f}",
+                flush=True,
+            )
+
 
 
 def bench_adc(
@@ -945,6 +1186,22 @@ def main() -> None:
         help="ivfpq big run: OPQ rotation training iterations (0 = plain)",
     )
     ap.add_argument(
+        "--stream", action="store_true",
+        help="ivfpq big run: corpus-free streamed build "
+        "(build_device_streamed) — the ≥100M regime where the corpus "
+        "cannot exist in HBM; composes with --rerank for the two-tier "
+        "host-DRAM exact re-rank measurement",
+    )
+    ap.add_argument(
+        "--clusters", type=int, default=16_384,
+        help="streamed run: coarse k (default 16384)",
+    )
+    ap.add_argument(
+        "--rerank", type=int, default=0,
+        help="ivfpq big run: exact host-DRAM re-rank of the ADC top-R "
+        "(two-tier serving shape; downloads the int8 corpus once)",
+    )
+    ap.add_argument(
         "--tiers", choices=["ivf", "ivfpq", "both"], default="both",
         help="which ANN tier(s) the big --rows run measures (ivfpq skips "
         "the IVF build when only the ADC path changed)",
@@ -979,9 +1236,19 @@ def main() -> None:
             print(f"== {name} ==")
             if name in ("ivf", "ivfpq") and args.rows:
                 if args.rows > 2_000_000:
-                    bench_ann_big(args.reps, args.rows, tiers=args.tiers,
-                                  subspaces=args.subspaces,
-                                  opq_iters=args.opq_iters)
+                    if args.stream:
+                        bench_ann_streamed(
+                            args.reps, args.rows,
+                            n_clusters=args.clusters,
+                            subspaces=args.subspaces,
+                            opq_iters=args.opq_iters, rerank=args.rerank,
+                        )
+                    else:
+                        bench_ann_big(args.reps, args.rows,
+                                      tiers=args.tiers,
+                                      subspaces=args.subspaces,
+                                      opq_iters=args.opq_iters,
+                                      rerank=args.rerank)
                     break  # shared corpus run covers both tiers
                 fn(args.reps, ns=(args.rows,))
             else:
