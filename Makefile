@@ -1,7 +1,7 @@
 # Convenience targets. The native library also auto-builds on first use
 # (evr_tpu/native/loader.py).
 
-.PHONY: all native test test-fast bench check clean
+.PHONY: all native test test-fast bench check clean parity-real demo
 
 # full local gate: tests on the virtual CPU mesh + driver entry points
 check: test
@@ -24,6 +24,12 @@ test:
 # smoke tier: one representative test per subsystem, < 5 min (tests/smoke.txt)
 test-fast:
 	grep -v '^#' tests/smoke.txt | xargs python -m pytest -q -rs
+
+# real-asset parity gates: runs what the mounted assets allow, emits a
+# machine-readable report (parity_real_report.json) naming every gate it
+# had to SKIP and the exact env knob that would enable it (RUNBOOK.md §9b)
+parity-real:
+	python -m evr_tpu.tools.parity_real
 
 bench:
 	python bench.py
