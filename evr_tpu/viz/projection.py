@@ -138,10 +138,19 @@ def generate_visualization(
     min_dist: float = 0.1,
     n_components: int = 2,
     metric: str = "cosine",
+    max_points: int | None = 20_000,
 ) -> dict | None:
     """Build the full visualization payload (reference response-shape
     parity: coordinates, video_labels, frame_indices, metadata, videos,
-    dimensionality_reduction)."""
+    dimensionality_reduction).
+
+    ``max_points`` bounds the scatter for serving: past it the frames are
+    deterministically stride-downsampled (every video keeps proportional
+    representation since rows are video-ordered) and the response records
+    ``downsampled_from`` so the frontend can surface it. 20k points is
+    past the measured interactive envelope of the scatter itself and the
+    device UMAP handles it in seconds (PERF.md §umap-scale); None disables
+    the cap."""
     videos = video_names or index.videos
     mats, video_labels, frame_indices, metas = [], [], [], []
     for name in videos:
@@ -190,6 +199,16 @@ def generate_visualization(
     if not mats:
         return None
     embeddings = np.concatenate(mats, axis=0)
+    downsampled_from = None
+    if max_points is not None and len(embeddings) > max_points:
+        downsampled_from = len(embeddings)
+        keep = np.linspace(0, len(embeddings) - 1, max_points).astype(int)
+        embeddings = embeddings[keep]
+        video_labels = [video_labels[i] for i in keep]
+        frame_indices = [frame_indices[i] for i in keep]
+        metas = [metas[i] for i in keep]
+        for new_id, m in enumerate(metas):
+            m["frame_id"] = new_id
     coords, used = project_embeddings(
         embeddings,
         method=method,
@@ -212,5 +231,9 @@ def generate_visualization(
                 "n_components": n_components,
                 "metric": metric,
             },
+            **(
+                {"downsampled_from": downsampled_from}
+                if downsampled_from else {}
+            ),
         },
     }

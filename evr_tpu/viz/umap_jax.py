@@ -135,6 +135,102 @@ def spectral_init(w: np.ndarray, n_components: int = 2, random_state: int = 42):
     return y + rng.normal(scale=1e-4, size=y.shape).astype(np.float32)
 
 
+@functools.partial(jax.jit, static_argnames=("k", "chunk", "metric"))
+def _knn_chunked(x, k: int, chunk: int, metric: str):
+    """Exact kNN without the [N, N] distance matrix: a `lax.map` over
+    query chunks, each one [chunk, N] GEMM + top_k — the 10k-100k serving
+    tier where the dense graph (40 GB at 100k) cannot exist."""
+    n = x.shape[0]
+    if metric == "cosine":
+        xn = x / jnp.maximum(jnp.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    else:
+        xn = x
+    sq = jnp.sum(xn * xn, axis=1)
+    n_chunks = (n + chunk - 1) // chunk
+    pad = n_chunks * chunk - n
+    qpad = jnp.pad(xn, ((0, pad), (0, 0)))
+    starts = jnp.arange(n_chunks) * chunk
+
+    def one(start):
+        q = jax.lax.dynamic_slice(qpad, (start, 0), (chunk, xn.shape[1]))
+        if metric == "cosine":
+            d = 1.0 - q @ xn.T
+        else:
+            qsq = jnp.sum(q * q, axis=1)
+            d = jnp.sqrt(jnp.maximum(
+                qsq[:, None] + sq[None, :] - 2.0 * (q @ xn.T), 0.0
+            ))
+        rows = start + jnp.arange(chunk)
+        d = d + (rows[:, None] == jnp.arange(n)[None, :]) * 1e9  # self
+        neg_d, idx = jax.lax.top_k(-d, k)
+        return idx, jnp.maximum(-neg_d, 0.0)
+
+    idx, dists = jax.lax.map(one, starts)
+    return idx.reshape(-1, k)[:n], dists.reshape(-1, k)[:n]
+
+
+def fuzzy_simplicial_set_edges(
+    x: np.ndarray, n_neighbors: int, metric: str = "cosine",
+    chunk: int = 2048,
+):
+    """Sparse COO construction of the same symmetrised membership graph as
+    `fuzzy_simplicial_set` (probabilistic t-conorm w1 + w2 − w1·w2 on the
+    directed kNN weights), without ever materialising [N, N]. Returns
+    (heads [E], tails [E], weights [E]) covering BOTH directions of every
+    edge — the exact edge set `np.nonzero(sym)` would produce."""
+    n = len(x)
+    k = max(1, min(n_neighbors, n - 1))
+    idx, dists = _knn_chunked(
+        jnp.asarray(x, jnp.float32), k, min(chunk, n), metric
+    )
+    w = np.asarray(smooth_knn_weights(dists)).reshape(-1)
+    rows = np.repeat(np.arange(n, dtype=np.int64), k)
+    cols = np.asarray(idx, np.int64).reshape(-1)
+    # collapse duplicate directed edges (keep max weight, matching the
+    # dense .at[].set last-write — weights of duplicates are equal anyway)
+    key = rows * n + cols
+    order = np.argsort(key, kind="stable")
+    key_s, rows_s, cols_s, w_s = key[order], rows[order], cols[order], w[order]
+    first = np.ones(len(key_s), bool)
+    first[1:] = key_s[1:] != key_s[:-1]
+    key_u, a_u, b_u, w_u = key_s[first], rows_s[first], cols_s[first], w_s[first]
+    # reverse lookup: weight of (b, a) in the directed set, 0 when absent
+    rev_key = b_u * n + a_u
+    pos = np.searchsorted(key_u, rev_key)
+    pos_c = np.minimum(pos, len(key_u) - 1)
+    has_rev = key_u[pos_c] == rev_key
+    w_rev = np.where(has_rev, w_u[pos_c], 0.0)
+    sym = w_u + w_rev - w_u * w_rev
+    # union of both directions: every directed edge emits (a, b); edges
+    # whose reverse was not a kNN edge also emit (b, a) with the same sym
+    miss = ~has_rev
+    heads = np.concatenate([a_u, b_u[miss]])
+    tails = np.concatenate([b_u, a_u[miss]])
+    weights = np.concatenate([sym, sym[miss]]).astype(np.float32)
+    return heads.astype(np.int32), tails.astype(np.int32), weights
+
+
+def pca_init(
+    x: np.ndarray, n_components: int = 2, random_state: int = 42
+) -> np.ndarray:
+    """PCA initial layout for the sparse tier: the dense spectral init
+    needs an [N, N] eigendecomposition (O(N³) — umap-learn switches to
+    sparse solvers there; we switch to PCA, a standard init choice).
+    Covariance is [D, D] so the cost is one GEMM + a small host eigh."""
+    x = np.asarray(x, np.float32)
+    mu = x.mean(axis=0, keepdims=True)
+    xc = jnp.asarray(x - mu)
+    cov = np.asarray(xc.T @ xc)                        # [D, D]
+    _, vecs = np.linalg.eigh(cov.astype(np.float64))
+    comps = vecs[:, -n_components:][:, ::-1].astype(np.float32)
+    y = np.asarray(xc @ jnp.asarray(comps))
+    scale = np.abs(y).max() or 1.0
+    y = y / scale * 10.0
+    rng = np.random.default_rng(random_state)
+    return (y + rng.normal(scale=1e-4, size=y.shape)).astype(np.float32)
+
+
+
 @functools.partial(
     jax.jit, static_argnames=("n_epochs", "negative_sample_rate")
 )
@@ -213,11 +309,16 @@ def umap(
     n_epochs: int | None = None,
     negative_sample_rate: int = 5,
     random_state: int = 42,
+    dense_threshold: int = 4096,
 ) -> np.ndarray:
     """Device-accelerated UMAP. [N, D] → [N, n_components].
 
     ``n_epochs=None`` follows umap-learn's default: 500 epochs up to 10k
-    points, 200 beyond."""
+    points, 200 beyond. Above ``dense_threshold`` points the graph build
+    switches from the dense [N, N] + spectral-init path (semantics locked
+    vs umap-learn in tests) to the sparse COO + PCA-init tier that scales
+    to 100k points (PERF.md §umap-scale); the layout optimiser — the part
+    that defines the embedding — is the same jitted scan either way."""
     x = np.asarray(embeddings, np.float32)
     n = len(x)
     if n <= 2:  # degenerate layouts: nothing to optimise
@@ -225,10 +326,19 @@ def umap(
     if n_epochs is None:
         n_epochs = 500 if n <= 10_000 else 200
     a, b = find_ab_params(spread, min_dist)
-    w = fuzzy_simplicial_set(x, n_neighbors, metric=metric)
-    y0 = spectral_init(w, n_components, random_state)
-    heads, tails = np.nonzero(w)
-    weights = w[heads, tails].astype(np.float32)
+    if n <= dense_threshold:
+        w = fuzzy_simplicial_set(x, n_neighbors, metric=metric)
+        y0 = spectral_init(w, n_components, random_state)
+        heads, tails = np.nonzero(w)
+        weights = w[heads, tails].astype(np.float32)
+    else:
+        # serving-scale tier (10k-100k frames): sparse COO graph via the
+        # chunked kNN (no [N, N] anywhere) + PCA init (no [N, N] eigh);
+        # identical edge weights and identical layout optimiser
+        heads, tails, weights = fuzzy_simplicial_set_edges(
+            x, n_neighbors, metric=metric
+        )
+        y0 = pca_init(x, n_components, random_state)
     y = optimize_layout(
         jnp.asarray(y0),
         jnp.asarray(heads, jnp.int32),
