@@ -31,6 +31,13 @@ test-fast:
 parity-real:
 	python -m evr_tpu.tools.parity_real
 
+# the reference's whole lifecycle, one command, no gated assets: fixture
+# corpus -> Excel test set -> fine-tune (recorded R@K lift) -> deploy
+# bundle w/ AOT encoders -> boot serving on the tuned model -> replay all
+# 21 UI flows over real HTTP. Artifact: tests/golden/demo_loop.log
+demo:
+	python tools/demo_loop.py
+
 bench:
 	python bench.py
 

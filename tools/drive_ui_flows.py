@@ -49,10 +49,10 @@ class Drive:
             raise AssertionError(name)
 
 
-def main():
+def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--port", type=int, default=5055)
-    args = ap.parse_args()
+    args = ap.parse_args(argv)
     d = Drive(f"http://127.0.0.1:{args.port}")
 
     print("== UI page ==")
