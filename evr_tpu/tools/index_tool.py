@@ -33,8 +33,14 @@ def _load_normed(path):
 
 
 def cmd_build(args) -> None:
-    emb = _load_normed(args.embeddings)
-    n = len(emb)
+    if args.type == "ivfpq" and args.streamed:
+        import numpy as np
+
+        n, dim = np.load(args.embeddings, mmap_mode="r").shape
+        emb = None
+    else:
+        emb = _load_normed(args.embeddings)
+        n, dim = emb.shape
     t0 = time.perf_counter()
     if args.type == "ivf":
         from evr_tpu.index import IVFIndex
@@ -58,6 +64,64 @@ def cmd_build(args) -> None:
             keep_originals=not args.no_originals,
         )
         extra = {"code_bytes_per_row": idx.code_bytes // max(1, n)}
+    elif args.type == "ivfpq" and args.streamed:
+        import numpy as np
+
+        import jax.numpy as jnp
+
+        from evr_tpu.index import IVFPQIndex
+
+        raw = np.load(args.embeddings, mmap_mode="r")
+        n, d = raw.shape
+
+        def slab_fn(start, m):
+            s = np.array(raw[start : start + m], np.float32)  # owns memory
+            s /= np.maximum(np.linalg.norm(s, axis=1, keepdims=True), 1e-12)
+            return jnp.asarray(s)
+
+        idx = IVFPQIndex().build_device_streamed(
+            slab_fn, n, d,
+            n_clusters=min(
+                args.clusters or max(1, int(round(n**0.5))), n
+            ),
+            n_subspaces=args.subspaces,
+            n_centroids=args.centroids,
+            capacity_factor=args.capacity_factor,
+            coarse_iters=args.iters,
+            pq_iters=args.iters,
+            opq_iters=args.opq_iters,
+            slab_rows=min(args.slab_rows, n),
+        )
+        extra = {
+            "n_clusters": idx.n_clusters,
+            "code_bytes_per_row": idx.code_bytes // max(1, n) + 4,
+            "streamed": True,
+        }
+        if args.host_store:
+            # two-tier rerank store: int8 rows + per-row scales as flat
+            # .npy pairs, written slab-wise so a 100M-row corpus (51 GB)
+            # never needs to fit in RAM at once
+            rows_path = args.host_store + ".rows.npy"
+            scales_path = args.host_store + ".scales.npy"
+            rows8 = np.lib.format.open_memmap(
+                rows_path, mode="w+", dtype=np.int8, shape=(n, d)
+            )
+            scales = np.lib.format.open_memmap(
+                scales_path, mode="w+", dtype=np.float32, shape=(n,)
+            )
+            for start in range(0, n, args.slab_rows):
+                s = np.array(raw[start : start + args.slab_rows], np.float32)
+                s /= np.maximum(
+                    np.linalg.norm(s, axis=1, keepdims=True), 1e-12
+                )
+                sc = np.maximum(np.abs(s).max(axis=1) / 127.0, 1e-12)
+                rows8[start : start + len(s)] = np.round(
+                    s / sc[:, None]
+                ).astype(np.int8)
+                scales[start : start + len(s)] = sc
+            rows8.flush()
+            scales.flush()
+            extra["host_store"] = args.host_store
     else:
         from evr_tpu.index import IVFPQIndex
 
@@ -77,7 +141,7 @@ def cmd_build(args) -> None:
         }
     idx.save(args.out)
     print(json.dumps({
-        "type": args.type, "rows": n, "dim": int(emb.shape[1]),
+        "type": args.type, "rows": n, "dim": int(dim),
         "build_s": round(time.perf_counter() - t0, 2), "out": args.out,
         **extra,
     }))
@@ -93,6 +157,12 @@ def cmd_query(args) -> None:
     else:
         from evr_tpu.index import IVFPQIndex as cls
     idx = cls.load(args.index)
+    if args.type == "ivfpq" and args.host_store:
+        # memmapped two-tier store: search(rerank=) gathers only the
+        # candidate rows, so the store never loads into RAM wholesale
+        rows8 = np.load(args.host_store + ".rows.npy", mmap_mode="r")
+        scales = np.load(args.host_store + ".scales.npy", mmap_mode="r")
+        idx.attach_host_store(rows8, scales)
 
     if args.query_embeddings:
         q = _load_normed(args.query_embeddings)
@@ -142,6 +212,16 @@ def main() -> None:
     b.add_argument("--iters", type=int, default=10, help="k-means iterations")
     b.add_argument("--opq-iters", type=int, default=0,
                    help="PQ only: OPQ rotation refinement rounds")
+    b.add_argument("--streamed", action="store_true",
+                   help="ivfpq: corpus-free streamed device build "
+                   "(memmaps the .npy; the 100M-row tier where neither "
+                   "host RAM nor HBM holds the matrix)")
+    b.add_argument("--slab-rows", type=int, default=500_000,
+                   help="streamed build slab size")
+    b.add_argument("--host-store", default=None, metavar="PREFIX",
+                   help="also write PREFIX.rows.npy (int8) + "
+                   "PREFIX.scales.npy — the host-DRAM exact-rerank tier "
+                   "(query --host-store PREFIX --rerank R)")
     b.add_argument("--no-originals", action="store_true",
                    help="pq/ivfpq: drop the fp32 originals (no exact re-rank)")
     b.set_defaults(fn=cmd_build)
@@ -156,6 +236,9 @@ def main() -> None:
     qp.add_argument("--top-k", type=int, default=10)
     qp.add_argument("--nprobe", type=int, default=32)
     qp.add_argument("--rerank", type=int, default=None)
+    qp.add_argument("--host-store", default=None, metavar="PREFIX",
+                    help="attach the memmapped int8 rerank store written "
+                    "by build --host-store (ivfpq)")
     qp.set_defaults(fn=cmd_query)
 
     args = ap.parse_args()
