@@ -732,20 +732,24 @@ def _bench_ann_big_pq(reps, rows, d, k, nq, buf, scales, q, b_rows,
         pq.attach_host_store(host_rows, host_scales)
         print(f"  host store D2H: {time.perf_counter() - t0:.1f}s "
               f"({host_rows.nbytes / 1e9:.2f} GB in host DRAM)", flush=True)
-        for nprobe in (8, 32, 64, 128):
-            _, rws = pq.search(q, 10, nprobe=nprobe, rerank=rerank)
-            ms = _best_ms(
-                lambda: pq.search(q, 10, nprobe=nprobe, rerank=rerank),
-                max(2, reps // 4),
-            )
-            print(
-                f"N={rows:>11,}  ivfpq S={sub} rerank={rerank} "
-                f"nprobe={nprobe:>3}: {ms:8.1f} ms/batch({nq})  "
-                f"recall@10={_recall(rws, b_rows):.3f}  "
-                f"tie@10={_tie_recall(q, buf, scales, rws, b_rows):.3f}  "
-                f"recall1@10={_recall_1_at_k(rws, b_rows):.3f}",
-                flush=True,
-            )
+        depths = (
+            rerank if isinstance(rerank, (list, tuple)) else [rerank]
+        )
+        for rr in depths:
+            for nprobe in (8, 32):
+                _, rws = pq.search(q, 10, nprobe=nprobe, rerank=rr)
+                ms = _best_ms(
+                    lambda: pq.search(q, 10, nprobe=nprobe, rerank=rr),
+                    max(2, reps // 4),
+                )
+                print(
+                    f"N={rows:>11,}  ivfpq S={sub} rerank={rr} "
+                    f"nprobe={nprobe:>3}: {ms:8.1f} ms/batch({nq})  "
+                    f"recall@10={_recall(rws, b_rows):.3f}  "
+                    f"tie@10={_tie_recall(q, buf, scales, rws, b_rows):.3f}  "
+                    f"recall1@10={_recall_1_at_k(rws, b_rows):.3f}",
+                    flush=True,
+                )
     for impl in adc_impls:
         for nprobe in (8, 32, 64, 128):
             _, rws = pq.search(q, 10, nprobe=nprobe, adc_impl=impl)
@@ -936,18 +940,47 @@ def bench_ann_streamed(reps: int, rows: int, d: int = 512,
         return rec, tie, r1
 
     if rerank:
+        # Host rerank store. The relayed link makes a 51 GB D2H at 100M a
+        # 1-2 h liability, but the corpus is a pure function of the PRNG —
+        # so regenerate the int8 rows with the SAME program on the CPU
+        # backend and verify bit-identity against a D2H'd sample slab
+        # (threefry is backend-deterministic; erfinv/rounding could in
+        # principle differ, so trust is earned per run, not assumed).
+        # On mismatch fall back to the full D2H.
         t0 = time.perf_counter()
         host_rows = np.empty((rows, d), np.int8)
         host_scales = np.empty((rows,), np.float32)
+        cpu0 = jax.devices("cpu")[0]
+        gen_cpu = jax.jit(
+            gen_slab_int8.__wrapped__, static_argnames=("m",), backend="cpu"
+        )
+        centers_cpu = jax.device_put(np.asarray(centers), cpu0)
+        probe_slabs = [0, n_slabs // 2, n_slabs - 1]
+        regen_ok = True
+        for i in set(probe_slabs):
+            q8_d, sc_d = gen_slab_int8(centers, jnp.int32(i), slab_rows)
+            q8_c, sc_c = gen_cpu(centers_cpu, jnp.int32(i), slab_rows)
+            if not (
+                np.array_equal(np.asarray(q8_d), np.asarray(q8_c))
+                and np.array_equal(np.asarray(sc_d), np.asarray(sc_c))
+            ):
+                regen_ok = False
+                break
+        print(f"  host store: cpu-regeneration bit-identical on "
+              f"{len(set(probe_slabs))} probe slabs: {regen_ok}", flush=True)
         for i in range(n_slabs):
-            q8, sc = gen_slab_int8(centers, jnp.int32(i), slab_rows)
+            if regen_ok:
+                q8, sc = gen_cpu(centers_cpu, jnp.int32(i), slab_rows)
+            else:
+                q8, sc = gen_slab_int8(centers, jnp.int32(i), slab_rows)
             host_rows[i * slab_rows : (i + 1) * slab_rows] = np.asarray(q8)
             host_scales[i * slab_rows : (i + 1) * slab_rows] = np.asarray(sc)
             if i % 20 == 0:
                 print(f"  host store slab {i + 1}/{n_slabs} "
                       f"({time.perf_counter() - t0:.0f}s)", flush=True)
         pq.attach_host_store(host_rows, host_scales)
-        print(f"  host store D2H: {time.perf_counter() - t0:.1f}s "
+        print(f"  host store ({'cpu-regen' if regen_ok else 'D2H'}): "
+              f"{time.perf_counter() - t0:.1f}s "
               f"({host_rows.nbytes / 1e9:.1f} GB host DRAM)", flush=True)
 
     q8b = q[:8]
@@ -975,16 +1008,19 @@ def bench_ann_streamed(reps: int, rows: int, d: int = 512,
             f"recall1@10={r1:.3f}",
             flush=True,
         )
-        if rerank:
-            _, rws = pq.search(q, 10, nprobe=nprobe, rerank=rerank)
+        for rr in (
+            rerank if isinstance(rerank, (list, tuple))
+            else ([rerank] if rerank else [])
+        ):
+            _, rws = pq.search(q, 10, nprobe=nprobe, rerank=rr)
             ms = _best_ms(
-                lambda: pq.search(q8b, 10, nprobe=nprobe, rerank=rerank),
+                lambda: pq.search(q8b, 10, nprobe=nprobe, rerank=rr),
                 max(2, reps // 4),
             )
             rec, tie, r1 = metrics(rws)
             print(
                 f"N={rows:>12,}  ivfpq S={sub} nprobe={nprobe:>3} "
-                f"rerank={rerank}: {ms:8.1f} ms/batch(8)  "
+                f"rerank={rr}: {ms:8.1f} ms/batch(8)  "
                 f"(host re-score)   recall@10={rec:.3f}  tie@10={tie:.3f}  "
                 f"recall1@10={r1:.3f}",
                 flush=True,
@@ -1197,9 +1233,10 @@ def main() -> None:
         help="streamed run: coarse k (default 16384)",
     )
     ap.add_argument(
-        "--rerank", type=int, default=0,
+        "--rerank", default="0",
         help="ivfpq big run: exact host-DRAM re-rank of the ADC top-R "
-        "(two-tier serving shape; downloads the int8 corpus once)",
+        "(two-tier serving shape; downloads the int8 corpus once). "
+        "Comma list sweeps depths on one build, e.g. 500,2000",
     )
     ap.add_argument(
         "--tiers", choices=["ivf", "ivfpq", "both"], default="both",
@@ -1236,6 +1273,10 @@ def main() -> None:
             print(f"== {name} ==")
             if name in ("ivf", "ivfpq") and args.rows:
                 if args.rows > 2_000_000:
+                    args.rerank = [
+                        int(x) for x in str(args.rerank).split(",")
+                        if int(x) > 0
+                    ]
                     if args.stream:
                         bench_ann_streamed(
                             args.reps, args.rows,
