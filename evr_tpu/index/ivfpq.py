@@ -103,11 +103,15 @@ class IVFPQIndex:
         self._codes_t = None    # [S, N] uint8 scan operand (lazy)
         # packed layout (build_device default — mirrors ivf.IVFIndex):
         # list i's CODES live contiguously at flat rows [i·C, (i+1)·C)
-        self.codes_lists = None     # [k*C, S] uint8
+        self.codes_lists = None     # [k*C, S] uint8 — or PAIRED
+        # [k*C/2, 2S] (identical row-major bytes, 128-lane minor dim —
+        # zero (8,128)-tile padding; build_device_streamed default)
+        self._paired = False
         self.id_lists = None        # [k*C] int32 corpus row ids, -1 padded
         self.overflow_codes = None  # [O, S] uint8
         self._overflow_assign = None  # [O] int32 coarse centroid per row
-        self._overflow_recon = None  # [O, D] fp32 cache (pool GEMM operand)
+        self._overflow_recon = None  # [O, D] cache (pool GEMM operand)
+        self._pool_dtype = None      # None/f32; streamed builds set bf16
         self._n_rows = 0
         # host-DRAM exact-rerank store (attach_host_store)
         self._originals_int8 = None
@@ -134,13 +138,17 @@ class IVFPQIndex:
     @property
     def _capacity(self) -> int:
         if self.packed:
-            return int(self.codes_lists.shape[0]) // self.n_clusters
+            rows = int(self.codes_lists.shape[0])
+            if self._paired:
+                rows *= 2
+            return rows // self.n_clusters
         return int(self.list_rows.shape[1])
 
     @property
     def code_bytes(self) -> int:
         if self.packed:
-            return self._n_rows * int(self.codes_lists.shape[1])
+            s = int(self.codes_lists.shape[1])
+            return self._n_rows * (s // 2 if self._paired else s)
         return 0 if self.codes is None else int(np.prod(self.codes.shape))
 
     def build(
@@ -592,11 +600,19 @@ class IVFPQIndex:
         dest[ovf] = kc + np.arange(o)
         assert (dest >= 0).all(), "every row must have exactly one slot"
 
-        # -- pass 3: streamed residual encode + scatter ------------------
+        # -- pass 3: streamed residual encode, HOST pack, one upload -----
+        # Two 100M-scale lessons are baked in here (the first streamed
+        # build OOMed on both): (a) a u8[k*C, 64] buffer pays 2x HBM under
+        # the TPU's (8, 128) byte tiling (13.1 GB at 100M) and a device
+        # scatter into it materialises a COPY on top — so codes are packed
+        # on the HOST (vectorised fancy assignment) and uploaded once;
+        # (b) they are stored PAIRED, [k*C/2, 2S] — the same row-major
+        # bytes, a 128-lane minor dim, zero padding — and search reshapes
+        # each sliced block back to [C, S].
         rot_j = rot if rot is not None else jnp.zeros((0, 0), jnp.float32)
 
-        @functools.partial(jax.jit, donate_argnums=(0, 1))
-        def encode_scatter(buf_main, buf_pool, slab, c, bks, r_, ec, dst):
+        @jax.jit
+        def encode_slab(slab, c, bks, r_, ec):
             rr = slab - c[ec]
             if r_.shape[0]:
                 rr = rr @ r_
@@ -607,35 +623,41 @@ class IVFPQIndex:
                 "smd,skd->smk", rss, bks,
                 preferred_element_type=jnp.float32,
             )
-            codes = jnp.argmin(
+            return jnp.argmin(
                 c_sq[:, None, :] - 2.0 * dots, axis=2
             ).T.astype(jnp.uint8)                          # [mm, S]
-            in_main = dst < kc
-            main_idx = jnp.where(in_main, dst, kc)         # kc = trash row
-            pool_idx = jnp.where(in_main, buf_pool.shape[0] - 1, dst - kc)
-            buf_main = buf_main.at[main_idx].set(codes)
-            buf_pool = buf_pool.at[pool_idx].set(codes)
-            return buf_main, buf_pool
 
-        buf_main = jnp.zeros((kc + 1, n_subspaces), jnp.uint8)  # +1 trash
-        buf_pool = jnp.zeros((o + 1, n_subspaces), jnp.uint8)
+        packed_np = np.zeros((kc, n_subspaces), np.uint8)
+        pool_np = np.zeros((max(o, 1), n_subspaces), np.uint8)
         for i in range(n_slabs):
             start = i * slab_rows
             m_i = min(slab_rows, n_rows - start)
-            buf_main, buf_pool = encode_scatter(
-                buf_main, buf_pool, slab_fn(start, m_i), cents, books,
-                rot_j, jnp.asarray(enc_cent[start : start + m_i]),
-                jnp.asarray(dest[start : start + m_i].astype(np.int32)),
-            )
+            codes_np = np.asarray(encode_slab(
+                slab_fn(start, m_i), cents, books, rot_j,
+                jnp.asarray(enc_cent[start : start + m_i]),
+            ))
+            d = dest[start : start + m_i]
+            in_main = d < kc
+            packed_np[d[in_main]] = codes_np[in_main]
+            pool_np[d[~in_main] - kc] = codes_np[~in_main]
             if i % 25 == 0:
                 log(f"encode slab {i + 1}/{n_slabs}")
 
         self.centroids = cents
         self.codebooks = books
-        self.codes_lists = buf_main[:kc]
+        # the always-scanned pool's reconstruction in bf16: at 100M even a
+        # ~1% pool is 1M rows, whose fp32 [O, D] GEMM operand (2 GB+)
+        # wastes HBM the codes need; bf16 halves it and only affects
+        # CANDIDATE selection (rerank= restores exact scores)
+        self._pool_dtype = jnp.bfloat16
+        # paired upload: [k*C/2, 2S] (row-major identical bytes)
+        self.codes_lists = jnp.asarray(
+            packed_np.reshape(kc // 2, 2 * n_subspaces)
+        )
+        self._paired = True
         self.id_lists = jnp.asarray(flat_ids)
         self.overflow = jnp.asarray(ovf.astype(np.int32))
-        self.overflow_codes = buf_pool[:o]
+        self.overflow_codes = jnp.asarray(pool_np[:o])
         self._overflow_assign = jnp.asarray(enc_cent[ovf])
         self._n_rows = n_rows
         self.codes = None
@@ -720,6 +742,12 @@ class IVFPQIndex:
         return np.arange(start, start + m)
 
     def _append_packed(self, emb_new: np.ndarray) -> np.ndarray:
+        if self._paired:
+            raise NotImplementedError(
+                "append on a paired-layout streamed index is unsupported — "
+                "the 100M tier rebuilds (FrameIndex applies its 1.5x "
+                "rebuild bound long before this scale)"
+            )
         """Packed-layout append, mirroring `IVFIndex._append_packed`:
         assign each new row its nearest centroid, residual-encode against
         it with the FROZEN codebooks, scatter free-slot placements into
@@ -806,10 +834,11 @@ class IVFPQIndex:
             int(self._overflow_recon.shape[0]) == o
         ):
             return self._overflow_recon
+        dtype = getattr(self, "_pool_dtype", None) or jnp.float32
         books = np.asarray(self.codebooks)  # [S, K, ds]
         s, _, ds = books.shape
         if o == 0:
-            self._overflow_recon = jnp.zeros((0, s * ds), jnp.float32)
+            self._overflow_recon = jnp.zeros((0, s * ds), dtype)
             return self._overflow_recon
         codes = np.asarray(self.overflow_codes).astype(np.int64)  # [O, S]
         resid = books[np.arange(s)[None, :], codes, :]  # [O, S, ds]
@@ -821,7 +850,7 @@ class IVFPQIndex:
             np.asarray(self.centroids)[np.asarray(self._overflow_assign)]
             + resid
         ).astype(np.float32)
-        self._overflow_recon = jnp.asarray(recon)
+        self._overflow_recon = jnp.asarray(recon, dtype)
         return self._overflow_recon
 
     # Large arrays are ARGUMENTS, not closures: closed-over device arrays
@@ -891,14 +920,15 @@ class IVFPQIndex:
     @functools.partial(
         jax.jit,
         static_argnames=(
-            "top_k", "nprobe", "capacity", "adc_impl", "interpret"
+            "top_k", "nprobe", "capacity", "adc_impl", "interpret",
+            "paired",
         ),
     )
     def _probe_adc_search_packed(
         q, q_adc, cents, books, codes_lists, id_lists,
         overflow_recon, overflow_ids,
         top_k: int, nprobe: int, capacity: int, adc_impl: str = "xla",
-        interpret: bool = False,
+        interpret: bool = False, paired: bool = False,
     ):
         """Packed-layout ADC: list i's codes live contiguously at flat
         rows [i·C, (i+1)·C), so each probed list is ONE copy-free
@@ -948,9 +978,15 @@ class IVFPQIndex:
                 st, co = inp                                  # [B], [B]
 
                 def slice_one(s0):
-                    blk = jax.lax.dynamic_slice(
-                        codes_lists, (s0, 0), (capacity, s)
-                    )
+                    if paired:
+                        # [C/2, 2S] physical rows -> logical [C, S]
+                        blk = jax.lax.dynamic_slice(
+                            codes_lists, (s0 // 2, 0), (capacity // 2, 2 * s)
+                        ).reshape(capacity, s)
+                    else:
+                        blk = jax.lax.dynamic_slice(
+                            codes_lists, (s0, 0), (capacity, s)
+                        )
                     ids1 = jax.lax.dynamic_slice(
                         id_lists, (s0,), (capacity,)
                     )
@@ -974,9 +1010,17 @@ class IVFPQIndex:
                 st, co = inp                                  # [B], [B]
 
                 def one(s0, tb, c0):
-                    blk = jax.lax.dynamic_slice(
-                        codes_lists, (s0, 0), (capacity, s)
-                    )                                         # [C, S] u8
+                    if paired:
+                        # [C/2, 2S] physical rows -> logical [C, S]; s0 is
+                        # cids*capacity with capacity 8-aligned, so s0//2
+                        # is exact
+                        blk = jax.lax.dynamic_slice(
+                            codes_lists, (s0 // 2, 0), (capacity // 2, 2 * s)
+                        ).reshape(capacity, s)
+                    else:
+                        blk = jax.lax.dynamic_slice(
+                            codes_lists, (s0, 0), (capacity, s)
+                        )                                     # [C, S] u8
                     ids1 = jax.lax.dynamic_slice(
                         id_lists, (s0,), (capacity,)
                     )
@@ -1000,7 +1044,7 @@ class IVFPQIndex:
             # q·(c + r̃) of the reconstructed pool rows — one MXU GEMM,
             # identical values to the pool's ADC decomposition
             ovf = jax.lax.dot_general(
-                q, overflow_recon,
+                q.astype(overflow_recon.dtype), overflow_recon,
                 (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )                                                 # [B, O]
@@ -1057,6 +1101,7 @@ class IVFPQIndex:
                 self._pool_recon(), self.overflow,
                 fetch, nprobe, self._capacity, adc_impl,
                 interpret=jax.default_backend() != "tpu",
+                paired=self._paired,
             )
         else:
             if self._codes_t is None:
@@ -1102,6 +1147,10 @@ class IVFPQIndex:
             )
             if self.rotation is not None:
                 arrs_p["rotation"] = np.asarray(self.rotation)
+            if self._paired:
+                arrs_p["paired"] = np.bool_(True)
+            if getattr(self, "_pool_dtype", None) == jnp.bfloat16:
+                arrs_p["pool_bf16"] = np.bool_(True)
             np.savez(path, **arrs_p)
             return
         arrs = {
@@ -1127,6 +1176,9 @@ class IVFPQIndex:
             idx.rotation = jnp.asarray(z["rotation"])
         if "codes_lists" in z.files:
             idx.codes_lists = jnp.asarray(z["codes_lists"])
+            idx._paired = bool(z["paired"]) if "paired" in z.files else False
+            if "pool_bf16" in z.files and bool(z["pool_bf16"]):
+                idx._pool_dtype = jnp.bfloat16
             idx.id_lists = jnp.asarray(z["id_lists"])
             idx.overflow_codes = jnp.asarray(z["overflow_codes"])
             idx._overflow_assign = jnp.asarray(

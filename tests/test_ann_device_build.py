@@ -363,7 +363,7 @@ def test_ivfpq_opq_rotation(corpus, tmp_path):
     assert hit.all()  # appended rows are reachable and scored sanely
 
 
-def test_ivfpq_streamed_build_and_host_rerank(corpus):
+def test_ivfpq_streamed_build_and_host_rerank(corpus, tmp_path):
     """`build_device_streamed` (VERDICT r3 #1 — the 100M regime where the
     corpus never exists in HBM): every row lives exactly once, full-probe
     search matches the resident packed build's quality, and the
@@ -401,6 +401,20 @@ def test_ivfpq_streamed_build_and_host_rerank(corpus):
     ov_s = _overlap(idx.search(q, 10, nprobe=32)[1], brute)
     ov_r = _overlap(resident.search(q, 10, nprobe=32)[1], brute)
     assert ov_s >= ov_r - 1.5
+
+    # paired physical layout: [k*C/2, 2S] storage, logical search
+    # unchanged; save/load round-trips the flag and the results
+    assert idx._paired and idx.codes_lists.shape[1] == 32
+    idx.save(tmp_path / "paired.npz")
+    loaded = IVFPQIndex.load(tmp_path / "paired.npz")
+    assert loaded._paired
+    s_a, r_a = idx.search(q, 5, nprobe=8)
+    s_b, r_b = loaded.search(q, 5, nprobe=8)
+    np.testing.assert_array_equal(r_a, r_b)
+    import pytest as _pytest
+
+    with _pytest.raises(NotImplementedError, match="paired"):
+        loaded.append(emb[:4])
 
     # host int8 store: full-probe + rerank == exact brute force
     scales = np.maximum(np.abs(emb).max(axis=1) / 127.0, 1e-12)
