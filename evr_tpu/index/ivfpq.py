@@ -1048,6 +1048,9 @@ class IVFPQIndex:
                 (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )                                                 # [B, O]
+            # −1 pool ids exist only in the stacked mesh-sharded layout
+            # (shards pad to the largest pool); mask them like list padding
+            ovf = jnp.where(overflow_ids[None, :] >= 0, ovf, -jnp.inf)
             scores = jnp.concatenate([scores, ovf], axis=1)
             ids = jnp.concatenate(
                 [ids, jnp.broadcast_to(overflow_ids, (b, o))], axis=1

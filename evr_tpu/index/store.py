@@ -85,7 +85,11 @@ class FrameIndex:
         — int8+ivf stays single-device), or 'ivfpq'
         (probed + PQ-compressed tier, `index/ivfpq.py` — same probing
         semantics over residual uint8 codes with an always-on exact
-        re-rank of 4×k candidates; same restrictions as 'ivf')."""
+        re-rank of 4×k candidates; same restrictions as 'ivf'. Under a
+        mesh it row-shards the same way —
+        `parallel/sharded_ann.ShardedIVFPQIndex`, per-shard quantizers,
+        one shard_map probe+ADC dispatch, re-rank over merged global
+        candidates)."""
         self.embed_dim = embed_dim
         self.pad_multiple = pad_multiple
         self.mesh = mesh
@@ -103,11 +107,6 @@ class FrameIndex:
             raise ValueError(
                 "mesh-sharded IVF stores float32/bfloat16 shards; use "
                 "single-device IVF for the int8 inverted-file tier"
-            )
-        if search_impl == "ivfpq" and mesh is not None:
-            raise ValueError(
-                f"search_impl={search_impl!r} is single-device; use the "
-                "sharded exact path (mesh=...) for scale-out"
             )
         self.search_impl = search_impl
         self.ivf_nprobe = ivf_nprobe
@@ -323,6 +322,37 @@ class FrameIndex:
                         else "float32"
                     ),
                 )
+            self._ivf_built_rows = total
+        elif (
+            self.search_impl == "ivfpq"
+            and self.mesh is not None
+            and total >= 2 * n_shards_mesh
+        ):
+            # mesh-sharded memory tier: per-shard IVF-PQ sub-indexes + one
+            # shard_map probe+ADC with an all-gather top-k merge; the
+            # serving path's always-on exact re-rank (below) sources the
+            # fp32 originals kept at build (parallel/sharded_ann.py)
+            import math as _math
+
+            from evr_tpu.parallel.sharded_ann import ShardedIVFPQIndex
+
+            r = _math.ceil(total / n_shards_mesh)
+            smallest = max(1, total - (n_shards_mesh - 1) * r)
+            k = self.ivf_clusters or max(
+                1, int(round((total / n_shards_mesh) ** 0.5))
+            )
+            sub = next(
+                s for s in (64, 32, 16, 8, 4, 2, 1) if self.embed_dim % s == 0
+            )
+            self._ivf = ShardedIVFPQIndex(self.mesh, self.mesh_axis).build(
+                full[:total],
+                n_clusters=max(1, min(k, smallest)),
+                n_subspaces=sub,
+                n_centroids=min(256, smallest),
+                capacity_factor=1.3,
+                coarse_iters=6,
+                pq_iters=6,
+            )
             self._ivf_built_rows = total
         elif self.search_impl == "ivfpq" and total > 1:
             from evr_tpu.index.ivfpq import IVFPQIndex

@@ -1,9 +1,10 @@
-"""Mesh-sharded IVF — the ANN tier scaled across the data axis.
+"""Mesh-sharded IVF and IVF-PQ — the ANN tiers scaled across the data axis.
 
 `parallel/sharded_search.py` shards the EXACT GEMM top-k; this module
-gives the approximate inverted-file tier (`index/ivf.py`) the same
-scale-out story, because the 100M+-row corpora the ANN tiers exist for are
-precisely the ones that outgrow one chip's HBM:
+gives the approximate inverted-file tier (`index/ivf.py`) and the
+compressed memory tier (`index/ivfpq.py`, `ShardedIVFPQIndex` below) the
+same scale-out story, because the 100M+-row corpora the ANN tiers exist
+for are precisely the ones that outgrow one chip's HBM:
 
 * **Row-sharded sub-indexes.** The corpus splits into contiguous
   row ranges, one per device; each shard trains its OWN k-means and
@@ -210,3 +211,266 @@ class ShardedIVFIndex:
         scores = np.asarray(scores)
         rows = np.where(np.isfinite(scores), np.asarray(rows), -1)
         return scores, rows
+
+
+# ---------------------------------------------------------------------------
+# Mesh-sharded IVF-PQ — the MEMORY tier scaled across the data axis.
+# ---------------------------------------------------------------------------
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "mesh", "axis", "top_k", "nprobe", "capacity", "rows_per_shard",
+    ),
+)
+def _sharded_adc_probe(
+    q, rot_s, cents_s, books_s, codes_s, ids_s, pool_recon_s, pool_ids_s,
+    mesh: Mesh, axis: str, top_k: int, nprobe: int, capacity: int,
+    rows_per_shard: int,
+):
+    """One shard_map dispatch over the stacked IVF-PQ operands: each device
+    runs the standard packed probe+ADC (`IVFPQIndex._probe_adc_search_packed`,
+    adc_impl="xla") on ITS shard — per-shard OPQ rotation applied to the
+    query locally, since every shard trains its own quantizers — then the
+    tiny [B, k] winners `all_gather` and merge. Communication is
+    O(B·k·devices), independent of N, nprobe and S."""
+    from evr_tpu.index.ivfpq import IVFPQIndex
+
+    def local(qb, rot, cents, books, codes, ids, pre, pid):
+        shard_id = jax.lax.axis_index(axis)
+        q_adc = qb @ rot[0]
+        scores, rows = IVFPQIndex._probe_adc_search_packed(
+            qb, q_adc, cents[0], books[0], codes[0], ids[0], pre[0], pid[0],
+            top_k, nprobe, capacity, "xla", interpret=False, paired=False,
+        )
+        rows = jnp.where(rows >= 0, rows + shard_id * rows_per_shard, -1)
+        all_scores = jax.lax.all_gather(scores, axis)       # [S, B, k]
+        all_rows = jax.lax.all_gather(rows, axis)
+        return merge_topk(all_scores, all_rows, top_k)
+
+    fn = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(
+            P(), P(axis, None, None), P(axis, None, None),
+            P(axis, None, None, None), P(axis, None, None), P(axis, None),
+            P(axis, None, None), P(axis, None),
+        ),
+        out_specs=(P(), P()),
+        check_rep=False,
+    )
+    return fn(q, rot_s, cents_s, books_s, codes_s, ids_s, pool_recon_s,
+              pool_ids_s)
+
+
+class ShardedIVFPQIndex:
+    """Row-sharded IVF-PQ over a mesh's ``axis`` — `index/ivfpq.IVFPQIndex`'s
+    search surface (``search(q, top_k, nprobe, rerank=)``), built
+    shard-by-shard, probed in one shard_map dispatch.
+
+    The corpus splits into contiguous row ranges, one per device; each
+    shard trains its OWN coarse k-means, residual PQ codebooks and
+    (optional) OPQ rotation over its rows (build is embarrassingly
+    parallel), stores packed uint8 codes, and is probed locally; the
+    merged candidates carry GLOBAL row ids. ADC scores are approximate by
+    construction, so exactness gates compose probing with the host re-rank:
+    ``nprobe = n_clusters`` + ``rerank`` ≥ candidate depth reproduces the
+    exact global top-k (tested). Rerank sources exact rows either from the
+    fp32 originals kept at build (serving-tier default, mirroring
+    `IVFPQIndex.build(keep_originals=True)`) or from an
+    ``attach_host_store`` int8 row store (the 100M-tier two-tier shape).
+
+    Reference counterpart: none — the reference imports faiss and never
+    calls it (`Backend/app.py:21`). Sharded ANN is new TPU-native
+    capability (SURVEY.md §2.5, §5.7)."""
+
+    def __init__(self, mesh: Mesh, axis: str = "data"):
+        self.mesh = mesh
+        self.axis = axis
+        self.n_shards = mesh.shape[axis]
+        self.rot_s = None       # [S, D, D] fp32 (identity when no OPQ)
+        self.cents_s = None     # [S, k, D] fp32
+        self.books_s = None     # [S, sub, K, d] fp32
+        self.codes_s = None     # [S, k*C, sub] uint8
+        self.ids_s = None       # [S, k*C] int32 LOCAL rows, −1 padded
+        self.pool_recon_s = None  # [S, O, D] fp32, zero-padded
+        self.pool_ids_s = None    # [S, O] int32 LOCAL rows, −1 padded
+        self._originals = None    # [N, D] HOST fp32 (rerank source)
+        self._originals_int8 = None
+        self._originals_int8_scales = None
+        self._n_rows = 0
+        self._rows_per_shard = 0
+        self._n_clusters = 0
+        self._capacity = 0
+
+    @property
+    def n_rows(self) -> int:
+        return self._n_rows
+
+    @property
+    def n_clusters(self) -> int:
+        return self._n_clusters
+
+    def build(
+        self,
+        emb: np.ndarray,
+        n_clusters: int,
+        n_subspaces: int = 64,
+        n_centroids: int = 256,
+        capacity_factor: float = 1.5,
+        coarse_iters: int = 6,
+        pq_iters: int = 6,
+        opq_iters: int = 0,
+        seed: int = 0,
+        keep_originals: bool = True,
+        spill_choices: int = 4,
+    ) -> "ShardedIVFPQIndex":
+        from evr_tpu.index.ivfpq import IVFPQIndex
+
+        emb = np.asarray(emb, np.float32)
+        n, d = emb.shape
+        s = self.n_shards
+        r = math.ceil(n / s)
+        smallest = n - (s - 1) * r if n > (s - 1) * r else r
+        if n_clusters > smallest:
+            raise ValueError(
+                f"n_clusters={n_clusters} exceeds the smallest shard's "
+                f"row count (N={n} over {s} shards)"
+            )
+        sub = next(
+            ss for ss in (n_subspaces, 64, 32, 16, 8, 4, 2, 1)
+            if d % ss == 0
+        )
+        subs = [
+            IVFPQIndex().build_device(
+                jnp.asarray(emb[i * r : min((i + 1) * r, n)]),
+                n_clusters,
+                n_subspaces=sub,
+                n_centroids=min(n_centroids, smallest),
+                capacity_factor=capacity_factor,
+                coarse_iters=coarse_iters,
+                pq_iters=pq_iters,
+                seed=seed + i,  # independent quantizers per shard
+                spill_choices=spill_choices,
+                opq_iters=opq_iters,
+            )
+            for i in range(s)
+        ]
+        cap = max(x._capacity for x in subs)
+        omax = max(max(int(x.overflow.shape[0]) for x in subs), 1)
+        kk = int(np.asarray(subs[0].codebooks).shape[1])
+        ds = d // sub
+        rot_s = np.zeros((s, d, d), np.float32)
+        cents_s = np.zeros((s, n_clusters, d), np.float32)
+        books_s = np.zeros((s, sub, kk, ds), np.float32)
+        codes_s = np.zeros((s, n_clusters * cap, sub), np.uint8)
+        ids_s = np.full((s, n_clusters * cap), -1, np.int32)
+        pool_recon_s = np.zeros((s, omax, d), np.float32)
+        pool_ids_s = np.full((s, omax), -1, np.int32)
+        for i, x in enumerate(subs):
+            rot_s[i] = (
+                np.eye(d, dtype=np.float32)
+                if x.rotation is None
+                else np.asarray(x.rotation, np.float32)
+            )
+            cents_s[i] = np.asarray(x.centroids)
+            books_s[i] = np.asarray(x.codebooks)
+            # packed [k*C_i, S] (paired variants share row-major bytes)
+            ci = x._capacity
+            codes = np.asarray(x.codes_lists).reshape(-1, sub)
+            ids = np.asarray(x.id_lists)
+            codes_s[i].reshape(n_clusters, cap, sub)[:, :ci] = codes.reshape(
+                n_clusters, ci, sub
+            )
+            ids_s[i].reshape(n_clusters, cap)[:, :ci] = ids.reshape(
+                n_clusters, ci
+            )
+            o = int(x.overflow.shape[0])
+            if o:
+                pool_recon_s[i, :o] = np.asarray(
+                    x._pool_recon(), np.float32
+                )
+                pool_ids_s[i, :o] = np.asarray(x.overflow)
+
+        put = lambda a, spec: jax.device_put(  # noqa: E731
+            a, NamedSharding(self.mesh, spec)
+        )
+        self.rot_s = put(rot_s, P(self.axis, None, None))
+        self.cents_s = put(cents_s, P(self.axis, None, None))
+        self.books_s = put(books_s, P(self.axis, None, None, None))
+        self.codes_s = put(codes_s, P(self.axis, None, None))
+        self.ids_s = put(ids_s, P(self.axis, None))
+        self.pool_recon_s = put(pool_recon_s, P(self.axis, None, None))
+        self.pool_ids_s = put(pool_ids_s, P(self.axis, None))
+        self._originals = emb if keep_originals else None
+        self._n_rows = n
+        self._rows_per_shard = r
+        self._n_clusters = n_clusters
+        self._capacity = cap
+        return self
+
+    def attach_host_store(self, rows_int8, scales) -> None:
+        """Two-tier serving shape at scale: int8 rows + per-row scales in
+        host DRAM replace the fp32 originals as the exact re-rank source."""
+        rows_int8 = np.asarray(rows_int8, np.int8)
+        scales = np.asarray(scales, np.float32)
+        if rows_int8.shape[0] != self._n_rows:
+            raise ValueError(
+                f"host store rows {rows_int8.shape[0]} != corpus "
+                f"{self._n_rows}"
+            )
+        self._originals_int8 = rows_int8
+        self._originals_int8_scales = scales
+
+    def search(
+        self,
+        queries: np.ndarray,
+        top_k: int,
+        nprobe: int,
+        rerank: int | None = None,
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """(scores [B, k], GLOBAL row ids [B, k]); −1 rows are unreachable
+        slots (scores −inf). Without ``rerank`` scores are the per-shard
+        ADC approximation; with it, exact cosines of the re-scored
+        candidates."""
+        if self.codes_s is None:
+            raise ValueError("ShardedIVFPQIndex.search before build()")
+        if rerank is not None and (
+            self._originals is None and self._originals_int8 is None
+        ):
+            raise ValueError(
+                "rerank requires keep_originals=True at build or an "
+                "attach_host_store() int8 row store"
+            )
+        nprobe = max(1, min(nprobe, self._n_clusters))
+        q = jnp.asarray(np.atleast_2d(np.asarray(queries, np.float32)))
+        width = self._capacity * nprobe + self.pool_ids_s.shape[1]
+        fetch = max(1, min(
+            top_k if rerank is None else max(top_k, rerank),
+            width, self._rows_per_shard,
+        ))
+        scores, rows = _sharded_adc_probe(
+            q, self.rot_s, self.cents_s, self.books_s, self.codes_s,
+            self.ids_s, self.pool_recon_s, self.pool_ids_s,
+            self.mesh, self.axis, fetch, nprobe, self._capacity,
+            self._rows_per_shard,
+        )
+        scores, rows = np.asarray(scores), np.asarray(rows)
+        rows = np.where(np.isfinite(scores), rows, -1)
+        if rerank is None:
+            k = min(top_k, fetch)
+            return scores[:, :k], rows[:, :k]
+        qn = np.asarray(q)
+        safe = np.where(rows >= 0, rows, 0)
+        if self._originals is not None:
+            cand = self._originals[safe]                     # [B, R, D]
+        else:
+            cand = self._originals_int8[safe].astype(np.float32)
+            cand *= self._originals_int8_scales[safe][:, :, None]
+        exact = np.einsum("bd,brd->br", qn, cand).astype(np.float32)
+        exact = np.where(rows >= 0, exact, -np.inf)
+        k = min(top_k, exact.shape[1])
+        order = np.argsort(-exact, axis=1)[:, :k]
+        out_rows = np.take_along_axis(rows, order, axis=1)
+        out_scores = np.take_along_axis(exact, order, axis=1)
+        return out_scores, np.where(np.isfinite(out_scores), out_rows, -1)

@@ -109,3 +109,98 @@ def test_frame_index_mesh_ivf_serving_tier(mesh):
     s2, r2 = tiny.search_raw(q[:2], 3)
     es2, er2 = exact.search_raw(q[:2], 3)  # different corpus; just sanity
     assert r2.shape == (2, 3) and np.isfinite(s2).all()
+
+
+# ---------------------------------------------------------------------------
+# Mesh-sharded IVF-PQ (`ShardedIVFPQIndex`) — ADC is lossy by design, so the
+# exactness gate composes full probing with the exact host re-rank.
+# ---------------------------------------------------------------------------
+
+from evr_tpu.parallel.sharded_ann import ShardedIVFPQIndex
+
+
+def test_ivfpq_full_probe_rerank_matches_brute_force(mesh):
+    emb, q = _corpus()
+    idx = ShardedIVFPQIndex(mesh).build(
+        emb, n_clusters=16, n_subspaces=16, seed=0
+    )
+    exact = q @ emb.T
+    er = np.argsort(-exact, axis=1)[:, :10]
+    scores, rows = idx.search(q, 10, nprobe=16, rerank=400)
+    np.testing.assert_array_equal(rows, er)
+    np.testing.assert_allclose(
+        scores, np.take_along_axis(exact, er, axis=1), atol=1e-5
+    )
+
+
+def test_ivfpq_adc_recall_monotone_and_global_ids(mesh):
+    emb, q = _corpus(n=2000)
+    idx = ShardedIVFPQIndex(mesh).build(
+        emb, n_clusters=10, n_subspaces=16, seed=1
+    )
+    exact = np.argsort(-(q @ emb.T), axis=1)[:, :10]
+    recalls = []
+    for nprobe in (1, 4, 10):
+        _, rows = idx.search(q, 10, nprobe=nprobe)
+        assert rows.max() < 2000 and len(np.unique(rows[rows >= 0])) > 0
+        # no duplicate global ids within a query's result row
+        for rr in rows:
+            rv = rr[rr >= 0]
+            assert len(rv) == len(set(rv.tolist()))
+        recalls.append(
+            np.mean([len(set(a) & set(b)) / 10 for a, b in zip(rows, exact)])
+        )
+    assert recalls == sorted(recalls)
+
+
+def test_ivfpq_host_store_rerank_source(mesh):
+    emb, q = _corpus(n=1600)
+    idx = ShardedIVFPQIndex(mesh).build(
+        emb, n_clusters=8, n_subspaces=16, seed=2, keep_originals=False
+    )
+    with pytest.raises(ValueError, match="rerank requires"):
+        idx.search(q, 5, nprobe=8, rerank=100)
+    # int8 host store: rank agreement with exact at full probe + deep rerank
+    scales = np.maximum(np.abs(emb).max(axis=1) / 127.0, 1e-12).astype(
+        np.float32
+    )
+    rows8 = np.clip(np.round(emb / scales[:, None]), -127, 127).astype(np.int8)
+    idx.attach_host_store(rows8, scales)
+    _, rows = idx.search(q, 5, nprobe=8, rerank=400)
+    er = np.argsort(-(q @ emb.T), axis=1)[:, :5]
+    # int8 quantisation can flip near-ties; top-1 must hold
+    np.testing.assert_array_equal(rows[:, 0], er[:, 0])
+
+
+def test_ivfpq_build_validates_cluster_count(mesh):
+    emb, _ = _corpus(n=64)
+    with pytest.raises(ValueError, match="smallest shard"):
+        ShardedIVFPQIndex(mesh).build(emb, n_clusters=32, n_subspaces=16)
+
+
+def test_frame_index_mesh_ivfpq_serving_tier(mesh):
+    emb, q = _corpus(n=2048, d=32, seed=5)
+    fi = FrameIndex(
+        embed_dim=32, mesh=mesh, search_impl="ivfpq",
+        ivf_nprobe=16, ivf_clusters=16,
+    )
+    fi.add_video("a", emb[:1200])
+    fi.add_video("b", emb[1200:])
+    from evr_tpu.parallel.sharded_ann import ShardedIVFPQIndex as S
+
+    exact = FrameIndex(embed_dim=32)
+    exact.add_video("a", emb[:1200])
+    exact.add_video("b", emb[1200:])
+    s, r = fi.search_raw(q, 10)
+    assert isinstance(fi._ivf, S)
+    es, er = exact.search_raw(q, 10)
+    # serving path reranks 4×k exactly: top-1 identical, strong overlap
+    np.testing.assert_array_equal(r[:, 0], er[:, 0])
+    overlap = np.mean(
+        [len(set(a) & set(b)) / 10 for a, b in zip(r, er)]
+    )
+    assert overlap >= 0.8
+    # video-scoped searches stay exact (never probe)
+    hits = fi.search(q[:1], top_k=3, video_name="b")[0]
+    ehits = exact.search(q[:1], top_k=3, video_name="b")[0]
+    assert [h.row for h in hits] == [h.row for h in ehits]
