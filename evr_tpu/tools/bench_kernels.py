@@ -950,14 +950,26 @@ def bench_ann_streamed(reps: int, rows: int, d: int = 512,
         t0 = time.perf_counter()
         host_rows = np.empty((rows, d), np.int8)
         host_scales = np.empty((rows,), np.float32)
-        cpu0 = jax.devices("cpu")[0]
-        gen_cpu = jax.jit(
-            gen_slab_int8.__wrapped__, static_argnames=("m",), backend="cpu"
+        try:
+            cpu0 = jax.devices("cpu")[0]
+        except RuntimeError:
+            cpu0 = None  # cpu backend not registered -> full D2H below
+        gen_cpu = (
+            jax.jit(
+                gen_slab_int8.__wrapped__, static_argnames=("m",),
+                backend="cpu",
+            )
+            if cpu0 is not None
+            else None
         )
-        centers_cpu = jax.device_put(np.asarray(centers), cpu0)
+        centers_cpu = (
+            jax.device_put(np.asarray(centers), cpu0)
+            if cpu0 is not None
+            else None
+        )
         probe_slabs = [0, n_slabs // 2, n_slabs - 1]
-        regen_ok = True
-        for i in set(probe_slabs):
+        regen_ok = cpu0 is not None
+        for i in set(probe_slabs) if regen_ok else ():
             q8_d, sc_d = gen_slab_int8(centers, jnp.int32(i), slab_rows)
             q8_c, sc_c = gen_cpu(centers_cpu, jnp.int32(i), slab_rows)
             if not (
@@ -1113,6 +1125,78 @@ def bench_adc(
             )
 
 
+def bench_sharded(reps: int, n: int = 1_000_000, d: int = 512) -> None:
+    """Sharded-vs-unsharded ANN tier on whatever devices exist (VERDICT r3
+    #3 done-gate: the single-chip no-regression row). On ONE device the
+    sharded classes must cost ~the unsharded tier (same probe program plus
+    a degenerate all_gather); on the 8-device CPU mesh the same command
+    shows the scale-out shape. Times are e2e `.search` calls (host API,
+    per-dispatch sync) — the serving-facing cost, batch 8, nprobe=32."""
+    import jax
+    from jax.sharding import Mesh
+
+    from evr_tpu.index.ivf import IVFIndex
+    from evr_tpu.index.ivfpq import IVFPQIndex
+    from evr_tpu.parallel.sharded_ann import (
+        ShardedIVFIndex, ShardedIVFPQIndex,
+    )
+
+    devs = jax.devices()
+    mesh = Mesh(np.array(devs), ("data",))
+    print(f"devices: {len(devs)} ({devs[0].platform})")
+    emb, q, b_rows, ms = _ann_setup(n, d, 8, reps)
+    print(f"N={n:>9,}  brute GEMM                 : {ms:8.2f} ms/batch(8)")
+
+    k = 1024
+    nprobe = 32
+    idx = IVFIndex().build(emb, n_clusters=k, capacity_factor=1.3, iters=6)
+    idx.search(q, 10, nprobe=nprobe)  # compile+warm
+    ms1 = _best_ms(lambda: idx.search(q, 10, nprobe=nprobe), reps)
+    _, r1 = idx.search(q, 10, nprobe=nprobe)
+    rec1 = _recall(r1, b_rows)
+    print(f"N={n:>9,}  ivf  unsharded nprobe={nprobe}   : {ms1:8.2f} "
+          f"ms/batch(8)  recall@10={rec1:.3f}")
+
+    # per-shard cluster count keeps probe work ~constant per device
+    ks = max(64, k // len(devs))
+    sidx = ShardedIVFIndex(mesh).build(
+        emb, n_clusters=ks, capacity_factor=1.3, iters=6
+    )
+    sidx.search(q, 10, nprobe=nprobe)
+    ms2 = _best_ms(lambda: sidx.search(q, 10, nprobe=nprobe), reps)
+    _, r2 = sidx.search(q, 10, nprobe=nprobe)
+    rec2 = _recall(r2, b_rows)
+    print(f"N={n:>9,}  ivf  sharded k/shard={ks:<5}: {ms2:8.2f} "
+          f"ms/batch(8)  recall@10={rec2:.3f}  "
+          f"({ms2 / ms1:.2f}x unsharded)")
+    del idx, sidx
+
+    pq = IVFPQIndex().build(
+        emb, n_clusters=k, n_subspaces=64, capacity_factor=1.3,
+        coarse_iters=6, pq_iters=6,
+    )
+    pq.search(q, 10, nprobe=nprobe, rerank=200)
+    ms3 = _best_ms(lambda: pq.search(q, 10, nprobe=nprobe, rerank=200), reps)
+    _, r3 = pq.search(q, 10, nprobe=nprobe, rerank=200)
+    rec3 = _recall(r3, b_rows)
+    print(f"N={n:>9,}  ivfpq unsharded +rr200     : {ms3:8.2f} "
+          f"ms/batch(8)  recall@10={rec3:.3f}")
+
+    spq = ShardedIVFPQIndex(mesh).build(
+        emb, n_clusters=ks, n_subspaces=64, capacity_factor=1.3,
+        coarse_iters=6, pq_iters=6,
+    )
+    spq.search(q, 10, nprobe=nprobe, rerank=200)
+    ms4 = _best_ms(
+        lambda: spq.search(q, 10, nprobe=nprobe, rerank=200), reps
+    )
+    _, r4 = spq.search(q, 10, nprobe=nprobe, rerank=200)
+    rec4 = _recall(r4, b_rows)
+    print(f"N={n:>9,}  ivfpq sharded k/shard={ks:<4}+rr200: {ms4:8.2f} "
+          f"ms/batch(8)  recall@10={rec4:.3f}  "
+          f"({ms4 / ms3:.2f}x unsharded)")
+
+
 def jnp_sum_probe(x) -> float:
     """Scalar fetch — the only reliable device sync on the relayed
     transport (block_until_ready is a no-op there, CLAUDE.md)."""
@@ -1205,7 +1289,7 @@ def main() -> None:
 
     pin_platform_from_env()
     ap = argparse.ArgumentParser(description=__doc__)
-    ap.add_argument("what", choices=["block", "attention", "encode", "int8", "sweep", "roofline", "captioner", "siglip", "ivf", "pq", "ivfpq", "adc", "all"])
+    ap.add_argument("what", choices=["block", "attention", "encode", "int8", "sweep", "roofline", "captioner", "siglip", "ivf", "pq", "ivfpq", "adc", "sharded", "all"])
     ap.add_argument("--reps", type=int, default=20, help="chained applications per dispatch")
     ap.add_argument(
         "--rows", type=int, default=None,
@@ -1247,6 +1331,18 @@ def main() -> None:
 
     import jax
 
+    if args.stream and getattr(args, "rerank", None):
+        # the streamed host-store phase regenerates slabs on the CPU
+        # backend; under this environment's sitecustomize only the relay
+        # platform is registered unless the config names cpu too — append
+        # it BEFORE the first backend touch (jax.default_backend below)
+        try:
+            plats = jax.config.read("jax_platforms")
+            if plats and "cpu" not in plats:
+                jax.config.update("jax_platforms", plats + ",cpu")
+        except Exception:
+            pass
+
     try:
         jax.config.update("jax_compilation_cache_dir", f"/tmp/evr_tpu_jax_cache_{jax.default_backend()}")
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
@@ -1267,6 +1363,7 @@ def main() -> None:
         "pq": bench_pq,
         "ivfpq": bench_ivfpq,
         "adc": bench_adc,
+        "sharded": bench_sharded,
     }
     for name, fn in runs.items():
         if args.what in (name, "all"):
