@@ -275,12 +275,10 @@ class FrameIndex:
         ):
             # mesh-sharded ANN tier: per-shard sub-indexes + one shard_map
             # probe with an all-gather top-k merge (parallel/sharded_ann.py)
-            import math as _math
-
             from evr_tpu.parallel.sharded_ann import ShardedIVFIndex
 
-            r = _math.ceil(total / n_shards_mesh)
-            smallest = max(1, total - (n_shards_mesh - 1) * r)
+            # balanced contiguous partition: smallest shard = floor(N/S)
+            smallest = max(1, total // n_shards_mesh)
             k = self.ivf_clusters or max(
                 1, int(round((total / n_shards_mesh) ** 0.5))
             )
@@ -332,12 +330,10 @@ class FrameIndex:
             # shard_map probe+ADC with an all-gather top-k merge; the
             # serving path's always-on exact re-rank (below) sources the
             # fp32 originals kept at build (parallel/sharded_ann.py)
-            import math as _math
-
             from evr_tpu.parallel.sharded_ann import ShardedIVFPQIndex
 
-            r = _math.ceil(total / n_shards_mesh)
-            smallest = max(1, total - (n_shards_mesh - 1) * r)
+            # balanced contiguous partition: smallest shard = floor(N/S)
+            smallest = max(1, total // n_shards_mesh)
             k = self.ivf_clusters or max(
                 1, int(round((total / n_shards_mesh) ** 0.5))
             )

@@ -43,6 +43,22 @@ from evr_tpu.index.ivf import IVFIndex
 from evr_tpu.ops.topk import merge_topk
 
 
+def _balanced_ranges(n: int, s: int) -> list[tuple[int, int]]:
+    """Contiguous [start, end) row ranges, sizes differing by at most 1 and
+    never empty (requires n >= s) — uneven corpora must not leave a shard
+    with zero rows, and global ids come from per-shard OFFSETS rather than
+    a uniform stride."""
+    if n < s:
+        raise ValueError(f"N={n} rows cannot shard over {s} devices")
+    base, extra = divmod(n, s)
+    out, start = [], 0
+    for i in range(s):
+        end = start + base + (1 if i < extra else 0)
+        out.append((start, end))
+        start = end
+    return out
+
+
 def _local_probe(q, emb, cents, list_rows, overflow, top_k: int, nprobe: int):
     """One shard's probe (same semantics as `IVFIndex._probe_search`) with
     −1-padded overflow masked — padding exists only in the stacked sharded
@@ -77,18 +93,17 @@ def _local_probe(q, emb, cents, list_rows, overflow, top_k: int, nprobe: int):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("mesh", "axis", "top_k", "nprobe", "rows_per_shard"),
+    static_argnames=("mesh", "axis", "top_k", "nprobe"),
 )
 def _sharded_probe(
-    q, emb_s, cents_s, lists_s, overflow_s,
-    mesh: Mesh, axis: str, top_k: int, nprobe: int, rows_per_shard: int,
+    q, emb_s, cents_s, lists_s, overflow_s, offs_s,
+    mesh: Mesh, axis: str, top_k: int, nprobe: int,
 ):
-    def local(qb, emb, cents, lists, overflow):
-        shard_id = jax.lax.axis_index(axis)
+    def local(qb, emb, cents, lists, overflow, offs):
         scores, rows = _local_probe(
             qb, emb[0], cents[0], lists[0], overflow[0], top_k, nprobe
         )
-        rows = jnp.where(rows >= 0, rows + shard_id * rows_per_shard, -1)
+        rows = jnp.where(rows >= 0, rows + offs[0], -1)
         all_scores = jax.lax.all_gather(scores, axis)   # [S, B, k]
         all_rows = jax.lax.all_gather(rows, axis)
         return merge_topk(all_scores, all_rows, top_k)
@@ -98,12 +113,12 @@ def _sharded_probe(
         mesh=mesh,
         in_specs=(
             P(), P(axis, None, None), P(axis, None, None),
-            P(axis, None, None), P(axis, None),
+            P(axis, None, None), P(axis, None), P(axis),
         ),
         out_specs=(P(), P()),
         check_rep=False,
     )
-    return fn(q, emb_s, cents_s, lists_s, overflow_s)
+    return fn(q, emb_s, cents_s, lists_s, overflow_s, offs_s)
 
 
 class ShardedIVFIndex:
@@ -119,6 +134,7 @@ class ShardedIVFIndex:
         self.cents_s = None  # [S, k, D]
         self.lists_s = None  # [S, k, C]
         self.overflow_s = None  # [S, O]
+        self.offs_s = None  # [S] int32 global row offset per shard
         self._n_rows = 0
         self._rows_per_shard = 0
         self._n_clusters = 0
@@ -144,15 +160,16 @@ class ShardedIVFIndex:
         emb = np.asarray(emb, np.float32)
         n, d = emb.shape
         s = self.n_shards
-        r = math.ceil(n / s)
-        if n_clusters > min(r, n - (s - 1) * r if n > (s - 1) * r else r):
+        ranges = _balanced_ranges(n, s)
+        r = max(e - b for b, e in ranges)
+        if n_clusters > min(e - b for b, e in ranges):
             raise ValueError(
                 f"n_clusters={n_clusters} exceeds the smallest shard's "
                 f"row count (N={n} over {s} shards)"
             )
         subs = [
             IVFIndex().build(
-                emb[i * r : min((i + 1) * r, n)],
+                emb[b:e],
                 n_clusters,
                 capacity_factor=capacity_factor,
                 iters=iters,
@@ -160,7 +177,7 @@ class ShardedIVFIndex:
                 dtype=dtype,
                 spill_choices=spill_choices,
             )
-            for i in range(s)
+            for i, (b, e) in enumerate(ranges)
         ]
         cap = max(int(sub.list_rows.shape[1]) for sub in subs)
         ovf = max((int(sub.overflow.shape[0]) for sub in subs), default=0)
@@ -186,6 +203,9 @@ class ShardedIVFIndex:
         self.cents_s = put(cents_s, P(self.axis, None, None))
         self.lists_s = put(lists_s, P(self.axis, None, None))
         self.overflow_s = put(overflow_s, P(self.axis, None))
+        self.offs_s = put(
+            np.asarray([b for b, _ in ranges], np.int32), P(self.axis)
+        )
         self._n_rows = n
         self._rows_per_shard = r
         self._n_clusters = n_clusters
@@ -206,7 +226,7 @@ class ShardedIVFIndex:
         top_k = max(1, min(top_k, cap_total, self._n_rows))
         scores, rows = _sharded_probe(
             q, self.emb_s, self.cents_s, self.lists_s, self.overflow_s,
-            self.mesh, self.axis, top_k, nprobe, self._rows_per_shard,
+            self.offs_s, self.mesh, self.axis, top_k, nprobe,
         )
         scores = np.asarray(scores)
         rows = np.where(np.isfinite(scores), np.asarray(rows), -1)
@@ -219,14 +239,11 @@ class ShardedIVFIndex:
 
 @functools.partial(
     jax.jit,
-    static_argnames=(
-        "mesh", "axis", "top_k", "nprobe", "capacity", "rows_per_shard",
-    ),
+    static_argnames=("mesh", "axis", "top_k", "nprobe", "capacity"),
 )
 def _sharded_adc_probe(
     q, rot_s, cents_s, books_s, codes_s, ids_s, pool_recon_s, pool_ids_s,
-    mesh: Mesh, axis: str, top_k: int, nprobe: int, capacity: int,
-    rows_per_shard: int,
+    offs_s, mesh: Mesh, axis: str, top_k: int, nprobe: int, capacity: int,
 ):
     """One shard_map dispatch over the stacked IVF-PQ operands: each device
     runs the standard packed probe+ADC (`IVFPQIndex._probe_adc_search_packed`,
@@ -236,14 +253,13 @@ def _sharded_adc_probe(
     O(B·k·devices), independent of N, nprobe and S."""
     from evr_tpu.index.ivfpq import IVFPQIndex
 
-    def local(qb, rot, cents, books, codes, ids, pre, pid):
-        shard_id = jax.lax.axis_index(axis)
+    def local(qb, rot, cents, books, codes, ids, pre, pid, offs):
         q_adc = qb @ rot[0]
         scores, rows = IVFPQIndex._probe_adc_search_packed(
             qb, q_adc, cents[0], books[0], codes[0], ids[0], pre[0], pid[0],
             top_k, nprobe, capacity, "xla", interpret=False, paired=False,
         )
-        rows = jnp.where(rows >= 0, rows + shard_id * rows_per_shard, -1)
+        rows = jnp.where(rows >= 0, rows + offs[0], -1)
         all_scores = jax.lax.all_gather(scores, axis)       # [S, B, k]
         all_rows = jax.lax.all_gather(rows, axis)
         return merge_topk(all_scores, all_rows, top_k)
@@ -254,13 +270,13 @@ def _sharded_adc_probe(
         in_specs=(
             P(), P(axis, None, None), P(axis, None, None),
             P(axis, None, None, None), P(axis, None, None), P(axis, None),
-            P(axis, None, None), P(axis, None),
+            P(axis, None, None), P(axis, None), P(axis),
         ),
         out_specs=(P(), P()),
         check_rep=False,
     )
     return fn(q, rot_s, cents_s, books_s, codes_s, ids_s, pool_recon_s,
-              pool_ids_s)
+              pool_ids_s, offs_s)
 
 
 class ShardedIVFPQIndex:
@@ -295,6 +311,7 @@ class ShardedIVFPQIndex:
         self.ids_s = None       # [S, k*C] int32 LOCAL rows, −1 padded
         self.pool_recon_s = None  # [S, O, D] fp32, zero-padded
         self.pool_ids_s = None    # [S, O] int32 LOCAL rows, −1 padded
+        self.offs_s = None        # [S] int32 global row offset per shard
         self._originals = None    # [N, D] HOST fp32 (rerank source)
         self._originals_int8 = None
         self._originals_int8_scales = None
@@ -330,8 +347,9 @@ class ShardedIVFPQIndex:
         emb = np.asarray(emb, np.float32)
         n, d = emb.shape
         s = self.n_shards
-        r = math.ceil(n / s)
-        smallest = n - (s - 1) * r if n > (s - 1) * r else r
+        ranges = _balanced_ranges(n, s)
+        r = max(e - b for b, e in ranges)
+        smallest = min(e - b for b, e in ranges)
         if n_clusters > smallest:
             raise ValueError(
                 f"n_clusters={n_clusters} exceeds the smallest shard's "
@@ -343,7 +361,7 @@ class ShardedIVFPQIndex:
         )
         subs = [
             IVFPQIndex().build_device(
-                jnp.asarray(emb[i * r : min((i + 1) * r, n)]),
+                jnp.asarray(emb[b:e]),
                 n_clusters,
                 n_subspaces=sub,
                 n_centroids=min(n_centroids, smallest),
@@ -354,7 +372,7 @@ class ShardedIVFPQIndex:
                 spill_choices=spill_choices,
                 opq_iters=opq_iters,
             )
-            for i in range(s)
+            for i, (b, e) in enumerate(ranges)
         ]
         cap = max(x._capacity for x in subs)
         omax = max(max(int(x.overflow.shape[0]) for x in subs), 1)
@@ -402,6 +420,9 @@ class ShardedIVFPQIndex:
         self.ids_s = put(ids_s, P(self.axis, None))
         self.pool_recon_s = put(pool_recon_s, P(self.axis, None, None))
         self.pool_ids_s = put(pool_ids_s, P(self.axis, None))
+        self.offs_s = put(
+            np.asarray([b for b, _ in ranges], np.int32), P(self.axis)
+        )
         self._originals = emb if keep_originals else None
         self._n_rows = n
         self._rows_per_shard = r
@@ -451,9 +472,8 @@ class ShardedIVFPQIndex:
         ))
         scores, rows = _sharded_adc_probe(
             q, self.rot_s, self.cents_s, self.books_s, self.codes_s,
-            self.ids_s, self.pool_recon_s, self.pool_ids_s,
+            self.ids_s, self.pool_recon_s, self.pool_ids_s, self.offs_s,
             self.mesh, self.axis, fetch, nprobe, self._capacity,
-            self._rows_per_shard,
         )
         scores, rows = np.asarray(scores), np.asarray(rows)
         rows = np.where(np.isfinite(scores), rows, -1)

@@ -202,16 +202,15 @@ def test_frame_index_ivf_search_hits_resolve():
 
 
 def test_frame_index_ivf_mesh_and_int8_rules():
-    """ivf+mesh is a supported tier since round 4 (parallel/sharded_ann —
-    exercised in tests/test_sharded_ann.py); ivf+mesh+int8 and ivfpq+mesh
-    stay rejected."""
+    """ivf+mesh and ivfpq+mesh are supported tiers (parallel/sharded_ann —
+    exercised in tests/test_sharded_ann.py); ivf+mesh+int8 stays
+    rejected."""
     import pytest as _pytest
 
     class FakeMesh:  # rejected combinations must fail before mesh use
         pass
 
-    with _pytest.raises(ValueError, match="single-device"):
-        _frame_index("ivfpq", mesh=FakeMesh())
+    _frame_index("ivfpq", mesh=FakeMesh())  # accepted since late round 4
     with _pytest.raises(ValueError, match="float32/bfloat16"):
         _frame_index("ivf", mesh=FakeMesh(), device_dtype="int8")
 

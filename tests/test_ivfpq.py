@@ -197,17 +197,18 @@ def test_frame_index_ivfpq_matches_exact_at_full_probe():
     np.testing.assert_array_equal(r2, er2)
 
 
-def test_frame_index_ivfpq_rejects_int8_and_mesh():
+def test_frame_index_ivfpq_rejects_int8():
     from evr_tpu.index import FrameIndex
 
     with pytest.raises(ValueError, match="float32/bfloat16"):
         FrameIndex(embed_dim=16, search_impl="ivfpq", device_dtype="int8")
 
+    # ivfpq + mesh is a supported tier now (ShardedIVFPQIndex; exercised
+    # end-to-end in tests/test_sharded_ann.py) — construction must succeed
     class FakeMesh:
         pass
 
-    with pytest.raises(ValueError, match="single-device"):
-        FrameIndex(embed_dim=16, search_impl="ivfpq", mesh=FakeMesh())
+    FrameIndex(embed_dim=16, search_impl="ivfpq", mesh=FakeMesh())
 
 
 def test_query_engine_bypasses_fused_searcher_for_ivfpq():
