@@ -1368,6 +1368,9 @@ def main() -> None:
     for name, fn in runs.items():
         if args.what in (name, "all"):
             print(f"== {name} ==")
+            if name == "sharded" and args.rows:
+                bench_sharded(args.reps, n=args.rows)
+                continue
             if name in ("ivf", "ivfpq") and args.rows:
                 if args.rows > 2_000_000:
                     args.rerank = [
