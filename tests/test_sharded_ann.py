@@ -204,3 +204,16 @@ def test_frame_index_mesh_ivfpq_serving_tier(mesh):
     hits = fi.search(q[:1], top_k=3, video_name="b")[0]
     ehits = exact.search(q[:1], top_k=3, video_name="b")[0]
     assert [h.row for h in hits] == [h.row for h in ehits]
+
+
+def test_balanced_ranges_never_empty():
+    from evr_tpu.parallel.sharded_ann import _balanced_ranges
+
+    for n in (8, 9, 15, 16, 17, 100, 1001):
+        rngs = _balanced_ranges(n, 8)
+        sizes = [e - b for b, e in rngs]
+        assert min(sizes) >= 1 and max(sizes) - min(sizes) <= 1
+        assert rngs[0][0] == 0 and rngs[-1][1] == n
+        assert all(rngs[i][1] == rngs[i + 1][0] for i in range(7))
+    with pytest.raises(ValueError, match="cannot shard"):
+        _balanced_ranges(7, 8)
