@@ -867,13 +867,24 @@ def bench_ann_streamed(reps: int, rows: int, d: int = 512,
           f"overflow {int(pq.overflow.shape[0]):,})", flush=True)
 
     # ---- streamed exact oracle: top-10 + per-row exact scorer ----------
+    # the build's cached executables (and their donated-buffer aliases)
+    # are dead weight next to the 7.5 GB resident codes — drop them
+    # before the oracle allocates its own slab transients
+    import gc as _gc
+
+    jax.clear_caches()
+    _gc.collect()
     qd = jnp.asarray(q)
 
-    @functools.partial(jax.jit, static_argnames=("m",), donate_argnums=(1, 2))
-    def oracle_step(c, best_s, best_r, slab_idx, start, m):
+    # qd is an ARGUMENT, not a closure: closed-over device arrays become
+    # jaxpr constants, which both re-uploads them per compile and routes
+    # a D2H fetch through the relay at trace time (observed failing with
+    # RESOURCE_EXHAUSTED under HBM pressure at the 100M geometry)
+    @functools.partial(jax.jit, static_argnames=("m",), donate_argnums=(2, 3))
+    def oracle_step(c, qq, best_s, best_r, slab_idx, start, m):
         slab = gen_slab_fp32(c, slab_idx, m)
         sco = jax.lax.dot_general(
-            qd, slab, (((1,), (1,)), ((), ())),
+            qq, slab, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )                                                   # [B, m]
         s1, p1 = jax.lax.top_k(sco, 10)
@@ -886,12 +897,26 @@ def bench_ann_streamed(reps: int, rows: int, d: int = 512,
     t0 = time.perf_counter()
     best_s = jnp.full((nq, 10), -jnp.inf, jnp.float32)
     best_r = jnp.full((nq, 10), -1, jnp.int32)
-    for i in range(n_slabs):
+    i = 0
+    retried = False
+    while i < n_slabs:
         start = i * slab_rows
-        best_s, best_r = oracle_step(
-            centers, best_s, best_r, jnp.int32(i), jnp.int32(start),
-            slab_rows,
-        )
+        try:
+            best_s, best_r = oracle_step(
+                centers, qd, best_s, best_r, jnp.int32(i),
+                jnp.int32(start), slab_rows,
+            )
+        except Exception as e:  # one retry after dropping caches
+            if retried:
+                raise
+            retried = True
+            print(f"  oracle slab {i}: {type(e).__name__}; clearing "
+                  f"caches and retrying once", flush=True)
+            jax.clear_caches()
+            _gc.collect()
+            time.sleep(5)
+            continue
+        i += 1
     b_scores = np.asarray(best_s)
     b_rows = np.asarray(best_r)
     print(f"  exact oracle pass: {time.perf_counter() - t0:.1f}s",
@@ -900,10 +925,10 @@ def bench_ann_streamed(reps: int, rows: int, d: int = 512,
     T_PAD = 4096  # fixed gather width -> ONE remote compile for all calls
 
     @functools.partial(jax.jit, static_argnames=("m",))
-    def score_rows(c, slab_idx, local_rows, m):
+    def score_rows(c, qq, slab_idx, local_rows, m):
         slab = gen_slab_fp32(c, slab_idx, m)
         rowsv = slab[local_rows]                            # [T_PAD, D]
-        return rowsv @ qd.T                                 # [T_PAD, B]
+        return rowsv @ qq.T                                 # [T_PAD, B]
 
     def exact_scores_of(rws):
         """[B, R] exact scores of specific rows via slab regeneration —
@@ -924,8 +949,8 @@ def bench_ann_streamed(reps: int, rows: int, d: int = 512,
                 padded = np.zeros((T_PAD,), np.int32)
                 padded[: len(lpart)] = lpart
                 sc = np.asarray(
-                    score_rows(centers, jnp.int32(si), jnp.asarray(padded),
-                               slab_rows)
+                    score_rows(centers, qd, jnp.int32(si),
+                               jnp.asarray(padded), slab_rows)
                 )                                           # [T_PAD, B]
                 bidx = part // rws.shape[1]
                 out.ravel()[part] = sc[np.arange(len(part)), bidx]
