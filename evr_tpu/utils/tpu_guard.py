@@ -45,7 +45,13 @@ def ensure_live_backend(timeout_s: float | None = None) -> str:
     hung or errored and this process has been config-pinned to CPU).
 
     No-op (returns 'cpu') when the environment is already CPU-pinned.
-    Timeout defaults to 240 s, overridable via ``EVR_TPU_PROBE_TIMEOUT``.
+    Timeout defaults to 900 s, overridable via ``EVR_TPU_PROBE_TIMEOUT``.
+    (Raised from 240 s in round 4: after ANY previous chip process exits —
+    even cleanly — the next claim through this relay reliably takes
+    10-30 min in a polling loop before proceeding normally. A 240 s probe
+    declared those healthy-but-slow claims dead and pinned the artifact
+    run to CPU; 900 s rides out the observed delays while still bounding
+    a true wedge.)
     """
     if os.environ.get("JAX_PLATFORMS", "").strip().lower() == "cpu":
         # The env var alone does NOT win here: the sitecustomize
@@ -58,7 +64,7 @@ def ensure_live_backend(timeout_s: float | None = None) -> str:
         pin_platform_from_env()
         return "cpu"
     if timeout_s is None:
-        timeout_s = float(os.environ.get("EVR_TPU_PROBE_TIMEOUT", "240"))
+        timeout_s = float(os.environ.get("EVR_TPU_PROBE_TIMEOUT", "900"))
     try:
         proc = subprocess.run(
             [sys.executable, "-c", _PROBE_SRC],
