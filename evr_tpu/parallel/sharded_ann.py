@@ -239,19 +239,27 @@ class ShardedIVFIndex:
 
 @functools.partial(
     jax.jit,
-    static_argnames=("mesh", "axis", "top_k", "nprobe", "capacity"),
+    static_argnames=("mesh", "axis", "top_k", "nprobe", "capacity", "merge_k"),
 )
 def _sharded_adc_probe(
     q, rot_s, cents_s, books_s, codes_s, ids_s, pool_recon_s, pool_ids_s,
     offs_s, mesh: Mesh, axis: str, top_k: int, nprobe: int, capacity: int,
+    merge_k: int | None = None,
 ):
     """One shard_map dispatch over the stacked IVF-PQ operands: each device
     runs the standard packed probe+ADC (`IVFPQIndex._probe_adc_search_packed`,
     adc_impl="xla") on ITS shard — per-shard OPQ rotation applied to the
     query locally, since every shard trains its own quantizers — then the
     tiny [B, k] winners `all_gather` and merge. Communication is
-    O(B·k·devices), independent of N, nprobe and S."""
+    O(B·k·devices), independent of N, nprobe and S.
+
+    ``top_k`` is the PER-SHARD fetch; ``merge_k`` (≤ S·top_k, defaults to
+    top_k) is the merged output width — separating them lets a rerank
+    depth deeper than one shard's rows draw candidates from every shard
+    instead of being silently clamped to ``rows_per_shard``."""
     from evr_tpu.index.ivfpq import IVFPQIndex
+
+    merge_k = top_k if merge_k is None else merge_k
 
     def local(qb, rot, cents, books, codes, ids, pre, pid, offs):
         q_adc = qb @ rot[0]
@@ -262,7 +270,7 @@ def _sharded_adc_probe(
         rows = jnp.where(rows >= 0, rows + offs[0], -1)
         all_scores = jax.lax.all_gather(scores, axis)       # [S, B, k]
         all_rows = jax.lax.all_gather(rows, axis)
-        return merge_topk(all_scores, all_rows, top_k)
+        return merge_topk(all_scores, all_rows, merge_k)
 
     fn = shard_map(
         local,
@@ -452,8 +460,15 @@ class ShardedIVFPQIndex:
     ) -> tuple[np.ndarray, np.ndarray]:
         """(scores [B, k], GLOBAL row ids [B, k]); −1 rows are unreachable
         slots (scores −inf). Without ``rerank`` scores are the per-shard
-        ADC approximation; with it, exact cosines of the re-scored
-        candidates."""
+        ADC approximation; with it, candidates are re-scored from the
+        rerank source: exact cosines when the fp32 originals were kept at
+        build, int8-dequantized approximations (near-tie tolerant) when the
+        source is an ``attach_host_store`` store. The per-shard fetch is
+        clamped to one shard's rows, but the merged candidate pool spans
+        all shards — a ``rerank`` depth up to ``n_shards × rows_per_shard``
+        (i.e. the whole corpus under a full probe) is honoured, so
+        ``nprobe = n_clusters`` + deep rerank reproduces the exact global
+        top-k."""
         if self.codes_s is None:
             raise ValueError("ShardedIVFPQIndex.search before build()")
         if rerank is not None and (
@@ -466,19 +481,23 @@ class ShardedIVFPQIndex:
         nprobe = max(1, min(nprobe, self._n_clusters))
         q = jnp.asarray(np.atleast_2d(np.asarray(queries, np.float32)))
         width = self._capacity * nprobe + self.pool_ids_s.shape[1]
-        fetch = max(1, min(
-            top_k if rerank is None else max(top_k, rerank),
-            width, self._rows_per_shard,
-        ))
+        requested = top_k if rerank is None else max(top_k, rerank)
+        fetch = max(1, min(requested, width, self._rows_per_shard))
+        # merged width: candidates come from EVERY shard's fetch, so a
+        # requested depth deeper than one shard's rows is still honoured
+        # (ADVICE r4: clamping the merge to rows_per_shard silently
+        # truncated deep reranks and broke the exactness contract).
+        merge_k = max(1, min(requested, self.n_shards * fetch, self._n_rows))
         scores, rows = _sharded_adc_probe(
             q, self.rot_s, self.cents_s, self.books_s, self.codes_s,
             self.ids_s, self.pool_recon_s, self.pool_ids_s, self.offs_s,
             self.mesh, self.axis, fetch, nprobe, self._capacity,
+            merge_k=merge_k,
         )
         scores, rows = np.asarray(scores), np.asarray(rows)
         rows = np.where(np.isfinite(scores), rows, -1)
         if rerank is None:
-            k = min(top_k, fetch)
+            k = min(top_k, scores.shape[1])
             return scores[:, :k], rows[:, :k]
         qn = np.asarray(q)
         safe = np.where(rows >= 0, rows, 0)

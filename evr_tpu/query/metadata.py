@@ -121,6 +121,17 @@ class MetadataStore:
     def has_transcript(self, video: str) -> bool:
         return bool(self._transcripts.get(video))
 
+    def remove_video(self, name: str) -> None:
+        """Forget a video's frames AND transcript. Called by the registry
+        self-heal prune — without this, keyword/object/speech searches keep
+        returning events for videos whose ids no longer resolve (the
+        reference's `data_service.py:147-251` has the same staleness bug)."""
+        self._videos.pop(name, None)
+        self._by_frameidx.pop(name, None)
+        self._by_frameid.pop(name, None)
+        self._fps.pop(name, None)
+        self._transcripts.pop(name, None)
+
     # -- lookups ----------------------------------------------------------
     def videos(self) -> list[str]:
         return list(self._videos)

@@ -124,10 +124,7 @@ def create_app(ctx: ServingContext, frontend_dist: str | None = None):
         return _file(target, mimetype, request.environ)
 
     def ep_videos(request):  # app.py:221-303
-        dropped = ctx.registry.prune_missing(ctx.data_root.root)
-        for name in dropped:
-            for index in ctx._indexes.values():
-                index.remove_video(name)
+        ctx.prune_missing()
         videos = []
         for idx, name in enumerate(ctx.video_names(), 1):
             summary = ctx.video_summary(idx, name)
@@ -477,7 +474,12 @@ def create_app(ctx: ServingContext, frontend_dist: str | None = None):
         candidate = pathlib.Path(frame_path)
         if _safe_under_data_root(candidate):
             return _file(candidate.resolve(), "image/jpeg", request.environ)
-        frame_name = pathlib.PurePosixPath(frame_path).name
+        # PureWindowsPath splits on BOTH / and \ — the reference's shipped
+        # fixture metadata carries Windows filepaths (E:\...\14187.jpg, see
+        # Backend/metadata/video_test_4_metadata.json) that flow into
+        # /api/frame/<path> via thumbnailUrl; PurePosixPath left the whole
+        # backslash string as the "name" and every thumbnail 404'd.
+        frame_name = pathlib.PureWindowsPath(frame_path).name
         for name in ctx.video_names():
             entry = ctx.registry.get(name) or {}
             frames_dir = entry.get("frames_dir")
@@ -492,7 +494,7 @@ def create_app(ctx: ServingContext, frontend_dist: str | None = None):
         candidate = pathlib.Path(video_path)
         if _safe_under_data_root(candidate):
             return _file(candidate.resolve(), "video/mp4", request.environ)
-        base = pathlib.PurePosixPath(video_path).name
+        base = pathlib.PureWindowsPath(video_path).name  # splits / and \
         for name in ctx.video_names():
             entry = ctx.registry.get(name) or {}
             vp = entry.get("video_path", "")

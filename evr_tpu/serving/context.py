@@ -210,6 +210,19 @@ class ServingContext:
             loaded.append(name)
         return loaded
 
+    def prune_missing(self) -> list[str]:
+        """Self-heal: drop registry entries whose video file disappeared,
+        and purge EVERY store that caches per-video state — embedding
+        indexes, frame metadata, transcripts (`app.py:230-268`). Pruning
+        only the registry leaves keyword/object/speech searches returning
+        events whose videoIds no longer resolve."""
+        dropped = self.registry.prune_missing(self.data_root.root)
+        for name in dropped:
+            for index in self._indexes.values():
+                index.remove_video(name)
+            self.metadata.remove_video(name)
+        return dropped
+
     # -- video identity ---------------------------------------------------
     def video_names(self) -> list[str]:
         return self.registry.names()

@@ -897,6 +897,13 @@ def bench_ann_streamed(reps: int, rows: int, d: int = 512,
     t0 = time.perf_counter()
     best_s = jnp.full((nq, 10), -jnp.inf, jnp.float32)
     best_r = jnp.full((nq, 10), -1, jnp.int32)
+    # host-side checkpoint of the running top-10: oracle_step DONATES
+    # best_s/best_r, so after a failed dispatch those buffers may already
+    # be invalidated — the retry must rebuild from the last good host
+    # snapshot, not re-feed possibly-deleted arrays (ADVICE r4). The
+    # arrays are tiny ([nq, 10]); snapshot every 8 slabs to keep relay
+    # round trips negligible.
+    ckpt_i, ckpt_s, ckpt_r = 0, np.asarray(best_s), np.asarray(best_r)
     i = 0
     retried = False
     while i < n_slabs:
@@ -911,12 +918,19 @@ def bench_ann_streamed(reps: int, rows: int, d: int = 512,
                 raise
             retried = True
             print(f"  oracle slab {i}: {type(e).__name__}; clearing "
-                  f"caches and retrying once", flush=True)
+                  f"caches, rewinding to slab {ckpt_i} and retrying once",
+                  flush=True)
             jax.clear_caches()
             _gc.collect()
             time.sleep(5)
+            i = ckpt_i
+            best_s = jnp.asarray(ckpt_s)
+            best_r = jnp.asarray(ckpt_r)
             continue
         i += 1
+        if i % 8 == 0 or i == n_slabs:
+            ckpt_i = i
+            ckpt_s, ckpt_r = np.asarray(best_s), np.asarray(best_r)
     b_scores = np.asarray(best_s)
     b_rows = np.asarray(best_r)
     print(f"  exact oracle pass: {time.perf_counter() - t0:.1f}s",
@@ -1344,18 +1358,10 @@ def main() -> None:
 
     import jax
 
-    if args.stream and getattr(args, "rerank", None):
-        # the streamed host-store phase regenerates slabs on the CPU
-        # backend; under this environment's sitecustomize only the relay
-        # platform is registered unless the config names cpu too — append
-        # it BEFORE the first backend touch (jax.default_backend below)
-        try:
-            plats = jax.config.read("jax_platforms")
-            if plats and "cpu" not in plats:
-                jax.config.update("jax_platforms", plats + ",cpu")
-        except Exception:
-            pass
-
+    # (the former ',cpu' platform append for --stream --rerank is gone:
+    # streamed rerank exact-scores come from DEVICE slab regeneration now,
+    # never a CPU-backend host-store rebuild — see the rerank-source note
+    # printed by _bench_ann_streamed.)
     try:
         jax.config.update("jax_compilation_cache_dir", f"/tmp/evr_tpu_jax_cache_{jax.default_backend()}")
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

@@ -172,6 +172,30 @@ def test_ivfpq_host_store_rerank_source(mesh):
     np.testing.assert_array_equal(rows[:, 0], er[:, 0])
 
 
+def test_ivfpq_rerank_deeper_than_one_shard(mesh):
+    """ADVICE r4: a rerank depth deeper than one shard's rows must draw
+    candidates from EVERY shard (merge width = S × per-shard fetch), not be
+    silently clamped to rows_per_shard. Full probe + rerank = N is the
+    whole-corpus exactness gate."""
+    emb, q = _corpus(n=1000)  # 125 rows/shard on the 8-device mesh
+    idx = ShardedIVFPQIndex(mesh).build(
+        emb, n_clusters=8, n_subspaces=16, seed=3
+    )
+    exact = q @ emb.T
+    er = np.argsort(-exact, axis=1)[:, :10]
+    # rerank=1000 ≫ rows_per_shard=125: exact global top-k must reproduce
+    scores, rows = idx.search(q, 10, nprobe=8, rerank=1000)
+    np.testing.assert_array_equal(rows, er)
+    np.testing.assert_allclose(
+        scores, np.take_along_axis(exact, er, axis=1), atol=1e-5
+    )
+    # ADC-only path: top_k wider than one shard still returns that many
+    # finite candidates under a full probe
+    s2, r2 = idx.search(q, 200, nprobe=8)
+    assert r2.shape == (q.shape[0], 200)
+    assert np.isfinite(s2).all()
+
+
 def test_ivfpq_build_validates_cluster_count(mesh):
     emb, _ = _corpus(n=64)
     with pytest.raises(ValueError, match="smallest shard"):
