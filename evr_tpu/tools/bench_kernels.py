@@ -288,6 +288,319 @@ def bench_siglip(reps: int) -> None:
         print(f"{name:28s} B={B:3d}: {best:9.0f} frames/s sustained")
 
 
+def _clip_step_flops(model_cfg, n_vis_tokens: int | None = None,
+                     txt_T: int = 77, backward: bool = True) -> float:
+    """Analytic FLOPs per EXAMPLE of one train step through both towers.
+
+    Per transformer block, per token: qkv (3W²) + attn out (W²) + mlp
+    (4W² + 4W²) MACs = 12W² → 24W² FLOPs; attention score+value batched
+    matmuls add 4T²W FLOPs per block. Patch embedding and the two
+    projection heads are included; LN/softmax/elementwise are not (they
+    are bandwidth, not MXU work). Backward ≈ 2× forward (dX and dW each
+    replay every GEMM once), so a full step is 3× forward — the standard
+    accounting (e.g. PaLM appendix B). The optimizer update is O(params)
+    and excluded (it is bandwidth-bound; its cost shows up in the
+    phase-attribution rows, not the FLOPs model)."""
+    v, t = model_cfg.vision, model_cfg.text
+
+    def tower(T, W, L):
+        return L * (24.0 * T * W * W + 4.0 * T * T * W)
+
+    Tv = n_vis_tokens if n_vis_tokens is not None else (v.grid ** 2 + 1)
+    f = tower(Tv, v.width, v.layers) + tower(txt_T, t.width, t.layers)
+    f += 2.0 * (v.grid ** 2) * (3 * v.patch_size ** 2) * v.width  # patch embed
+    f += 2.0 * v.width * model_cfg.embed_dim + 2.0 * t.width * model_cfg.embed_dim
+    return (3.0 if backward else 1.0) * f
+
+
+def _measure_peak_tflops(reps: int) -> float:
+    """Self-calibrated MXU peak: sustained bf16 4096³ matmul chained in one
+    dispatch. MFU below is reported against THIS number, so it reflects
+    what this chip's MXU actually sustains rather than a datasheet."""
+    import jax
+    import jax.numpy as jnp
+
+    n = 4096 if jax.default_backend() == "tpu" else 512
+    rng = np.random.default_rng(0)
+    a = jnp.asarray(rng.normal(size=(n, n)) * (0.3 / np.sqrt(n)), jnp.bfloat16)
+    x = jnp.asarray(rng.normal(size=(n, n)) * 0.1, jnp.bfloat16)
+
+    def chained(a_, x_):
+        def body(c, _):
+            return jnp.dot(a_, c, preferred_element_type=jnp.bfloat16), ()
+
+        out, _ = jax.lax.scan(body, x_, None, length=reps)
+        return jnp.sum(out.astype(jnp.float32))
+
+    run = jax.jit(chained)
+    float(run(a, x))
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        float(run(a, x))
+        best = min(best, time.perf_counter() - t0)
+    tflops = 2.0 * n ** 3 * reps / best / 1e12
+    print(f"calibrated MXU peak: {tflops:7.1f} TFLOP/s (bf16 {n}^3 matmul)")
+    return tflops
+
+
+def bench_train(reps: int, tiny: bool = False) -> None:
+    """Training-step throughput + MFU campaign (VERDICT r4 #1).
+
+    Measures the PRODUCTION fine-tune step — `training/finetune.py`
+    `make_train_step` exactly as `Trainer` builds it (freeze-prefix AdamW
+    groups, grad clip, finite-update guard, bf16 towers, fp32 loss) — on
+    ViT-B/32 + classifier head (BASELINE config 4,
+    `Backend/clip_finetune_correct.py:437-536`), chained steps in one
+    dispatch. Columns: ms/step, ex/s, achieved TFLOP/s (analytic FLOPs
+    model, `_clip_step_flops`), MFU vs the self-calibrated matmul peak."""
+    import jax
+    import jax.numpy as jnp
+
+    from evr_tpu.models import get_model_config
+    from evr_tpu.models.classifier import ClassifierConfig, init_classifier_params
+    from evr_tpu.models.clip import init_clip_params
+    from evr_tpu.training.finetune import (
+        TrainConfig,
+        TrainState,
+        make_optimizer,
+        make_train_step,
+    )
+
+    peak = _measure_peak_tflops(max(10, reps) if not tiny else 2)
+    chain = 10 if not tiny else 2
+    rng = np.random.default_rng(0)
+
+    def measure(model_name: str, B: int, *, remat=False, patch_drop=0.0,
+                gradcache=0, lora=0, label="") -> float | None:
+        import dataclasses
+
+        model_cfg = get_model_config(model_name)
+        if remat:
+            model_cfg = dataclasses.replace(model_cfg, remat=True)
+        tc = TrainConfig(
+            batch_size=B, freeze_layers=8, remat=remat, patch_drop=patch_drop,
+            gradcache_chunks=gradcache, lora_rank=lora,
+            compute_dtype="bfloat16",
+        )
+        cls_cfg = ClassifierConfig(embed_dim=model_cfg.embed_dim)
+        params = {
+            "clip": init_clip_params(jax.random.PRNGKey(0), model_cfg),
+            "classifier": init_classifier_params(jax.random.PRNGKey(1), cls_cfg),
+        }
+        if lora:
+            from evr_tpu.training.lora import init_lora
+
+            params["lora"] = init_lora(
+                jax.random.PRNGKey(2), params["clip"], lora,
+                targets=tc.lora_targets,
+            )
+        opt = make_optimizer(tc, params)
+        step, _ = make_train_step(model_cfg, cls_cfg, tc, opt)
+        size = model_cfg.vision.image_size
+        batch = {
+            "images": jnp.asarray(
+                rng.integers(0, 256, size=(B, size, size, 3)), jnp.uint8
+            ),
+            "tokens": jnp.asarray(
+                rng.integers(1, model_cfg.text.vocab_size, size=(B, 77)),
+                jnp.int32,
+            ),
+            "labels": jnp.asarray(rng.integers(0, 3, size=(B,)), jnp.int32),
+        }
+        state = TrainState(
+            params=params, opt_state=opt.init(params),
+            step=jnp.zeros((), jnp.int32), ema_params=None,
+        )
+
+        def chained(state_, batch_, key):
+            def body(c, _):
+                s, k = c
+                k, sub = jax.random.split(k)
+                s, _m = step(s, batch_, sub)
+                return (s, k), ()
+
+            (s, _), _ = jax.lax.scan(
+                body, (state_, key), None, length=chain
+            )
+            return s
+
+        run = jax.jit(chained, donate_argnums=(0,))
+        key = jax.random.PRNGKey(0)
+        try:
+            state = run(state, batch, key)
+            int(state.step)  # sync
+        except Exception as e:
+            print(f"  {label or model_name:34s} B={B:4d}: "
+                  f"{type(e).__name__} (likely OOM)", flush=True)
+            return None
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            state = run(state, batch, key)
+            int(state.step)
+            best = min(best, time.perf_counter() - t0)
+        ms = best / chain * 1000
+        exs = B * chain / best
+        n_keep = max(1, int(round(model_cfg.vision.grid ** 2 * (1.0 - patch_drop))))
+        flops_ex = _clip_step_flops(
+            model_cfg, n_vis_tokens=n_keep + 1 if patch_drop else None
+        )
+        if gradcache > 1:
+            flops_ex += _clip_step_flops(model_cfg, backward=False) / 3.0
+        tf = flops_ex * exs / 1e12
+        print(
+            f"  {label or model_name:34s} B={B:4d}: {ms:8.1f} ms/step "
+            f"{exs:8.0f} ex/s  {tf:6.1f} TFLOP/s  MFU {100 * tf / peak:5.1f}%",
+            flush=True,
+        )
+        return exs
+
+    if tiny:  # mechanics smoke (CI/CPU): tiny geometry, every lever
+        for kw in ({}, {"remat": True}, {"patch_drop": 0.5},
+                   {"gradcache": 2}, {"lora": 4}):
+            assert measure("ViT-Tiny-Test", 8, **kw) is not None, kw
+        return
+
+    print("-- batch sweep, ViT-B/32 + head (production step)")
+    for B in (64, 128, 256, 512):
+        measure("ViT-B/32", B)
+    print("-- levers at the large batch")
+    measure("ViT-B/32", 512, remat=True, label="ViT-B/32 remat")
+    measure("ViT-B/32", 512, patch_drop=0.5, label="ViT-B/32 patch_drop=0.5")
+    measure("ViT-B/32", 512, gradcache=4, label="ViT-B/32 gradcache=4")
+    measure("ViT-B/32", 512, lora=8, label="ViT-B/32 lora r=8")
+    print("-- ViT-L/14 (vision-heavy; remat for HBM headroom)")
+    measure("ViT-L/14", 64)
+    measure("ViT-L/14", 128, remat=True, label="ViT-L/14 remat")
+    measure("ViT-L/14", 256, remat=True, label="ViT-L/14 remat")
+
+
+def bench_train_phases(reps: int, tiny: bool = False) -> None:
+    """Phase attribution for the B=256 ViT-B/32 step: forward-only loss,
+    fwd+bwd (grads, no update), and the full step (grads + AdamW groups +
+    clip + finite guard) — separates MXU work from the bandwidth-bound
+    optimizer sweep over the ~150M-param state."""
+    import jax
+    import jax.numpy as jnp
+
+    from evr_tpu.models import get_model_config
+    from evr_tpu.models.classifier import ClassifierConfig, init_classifier_params
+    from evr_tpu.models.clip import init_clip_params
+    from evr_tpu.training.finetune import (
+        TrainConfig,
+        TrainState,
+        make_optimizer,
+        make_train_step,
+    )
+
+    B, chain = (256, 10) if not tiny else (8, 2)
+    model_cfg = get_model_config("ViT-B/32" if not tiny else "ViT-Tiny-Test")
+    tc = TrainConfig(batch_size=B, freeze_layers=8, compute_dtype="bfloat16")
+    cls_cfg = ClassifierConfig(embed_dim=model_cfg.embed_dim)
+    params = {
+        "clip": init_clip_params(jax.random.PRNGKey(0), model_cfg),
+        "classifier": init_classifier_params(jax.random.PRNGKey(1), cls_cfg),
+    }
+    opt = make_optimizer(tc, params)
+    step, _ = make_train_step(model_cfg, cls_cfg, tc, opt)
+    rng = np.random.default_rng(0)
+    size = model_cfg.vision.image_size
+    batch = {
+        "images": jnp.asarray(
+            rng.integers(0, 256, size=(B, size, size, 3)), jnp.uint8
+        ),
+        "tokens": jnp.asarray(rng.integers(1, 49408, size=(B, 77)), jnp.int32),
+        "labels": jnp.asarray(rng.integers(0, 3, size=(B,)), jnp.int32),
+    }
+
+    from evr_tpu.models.classifier import classifier_forward
+    from evr_tpu.models.clip import encode_image, encode_text
+    from evr_tpu.ops.preprocess import CLIP_MEAN, CLIP_STD
+    from evr_tpu.training.losses import combined_clip_loss
+
+    mean = jnp.asarray(CLIP_MEAN, jnp.float32)
+    std = jnp.asarray(CLIP_STD, jnp.float32)
+
+    def loss_fn(p, b, key):
+        x = b["images"].astype(jnp.float32) / 255.0
+        x = (x - mean) / std
+        img = encode_image(p["clip"], model_cfg, x, dtype=jnp.bfloat16)
+        txt = encode_text(p["clip"], model_cfg, b["tokens"], dtype=jnp.bfloat16)
+        img = img / jnp.linalg.norm(img, axis=-1, keepdims=True)
+        txt = txt / jnp.linalg.norm(txt, axis=-1, keepdims=True)
+        cls = classifier_forward(p["classifier"], cls_cfg, img,
+                                 deterministic=False, rng=key)
+        loss, _ = combined_clip_loss(
+            img, txt, p["clip"]["logit_scale"], class_logits=cls,
+            class_labels=b["labels"],
+        )
+        return loss
+
+    def timed(fn, *args, label):
+        run = jax.jit(fn)
+        float(np.asarray(run(*args)).ravel()[0])
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            float(np.asarray(run(*args)).ravel()[0])
+            best = min(best, time.perf_counter() - t0)
+        print(f"  {label:34s}: {best / chain * 1000:8.1f} ms", flush=True)
+        return best
+
+    def fwd_chain(p, b, key):
+        def body(c, _):
+            k, acc = c
+            k, sub = jax.random.split(k)
+            return (k, acc + loss_fn(p, b, sub)), ()
+
+        (_, acc), _ = jax.lax.scan(body, (key, 0.0), None, length=chain)
+        return acc
+
+    def grad_chain(p, b, key):
+        def body(c, _):
+            k, acc = c
+            k, sub = jax.random.split(k)
+            g = jax.grad(loss_fn)(p, b, sub)
+            gs = sum(jnp.sum(l.astype(jnp.float32)) for l in jax.tree.leaves(g))
+            return (k, acc + gs), ()
+
+        (_, acc), _ = jax.lax.scan(body, (key, 0.0), None, length=chain)
+        return acc
+
+    key = jax.random.PRNGKey(0)
+    timed(fwd_chain, params, batch, key, label="forward only (loss)")
+    timed(grad_chain, params, batch, key, label="forward + backward (grads)")
+
+    def step_chain(state_, b, key_):
+        def body(c, _):
+            s, k = c
+            k, sub = jax.random.split(k)
+            s, _m = step(s, b, sub)
+            return (s, k), ()
+
+        (s, _), _ = jax.lax.scan(body, (state_, key_), None, length=chain)
+        return s
+
+    run = jax.jit(step_chain, donate_argnums=(0,))
+    # the run DONATES the state, so thread the returned state through the
+    # timing loop instead of rebuilding from (now-invalid) input buffers
+    state = TrainState(
+        params=jax.tree.map(jnp.copy, params), opt_state=opt.init(params),
+        step=jnp.zeros((), jnp.int32), ema_params=None,
+    )
+    state = run(state, batch, key)
+    int(state.step)  # sync
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        state = run(state, batch, key)
+        int(state.step)
+        best = min(best, time.perf_counter() - t0)
+    print(f"  {'full step (grads + optimizer)':34s}: "
+          f"{best / chain * 1000:8.1f} ms", flush=True)
+
+
 def bench_captioner(reps: int) -> None:
     """Caption decode: KV-cached scan vs full-buffer re-run (PERF.md
     'Caption decoding'). Production captioner scale (width 512, 4 layers,
@@ -1316,7 +1629,7 @@ def main() -> None:
 
     pin_platform_from_env()
     ap = argparse.ArgumentParser(description=__doc__)
-    ap.add_argument("what", choices=["block", "attention", "encode", "int8", "sweep", "roofline", "captioner", "siglip", "ivf", "pq", "ivfpq", "adc", "sharded", "all"])
+    ap.add_argument("what", choices=["block", "attention", "encode", "int8", "sweep", "roofline", "captioner", "siglip", "train", "train-phases", "ivf", "pq", "ivfpq", "adc", "sharded", "all"])
     ap.add_argument("--reps", type=int, default=20, help="chained applications per dispatch")
     ap.add_argument(
         "--rows", type=int, default=None,
@@ -1377,6 +1690,8 @@ def main() -> None:
         "sweep": bench_sweep,
         "captioner": bench_captioner,
         "siglip": bench_siglip,
+        "train": bench_train,
+        "train-phases": bench_train_phases,
         "roofline": bench_roofline,
         "ivf": bench_ivf,
         "pq": bench_pq,
