@@ -1,7 +1,7 @@
 # Convenience targets. The native library also auto-builds on first use
 # (evr_tpu/native/loader.py).
 
-.PHONY: all native test test-fast bench check clean parity-real demo
+.PHONY: all native test test-fast bench check clean parity-real parity-rehearse demo
 
 # full local gate: tests on the virtual CPU mesh + driver entry points
 check: test
@@ -30,6 +30,15 @@ test-fast:
 # had to SKIP and the exact env knob that would enable it (RUNBOOK.md §9b)
 parity-real:
 	python -m evr_tpu.tools.parity_real
+
+# the same four gates driven end-to-end on SYNTHETIC assets (random-weight
+# HF CLIP/Whisper dirs, toy tokenizers, structurally-valid BPE table):
+# proves the harness mechanics are executable today, so real weights only
+# change values, never code paths. Exit 0 iff all 4 gates' mechanics pass.
+# Artifact: parity_rehearsal_report.json (~10 min on this 1-core host)
+parity-rehearse:
+	JAX_PLATFORMS=cpu python -m evr_tpu.tools.parity_real --rehearse \
+	    --rehearse-dir /tmp/evr_parity_rehearse
 
 # the reference's whole lifecycle, one command, no gated assets: fixture
 # corpus -> Excel test set -> fine-tune (recorded R@K lift) -> deploy

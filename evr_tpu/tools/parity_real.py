@@ -212,7 +212,11 @@ def _gate_whisper() -> dict:
         params = from_hf_whisper_state_dict(
             {k: v.numpy() for k, v in sd.items()}, cfg
         )
-    asr = WhisperASR(params, cfg, prompt_ids=[cfg.sot_id], detokenize=detok)
+    # EVR_TPU_WHISPER_MAXLEN: decode budget (rehearsal shrinks it so the
+    # random-weight mechanics pass doesn't pay a 224-token CPU decode)
+    max_len = int(os.environ.get("EVR_TPU_WHISPER_MAXLEN", "224"))
+    asr = WhisperASR(params, cfg, prompt_ids=[cfg.sot_id], detokenize=detok,
+                     max_len=max_len)
 
     audio_path = os.environ.get("EVR_TPU_WHISPER_AUDIO")
     expect = os.environ.get("EVR_TPU_WHISPER_EXPECT")
@@ -282,6 +286,170 @@ def _gate_siglip_tokenizer() -> dict:
     }
 
 
+def build_rehearsal_assets(
+    root: pathlib.Path,
+    gates: tuple[str, ...] = ("bpe", "clip", "whisper", "siglip"),
+) -> dict[str, str]:
+    """Synthetic stand-ins for every real asset the gates probe for
+    (VERDICT r4 #6): a structurally-valid BPE merge table, a random-weight
+    HF-layout ViT-B/32 CLIPModel dir + a matching synthetic golden-fixture
+    tree, a random-weight HF whisper-tiny dir + a toy WhisperTokenizer, and
+    a toy SigLIP-style fast tokenizer. Returns the env-knob dict that routes
+    the gates at them. Values are synthetic, so this proves the harness
+    MECHANICS (load → convert → encode → compare → report), not parity."""
+    root.mkdir(parents=True, exist_ok=True)
+    env: dict[str, str] = {}
+
+    if "bpe" in gates:
+        _rehearsal_bpe(root, env)
+    if "clip" in gates:
+        _rehearsal_clip(root, env)
+    if "whisper" in gates:
+        _rehearsal_whisper(root, env)
+    if "siglip" in gates:
+        _rehearsal_siglip(root, env)
+    return env
+
+
+def _rehearsal_bpe(root: pathlib.Path, env: dict) -> None:
+    # BPE merge table: right line COUNT (so sot/eot/vocab_size land on
+    # 49406/49407/49408 — structure checks pass), toy merge CONTENT (the
+    # known-phrase ids check is expected to mismatch: only the real table
+    # can satisfy it, and the rehearsal classifier accepts exactly that).
+    import gzip
+
+    from evr_tpu.tokenizer.bpe import bytes_to_unicode
+
+    chars = list(bytes_to_unicode().values())
+    need = 49152 - 256 - 2  # the slice _load_openai_merges takes
+    lines = ["#version: rehearsal 0.0"]
+    for i in range(need):
+        lines.append(f"{chars[(i // len(chars)) % len(chars)]} "
+                     f"{chars[i % len(chars)]}</w>")
+    bpe_path = root / "bpe_simple_vocab_16e6.txt.gz"
+    with gzip.open(bpe_path, "wt", encoding="utf-8") as f:
+        f.write("\n".join(lines))
+    env["EVR_TPU_BPE_VOCAB"] = str(bpe_path)
+
+
+def _rehearsal_clip(root: pathlib.Path, env: dict) -> None:
+    # random-weight HF-layout CLIP (default HF CLIPConfig IS ViT-B/32
+    # geometry, which load_any_checkpoint assumes for HF dirs) + a synthetic
+    # reference tree whose "golden" embeddings are computed by the SAME
+    # loader+engine path the gate itself uses.
+    import cv2
+    import numpy as np
+
+    from transformers import CLIPConfig as HFCLIPConfig, CLIPModel
+
+    clip_dir = root / "clip_hf"
+    if not (clip_dir / "config.json").exists():
+        import torch
+
+        torch.manual_seed(0)
+        CLIPModel(HFCLIPConfig()).save_pretrained(str(clip_dir))
+    env["EVR_TPU_CLIP_CHECKPOINT"] = str(clip_dir)
+
+    ref_root = root / "reference_backend"
+    video = "Violence_2"
+    frames_dir = ref_root / "static" / "processed_frames" / video
+    frames_dir.mkdir(parents=True, exist_ok=True)
+    rng = np.random.default_rng(0)
+    order = []
+    for i in range(12):
+        name = f"{i}.jpg"
+        img = rng.integers(0, 256, size=(96, 128, 3)).astype(np.uint8)
+        cv2.imwrite(str(frames_dir / name), img)
+        order.append(name)
+    (ref_root / "metadata").mkdir(exist_ok=True)
+    (ref_root / "metadata" / f"{video}_metadata.json").write_text(
+        json.dumps([{"frameid": n, "frameidx": i} for i, n in enumerate(order)])
+    )
+    import jax
+
+    from evr_tpu.index import EmbeddingEngine
+    from evr_tpu.tools.parity_check import load_any_checkpoint
+
+    jax.config.update("jax_default_matmul_precision", "highest")
+    clip_params, cfg = load_any_checkpoint(str(clip_dir))
+    engine = EmbeddingEngine(
+        cfg=cfg, params=clip_params, preprocess_mode="pil", compute_dtype=None
+    )
+    golden = engine.encode_image_files(
+        [frames_dir / n for n in order], normalise=False
+    )
+    (ref_root / "embedding").mkdir(exist_ok=True)
+    np.save(ref_root / "embedding" / f"{video}_embeddings.npy", golden)
+    env["EVR_TPU_REFERENCE_ROOT"] = str(ref_root)
+
+
+def _rehearsal_whisper(root: pathlib.Path, env: dict) -> None:
+    # random-weight HF whisper-tiny + toy WhisperTokenizer dir
+    wdir = root / "whisper_hf"
+    if not (wdir / "config.json").exists():
+        from transformers import (
+            WhisperConfig as HFWhisperConfig,
+            WhisperForConditionalGeneration,
+        )
+
+        wcfg = HFWhisperConfig(
+            d_model=384, encoder_layers=4, decoder_layers=4,
+            encoder_attention_heads=6, decoder_attention_heads=6,
+            encoder_ffn_dim=1536, decoder_ffn_dim=1536,
+        )
+        WhisperForConditionalGeneration(wcfg).save_pretrained(str(wdir))
+    env["EVR_TPU_WHISPER_CHECKPOINT"] = str(wdir)
+
+    wtok = root / "whisper_tok"
+    wtok.mkdir(exist_ok=True)
+    vocab = {"<|endoftext|>": 0}
+    vocab.update({f"tok{i}": i for i in range(1, 512)})
+    (wtok / "vocab.json").write_text(json.dumps(vocab))
+    (wtok / "merges.txt").write_text("#version: rehearsal\n")
+    (wtok / "tokenizer_config.json").write_text(json.dumps({
+        "tokenizer_class": "WhisperTokenizer",
+        "unk_token": "<|endoftext|>", "bos_token": "<|endoftext|>",
+        "eos_token": "<|endoftext|>", "pad_token": "<|endoftext|>",
+        "model_max_length": 448,
+    }))
+    env["EVR_TPU_WHISPER_TOKENIZER"] = str(wtok)
+    env["EVR_TPU_WHISPER_MAXLEN"] = "8"  # mechanics, not quality
+
+
+def _rehearsal_siglip(root: pathlib.Path, env: dict) -> None:
+    # toy SigLIP-style fast tokenizer (pads to the 64 context)
+    sdir = root / "siglip_tok"
+    sdir.mkdir(exist_ok=True)
+    from tokenizers import Tokenizer
+    from tokenizers.models import WordLevel
+    from tokenizers.pre_tokenizers import Whitespace
+
+    t = Tokenizer(WordLevel(
+        {"<pad>": 0, "<unk>": 1, "a": 2, "photo": 3, "of": 4, "cat": 5},
+        unk_token="<unk>",
+    ))
+    t.pre_tokenizer = Whitespace()
+    t.save(str(sdir / "tokenizer.json"))
+    (sdir / "tokenizer_config.json").write_text(json.dumps({
+        "tokenizer_class": "PreTrainedTokenizerFast",
+        "pad_token": "<pad>", "unk_token": "<unk>", "model_max_length": 64,
+    }))
+    env["EVR_TPU_SIGLIP_TOKENIZER"] = str(sdir)
+
+
+def _rehearsal_mechanics(gate: dict) -> bool:
+    """Did the gate's machinery EXECUTE (load, convert, encode, compare,
+    report)? OK always qualifies; the BPE gate is value-locked to the real
+    vocab, so with the synthetic table the expected outcome is FAILED with
+    exactly the known-phrase mismatch (structure checks matched). SKIPPED
+    means an env knob failed to route — a rehearsal failure."""
+    if gate["status"] == "OK":
+        return True
+    if gate["gate"] == "clip_bpe_tokenizer_ids" and gate["status"] == "FAILED":
+        return gate.get("metrics", {}).get("mismatches") == 1
+    return False
+
+
 def main(argv=None) -> int:
     from evr_tpu.utils.platform_pin import pin_platform_from_env
 
@@ -289,7 +457,33 @@ def main(argv=None) -> int:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--reference-root", default="/root/reference/Backend")
     ap.add_argument("--out", default="parity_real_report.json")
+    ap.add_argument(
+        "--rehearse", action="store_true",
+        help="build synthetic stand-ins for every real asset and run all "
+        "four gates end-to-end, asserting harness MECHANICS (load, convert, "
+        "encode, compare, report) rather than golden values — so the day "
+        "real weights appear the harness is known-executable (VERDICT r4 #6)",
+    )
+    ap.add_argument(
+        "--rehearse-dir", default=None,
+        help="where rehearsal assets are built (default: a temp dir; pass a "
+        "path to reuse the ~700 MB of generated weights across runs)",
+    )
     args = ap.parse_args(argv)
+
+    rehearse = args.rehearse
+    if rehearse:
+        import tempfile
+
+        asset_root = pathlib.Path(
+            args.rehearse_dir or tempfile.mkdtemp(prefix="evr_parity_rehearse_")
+        )
+        env = build_rehearsal_assets(asset_root)
+        os.environ.update(env)
+        args.reference_root = env["EVR_TPU_REFERENCE_ROOT"]
+        if args.out == "parity_real_report.json":
+            args.out = "parity_rehearsal_report.json"
+        print(f"rehearsal assets: {asset_root}")
 
     gates = []
     for fn in (
@@ -316,10 +510,19 @@ def main(argv=None) -> int:
             for s in ("OK", "FAILED", "SKIPPED")
         },
     }
+    if rehearse:
+        for g in gates:
+            g["mechanics"] = "PASS" if _rehearsal_mechanics(g) else "FAIL"
+        report["rehearsal"] = True
+        report["summary"]["mechanics_pass"] = sum(
+            1 for g in gates if g["mechanics"] == "PASS"
+        )
     text = json.dumps(report, indent=2)
     print(text)
     if args.out:
         pathlib.Path(args.out).write_text(text + "\n", encoding="utf-8")
+    if rehearse:
+        return 0 if report["summary"]["mechanics_pass"] == len(gates) else 1
     return 1 if report["summary"]["failed"] else 0
 
 

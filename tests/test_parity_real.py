@@ -36,3 +36,30 @@ def test_zero_egress_report_schema(tmp_path, monkeypatch, capsys):
     assert s["failed"] == 0
     # stdout carries the same JSON (CI-pipeable)
     assert json.loads(capsys.readouterr().out)["summary"] == s
+
+
+def test_rehearsal_cheap_gates(tmp_path, monkeypatch):
+    """Rehearsal mechanics (VERDICT r4 #6) for the asset-light gates: the
+    synthetic BPE table must land the structural ids (sot/eot/vocab) with
+    exactly the known-phrase value mismatch, and the toy SigLIP tokenizer
+    must drive its gate to OK. (The full 4-gate rehearsal, including the
+    random-weight HF CLIP/Whisper dirs, is `make parity-rehearse`; its
+    committed report is parity_rehearsal_report.json.)"""
+    from evr_tpu.tools.parity_real import (
+        _gate_bpe,
+        _gate_siglip_tokenizer,
+        _rehearsal_mechanics,
+        build_rehearsal_assets,
+    )
+
+    env = build_rehearsal_assets(tmp_path, gates=("bpe", "siglip"))
+    for k, v in env.items():
+        monkeypatch.setenv(k, v)
+    bpe = _gate_bpe()
+    assert bpe["status"] == "FAILED"  # value-locked to the real vocab
+    assert bpe["metrics"]["mismatches"] == 1  # structure ids matched
+    assert _rehearsal_mechanics(bpe)
+    sig = _gate_siglip_tokenizer()
+    assert sig["status"] == "OK" and _rehearsal_mechanics(sig)
+    # a SKIPPED gate is a rehearsal failure (env knob failed to route)
+    assert not _rehearsal_mechanics({"gate": "x", "status": "SKIPPED"})
