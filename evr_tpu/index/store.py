@@ -61,6 +61,7 @@ class FrameIndex:
         search_impl: str = "xla",
         ivf_nprobe: int = 32,
         ivf_clusters: int | None = None,
+        ivfpq_host_store: bool = False,
     ):
         """``device_dtype``: 'float32' (exact — use for rank-parity eval),
         'bfloat16' (2× less HBM bandwidth), or 'int8' (4× less: symmetric
@@ -89,7 +90,14 @@ class FrameIndex:
         mesh it row-shards the same way —
         `parallel/sharded_ann.ShardedIVFPQIndex`, per-shard quantizers,
         one shard_map probe+ADC dispatch, re-rank over merged global
-        candidates)."""
+        candidates).
+
+        ``ivfpq_host_store`` (ivfpq only): the production two-tier shape at
+        scale — the PQ codes are the ONLY device-resident index
+        (keep_originals=False) and the re-rank rows live in host DRAM as
+        int8 + per-row scales (`attach_host_store`). Re-ranked scores are
+        int8-dequantized (near-tie tolerant) instead of exact fp32; use for
+        corpora whose fp32 originals don't fit HBM (PERF.md §100M)."""
         self.embed_dim = embed_dim
         self.pad_multiple = pad_multiple
         self.mesh = mesh
@@ -108,9 +116,12 @@ class FrameIndex:
                 "mesh-sharded IVF stores float32/bfloat16 shards; use "
                 "single-device IVF for the int8 inverted-file tier"
             )
+        if ivfpq_host_store and search_impl != "ivfpq":
+            raise ValueError("ivfpq_host_store requires search_impl='ivfpq'")
         self.search_impl = search_impl
         self.ivf_nprobe = ivf_nprobe
         self.ivf_clusters = ivf_clusters
+        self.ivfpq_host_store = ivfpq_host_store
         self._ivf = None
         self._ivf_built_rows = 0
         self._videos: dict[str, VideoEntry] = {}
@@ -165,6 +176,9 @@ class FrameIndex:
             # IVF/IVF-PQ support incremental appends (below) once their
             # lists exist
             or (self.search_impl in ("ivf", "ivfpq") and self._ivf is None)
+            # the int8 host store is sized at build — an append would
+            # desync the re-rank rows; rebuild instead
+            or self.ivfpq_host_store
         ):
             return False
         n = len(emb)
@@ -348,7 +362,10 @@ class FrameIndex:
                 capacity_factor=1.3,
                 coarse_iters=6,
                 pq_iters=6,
+                keep_originals=not self.ivfpq_host_store,
             )
+            if self.ivfpq_host_store:
+                self._attach_ivfpq_host_store(full[:total])
             self._ivf_built_rows = total
         elif self.search_impl == "ivfpq" and total > 1:
             from evr_tpu.index.ivfpq import IVFPQIndex
@@ -368,7 +385,10 @@ class FrameIndex:
                 capacity_factor=1.3,
                 coarse_iters=6,
                 pq_iters=6,
+                keep_originals=not self.ivfpq_host_store,
             )
+            if self.ivfpq_host_store:
+                self._attach_ivfpq_host_store(full[:total])
             self._ivf_built_rows = total
         self._row_scales = None
         if self.device_dtype == "bfloat16":
@@ -389,6 +409,19 @@ class FrameIndex:
         self._total = total
         self._dirty = False
         self.version += 1
+
+    def _attach_ivfpq_host_store(self, rows: np.ndarray) -> None:
+        """Two-tier serving shape: symmetric per-row int8 quantisation of
+        the (normalised) corpus into HOST DRAM as the re-rank source — the
+        device keeps only the PQ codes (32× under fp32 at S=64+scale)."""
+        rows = np.asarray(rows, np.float32)
+        scales = np.maximum(
+            np.abs(rows).max(axis=1) / 127.0, 1e-12
+        ).astype(np.float32)
+        quant = np.clip(
+            np.round(rows / scales[:, None]), -127, 127
+        ).astype(np.int8)
+        self._ivf.attach_host_store(quant, scales)
 
     def _ensure_built(self):
         with self._lock:

@@ -111,6 +111,13 @@ def main():
         default=None,
         help="inverted-list count under ivf/ivfpq (default ~sqrt(N))",
     )
+    parser.add_argument(
+        "--ivfpq-host-store",
+        action="store_true",
+        help="two-tier ivfpq: device holds ONLY the PQ codes; re-rank rows "
+        "live in host DRAM as int8 (for corpora whose fp32 originals don't "
+        "fit HBM — re-ranked scores are int8-dequantized, PERF.md §100M)",
+    )
     args = parser.parse_args()
 
     from werkzeug.serving import run_simple
@@ -194,6 +201,7 @@ def main():
         search_impl=args.search_impl,
         ivf_nprobe=args.ivf_nprobe,
         ivf_clusters=args.ivf_clusters,
+        ivfpq_host_store=args.ivfpq_host_store,
         batch_window_ms=args.batch_window_ms,
         annotator=annotator,
     )

@@ -36,6 +36,7 @@ class ServingContext:
         search_impl: str = "xla",
         ivf_nprobe: int = 32,
         ivf_clusters: int | None = None,
+        ivfpq_host_store: bool = False,
         batch_window_ms: float | None = None,
         preprocessor=None,
         annotator=None,
@@ -79,6 +80,7 @@ class ServingContext:
         self.search_impl = search_impl
         self.ivf_nprobe = ivf_nprobe
         self.ivf_clusters = ivf_clusters
+        self.ivfpq_host_store = ivfpq_host_store
         # Fail fast on invalid tier combos (ivf/ivfpq × int8 or a mesh):
         # per-model indexes build lazily, so with an empty registry an
         # invalid combo would boot "cleanly" and then 500 every request.
@@ -87,6 +89,7 @@ class ServingContext:
             mesh=mesh,
             device_dtype=index_dtype,
             search_impl=search_impl,
+            ivfpq_host_store=ivfpq_host_store,
         )
         # coalesce concurrent semantic queries into one device dispatch
         # (serving/batcher.py); None disables
@@ -139,6 +142,7 @@ class ServingContext:
                 search_impl=self.search_impl,
                 ivf_nprobe=self.ivf_nprobe,
                 ivf_clusters=self.ivf_clusters,
+                ivfpq_host_store=self.ivfpq_host_store,
             )
         return self._indexes[model]
 

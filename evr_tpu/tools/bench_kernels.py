@@ -314,33 +314,49 @@ def _clip_step_flops(model_cfg, n_vis_tokens: int | None = None,
 
 
 def _measure_peak_tflops(reps: int) -> float:
-    """Self-calibrated MXU peak: sustained bf16 4096³ matmul chained in one
-    dispatch. MFU below is reported against THIS number, so it reflects
-    what this chip's MXU actually sustains rather than a datasheet."""
+    """Self-calibrated MXU peak: best sustained bf16 GEMM chain in one
+    dispatch, max over two shapes (a single big square matmul, and a
+    two-GEMM wide-then-narrow pair that pipelines like a transformer MLP).
+    MFU below is reported against THIS number, so it reflects what this
+    chip's MXU actually sustains rather than a datasheet."""
     import jax
     import jax.numpy as jnp
 
     n = 4096 if jax.default_backend() == "tpu" else 512
     rng = np.random.default_rng(0)
     a = jnp.asarray(rng.normal(size=(n, n)) * (0.3 / np.sqrt(n)), jnp.bfloat16)
+    w1 = jnp.asarray(rng.normal(size=(n, 2 * n)) * (0.3 / np.sqrt(n)), jnp.bfloat16)
+    w2 = jnp.asarray(rng.normal(size=(2 * n, n)) * (0.2 / np.sqrt(n)), jnp.bfloat16)
     x = jnp.asarray(rng.normal(size=(n, n)) * 0.1, jnp.bfloat16)
 
-    def chained(a_, x_):
-        def body(c, _):
-            return jnp.dot(a_, c, preferred_element_type=jnp.bfloat16), ()
+    def chain_of(body, flops_per_iter, label):
+        def chained(x_):
+            out, _ = jax.lax.scan(lambda c, _: (body(c), ()), x_, None,
+                                  length=reps)
+            return jnp.sum(out.astype(jnp.float32))
 
-        out, _ = jax.lax.scan(body, x_, None, length=reps)
-        return jnp.sum(out.astype(jnp.float32))
+        run = jax.jit(chained)
+        float(run(x))
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            float(run(x))
+            best = min(best, time.perf_counter() - t0)
+        tf = flops_per_iter * reps / best / 1e12
+        print(f"  peak probe {label}: {tf:7.1f} TFLOP/s")
+        return tf
 
-    run = jax.jit(chained)
-    float(run(a, x))
-    best = float("inf")
-    for _ in range(3):
-        t0 = time.perf_counter()
-        float(run(a, x))
-        best = min(best, time.perf_counter() - t0)
-    tflops = 2.0 * n ** 3 * reps / best / 1e12
-    print(f"calibrated MXU peak: {tflops:7.1f} TFLOP/s (bf16 {n}^3 matmul)")
+    square = chain_of(
+        lambda c: jnp.dot(a, c, preferred_element_type=jnp.bfloat16),
+        2.0 * n ** 3, f"{n}^3 square",
+    )
+    mlp = chain_of(
+        lambda c: jnp.dot(jnp.dot(c, w1, preferred_element_type=jnp.bfloat16),
+                          w2, preferred_element_type=jnp.bfloat16),
+        2.0 * 2 * n * n * (2 * n), f"{n}x{n} MLP pair",
+    )
+    tflops = max(square, mlp)
+    print(f"calibrated MXU peak: {tflops:7.1f} TFLOP/s (best bf16 chain)")
     return tflops
 
 
@@ -431,8 +447,9 @@ def bench_train(reps: int, tiny: bool = False) -> None:
             state = run(state, batch, key)
             int(state.step)  # sync
         except Exception as e:
+            msg = str(e).replace("\n", " ")[:160]
             print(f"  {label or model_name:34s} B={B:4d}: "
-                  f"{type(e).__name__} (likely OOM)", flush=True)
+                  f"{type(e).__name__}: {msg}", flush=True)
             return None
         best = float("inf")
         for _ in range(3):
@@ -460,6 +477,22 @@ def bench_train(reps: int, tiny: bool = False) -> None:
         for kw in ({}, {"remat": True}, {"patch_drop": 0.5},
                    {"gradcache": 2}, {"lora": 4}):
             assert measure("ViT-Tiny-Test", 8, **kw) is not None, kw
+        return
+
+    import os as _os
+
+    spec = _os.environ.get("EVR_TRAIN_SPEC")
+    if spec:  # ad-hoc rows: "model=ViT-B/32,B=128,drop=0.5;B=256,mu=bf16"
+        for row in spec.split(";"):
+            parts = dict(p.split("=", 1) for p in row.split(",") if "=" in p)
+            measure(
+                parts.get("model", "ViT-B/32"), int(parts.get("B", 128)),
+                remat=parts.get("remat") == "1",
+                patch_drop=float(parts.get("drop", 0) or 0),
+                gradcache=int(parts.get("gc", 0) or 0),
+                lora=int(parts.get("lora", 0) or 0),
+                label=row,
+            )
         return
 
     print("-- batch sweep, ViT-B/32 + head (production step)")
@@ -599,6 +632,49 @@ def bench_train_phases(reps: int, tiny: bool = False) -> None:
         best = min(best, time.perf_counter() - t0)
     print(f"  {'full step (grads + optimizer)':34s}: "
           f"{best / chain * 1000:8.1f} ms", flush=True)
+
+
+def bench_umap(reps: int, ns=(10_000, 100_000)) -> None:
+    """UMAP serving-scale tier measurement (VERDICT r4 #3 / PERF.md
+    §umap-scale): wall-clock, phase split (graph build vs layout), peak
+    host RSS, and SAMPLED trustworthiness (2k-point subsample, k=10 —
+    full trustworthiness is O(N²) and unrepresentable at 100k) for the
+    sparse-COO + PCA-init tier at 10k and 100k points. Synthetic corpus:
+    32 Gaussian clusters in D=512, the shape of a frame-embedding set."""
+    import resource
+
+    from evr_tpu.viz.umap_jax import fuzzy_simplicial_set_edges, umap
+
+    try:
+        from sklearn.manifold import trustworthiness
+    except ImportError:
+        trustworthiness = None
+
+    rng = np.random.default_rng(0)
+    centers = rng.normal(size=(32, 512)).astype(np.float32) * 3.0
+    for n in ns:
+        labels = rng.integers(0, 32, size=n)
+        x = centers[labels] + rng.normal(size=(n, 512)).astype(np.float32)
+        rss0 = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
+        t0 = time.perf_counter()
+        heads, _tails, _w = fuzzy_simplicial_set_edges(x, 15)
+        t_graph = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        y = umap(x)  # includes its own graph build
+        t_total = time.perf_counter() - t0
+        t_layout = max(0.0, t_total - t_graph)
+        rss1 = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
+        tw = float("nan")
+        if trustworthiness is not None:
+            sample = rng.choice(n, size=min(2000, n), replace=False)
+            tw = trustworthiness(x[sample], y[sample], n_neighbors=10)
+        print(
+            f"N={n:>7,}: total {t_total:7.1f}s (graph {t_graph:6.1f}s, "
+            f"layout {t_layout:6.1f}s)  edges {len(heads):,}  "
+            f"trust@2k {tw:.3f}  peak-RSS {(rss1 - rss0) / 1e6:+.2f} GB "
+            f"(abs {rss1 / 1e6:.2f} GB)",
+            flush=True,
+        )
 
 
 def bench_captioner(reps: int) -> None:
@@ -1629,7 +1705,7 @@ def main() -> None:
 
     pin_platform_from_env()
     ap = argparse.ArgumentParser(description=__doc__)
-    ap.add_argument("what", choices=["block", "attention", "encode", "int8", "sweep", "roofline", "captioner", "siglip", "train", "train-phases", "ivf", "pq", "ivfpq", "adc", "sharded", "all"])
+    ap.add_argument("what", choices=["block", "attention", "encode", "int8", "sweep", "roofline", "captioner", "siglip", "train", "train-phases", "umap", "ivf", "pq", "ivfpq", "adc", "sharded", "all"])
     ap.add_argument("--reps", type=int, default=20, help="chained applications per dispatch")
     ap.add_argument(
         "--rows", type=int, default=None,
@@ -1692,6 +1768,7 @@ def main() -> None:
         "siglip": bench_siglip,
         "train": bench_train,
         "train-phases": bench_train_phases,
+        "umap": bench_umap,
         "roofline": bench_roofline,
         "ivf": bench_ivf,
         "pq": bench_pq,
