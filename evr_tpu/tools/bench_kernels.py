@@ -555,9 +555,13 @@ def bench_train_phases(reps: int, tiny: bool = False) -> None:
     mean = jnp.asarray(CLIP_MEAN, jnp.float32)
     std = jnp.asarray(CLIP_STD, jnp.float32)
 
-    def loss_fn(p, b, key):
+    def loss_fn(p, b, key, eps=0.0):
+        # ``eps`` threads the scan carry into the INPUT so the tower
+        # compute is loop-variant — without it XLA hoists the (batch- and
+        # param-invariant) encodes out of the chained scan and the
+        # "forward" row measures one forward, not ``chain`` of them.
         x = b["images"].astype(jnp.float32) / 255.0
-        x = (x - mean) / std
+        x = (x - mean) / std + eps
         img = encode_image(p["clip"], model_cfg, x, dtype=jnp.bfloat16)
         txt = encode_text(p["clip"], model_cfg, b["tokens"], dtype=jnp.bfloat16)
         img = img / jnp.linalg.norm(img, axis=-1, keepdims=True)
@@ -585,20 +589,22 @@ def bench_train_phases(reps: int, tiny: bool = False) -> None:
         def body(c, _):
             k, acc = c
             k, sub = jax.random.split(k)
-            return (k, acc + loss_fn(p, b, sub)), ()
+            return (k, acc + loss_fn(p, b, sub, eps=acc * 1e-24)), ()
 
-        (_, acc), _ = jax.lax.scan(body, (key, 0.0), None, length=chain)
+        (_, acc), _ = jax.lax.scan(body, (key, jnp.float32(0.0)), None,
+                                   length=chain)
         return acc
 
     def grad_chain(p, b, key):
         def body(c, _):
             k, acc = c
             k, sub = jax.random.split(k)
-            g = jax.grad(loss_fn)(p, b, sub)
+            g = jax.grad(loss_fn)(p, b, sub, acc * 1e-24)
             gs = sum(jnp.sum(l.astype(jnp.float32)) for l in jax.tree.leaves(g))
             return (k, acc + gs), ()
 
-        (_, acc), _ = jax.lax.scan(body, (key, 0.0), None, length=chain)
+        (_, acc), _ = jax.lax.scan(body, (key, jnp.float32(0.0)), None,
+                                   length=chain)
         return acc
 
     key = jax.random.PRNGKey(0)

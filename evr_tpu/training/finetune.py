@@ -281,7 +281,23 @@ def make_train_step(
     n_patches = model_cfg.vision.grid ** 2
     n_keep = max(1, int(round(n_patches * (1.0 - cfg.patch_drop))))
 
+    def _mask_frozen(params):
+        """stop_gradient on frozen-prefix leaves — torch parity: a
+        ``requires_grad=False`` tensor has NO grad, so it never enters
+        ``clip_grad_norm_``'s global norm (`clip_finetune_correct.py:
+        118-142,476`). Without this, frozen-param grads inflated the clip
+        norm and shrank every trainable update. Zero grads also skip the
+        wasted dW GEMMs for the frozen tensors."""
+        if cfg.freeze_layers <= 0 and "lora" not in params:
+            return params
+        labels = param_group_labels(params, cfg.freeze_layers)
+        return jax.tree.map(
+            lambda p, l: jax.lax.stop_gradient(p) if l == "frozen" else p,
+            params, labels,
+        )
+
     def loss_fn(params, batch, rng, train: bool = True):
+        params = _mask_frozen(params)
         clip_p = params["clip"]
         if "lora" in params:
             # fold the adapters into the dense kernels inside the traced
@@ -346,6 +362,7 @@ def make_train_step(
         from .gradcache import gradcache_value_and_grad
 
         def encode_fn(params, cb):
+            params = _mask_frozen(params)
             x = cb["images"].astype(jnp.float32) / 255.0
             x = (x - mean) / std
             return {
@@ -356,6 +373,7 @@ def make_train_step(
             }
 
         def head_fn(params, emb, aux):
+            params = _mask_frozen(params)
             clip_p = params["clip"]
             img_n = emb["img"] / jnp.linalg.norm(emb["img"], axis=-1, keepdims=True)
             txt_n = emb["txt"] / jnp.linalg.norm(emb["txt"], axis=-1, keepdims=True)

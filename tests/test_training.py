@@ -81,6 +81,61 @@ def test_frozen_params_do_not_move(rng):
     assert np.isfinite(metrics["total_loss"])
 
 
+def test_frozen_grads_excluded_from_clip_norm(rng):
+    """torch parity (VERDICT r4 era bug, fixed round 5): requires_grad=False
+    params have NO grads in torch, so they never enter clip_grad_norm_'s
+    global norm. The step's grad_norm metric (= what clip_by_global_norm
+    sees) must equal the norm over TRAINABLE leaves only."""
+    cfg, clip_params, cls = _make_params()
+    params = {"clip": clip_params, "classifier": cls}
+    tc = TrainConfig(freeze_layers=8, batch_size=8, epochs=2,
+                     compute_dtype="float32")
+    opt = make_optimizer(tc, params)
+    step, _ = make_train_step(cfg, ClassifierConfig(embed_dim=32), tc, opt)
+    from evr_tpu.training.finetune import TrainState
+
+    state = TrainState(
+        params=jax.tree.map(jnp.asarray, params),
+        opt_state=opt.init(params), step=jnp.zeros((), jnp.int32),
+    )
+    batch = {k: jnp.asarray(v) for k, v in tiny_batch(rng, 8).items()}
+    # independent oracle: full unmasked grads, then zero the frozen leaves
+    from evr_tpu.ops.preprocess import CLIP_MEAN, CLIP_STD
+    from evr_tpu.models.clip import encode_image, encode_text
+    from evr_tpu.training.losses import combined_clip_loss
+    from evr_tpu.models import classifier_forward
+
+    def raw_loss(p):
+        x = batch["images"].astype(jnp.float32) / 255.0
+        x = (x - jnp.asarray(CLIP_MEAN)) / jnp.asarray(CLIP_STD)
+        img = encode_image(p["clip"], cfg, x)
+        txt = encode_text(p["clip"], cfg, batch["tokens"])
+        img = img / jnp.linalg.norm(img, axis=-1, keepdims=True)
+        txt = txt / jnp.linalg.norm(txt, axis=-1, keepdims=True)
+        logits = classifier_forward(
+            p["classifier"], ClassifierConfig(embed_dim=32), img,
+            deterministic=False, rng=jax.random.PRNGKey(0),
+        )
+        return combined_clip_loss(
+            img, txt, p["clip"]["logit_scale"], class_logits=logits,
+            class_labels=batch["labels"],
+        )[0]
+
+    grads = jax.grad(raw_loss)(state.params)
+    labels = param_group_labels(params, 8)
+    masked = jax.tree.map(
+        lambda g, l: jnp.zeros_like(g) if l == "frozen" else g, grads, labels
+    )
+    import optax
+
+    want = float(optax.global_norm(masked))
+    full = float(optax.global_norm(grads))
+    assert full > want  # the frozen leaves DO carry nonzero raw grads
+    _, metrics = step(state, batch, jax.random.PRNGKey(0))
+    got = float(metrics["grad_norm"])
+    np.testing.assert_allclose(got, want, rtol=1e-4)
+
+
 def test_loss_decreases(rng):
     cfg, clip_params, cls = _make_params()
     params = {"clip": clip_params, "classifier": cls}
