@@ -92,6 +92,11 @@ class IVFPQIndex:
     embeddings; ``search(queries, top_k, nprobe, rerank=)`` is one jitted
     dispatch (+ optional host re-rank)."""
 
+    # instance-level demotion flag when the Pallas ADC kernel fails to
+    # lower on the executing backend (class default keeps old pickles /
+    # subclasses working)
+    _pallas_broken = False
+
     def __init__(self):
         self.centroids = None   # [k, D] fp32
         self.list_rows = None   # [k, C] int32, -1 padded
@@ -1070,12 +1075,15 @@ class IVFPQIndex:
         (-inf, -1). Without ``rerank`` scores are the ADC approximation
         q·c + q̃·r̃; with it, exact cosines of the re-scored candidates.
         ``adc_impl``: "xla" (HBM one-hot GEMM), "pallas" (in-VMEM one-hot,
-        `ops/adc_pallas.py`, opt-in), or "auto". "auto" resolves to "xla"
-        on every backend until an on-chip ADC-pallas measurement is
-        recorded in PERF.md — the Pallas kernel's real Mosaic lowering at
-        the production geometry is exercised only in interpret mode in
-        this environment's tests, so it must not sit on the default
-        serving path on faith."""
+        `ops/adc_pallas.py`), or "auto". "auto" resolves to "pallas" on
+        TPU — measured on-chip at the production 10M geometry (C=1664,
+        S=64, K=256): −25% per dispatch at every nprobe (5.59 vs 7.55 ms
+        at nprobe=8, 88.5 vs 118.5 at 128 — PERF.md §ADC round-5 row) —
+        and to "xla" elsewhere. A Mosaic compile failure on a future
+        backend demotes this instance to "xla" permanently (logged once);
+        only the default vpu-reduce kernel is on this path (the opt-in
+        ``fused=True`` MXU-matvec variant does NOT lower on v5e Mosaic —
+        unsupported shape cast — and stays off it)."""
         if self.codes is None and not self.packed:
             raise ValueError("IVFPQIndex.search before build()")
         if (
@@ -1090,7 +1098,11 @@ class IVFPQIndex:
         if adc_impl not in ("auto", "xla", "pallas"):
             raise ValueError(f"unknown adc_impl {adc_impl!r}")
         if adc_impl == "auto":
-            adc_impl = "xla"
+            adc_impl = (
+                "xla"
+                if (jax.default_backend() != "tpu" or self._pallas_broken)
+                else "pallas"
+            )
         nprobe = max(1, min(nprobe, self.n_clusters))
         q = jnp.asarray(np.atleast_2d(np.asarray(queries, np.float32)))
         q_adc = q if self.rotation is None else q @ self.rotation
@@ -1098,14 +1110,36 @@ class IVFPQIndex:
         fetch = max(1, min(top_k if rerank is None else max(top_k, rerank),
                            cap, self.n_rows))
         if self.packed:
-            scores, rows = self._probe_adc_search_packed(
-                q, q_adc, self.centroids, self.codebooks,
-                self.codes_lists, self.id_lists,
-                self._pool_recon(), self.overflow,
-                fetch, nprobe, self._capacity, adc_impl,
-                interpret=jax.default_backend() != "tpu",
-                paired=self._paired,
-            )
+            try:
+                scores, rows = self._probe_adc_search_packed(
+                    q, q_adc, self.centroids, self.codebooks,
+                    self.codes_lists, self.id_lists,
+                    self._pool_recon(), self.overflow,
+                    fetch, nprobe, self._capacity, adc_impl,
+                    interpret=jax.default_backend() != "tpu",
+                    paired=self._paired,
+                )
+            except Exception:
+                if adc_impl != "pallas":
+                    raise
+                # Mosaic lowering failed on this backend: demote this
+                # instance to the XLA one-hot path and remember it
+                self._pallas_broken = True
+                from evr_tpu.utils import get_logger
+
+                get_logger("evr_tpu.index").warning(
+                    "adc_impl=pallas failed to compile on %s; falling "
+                    "back to xla for this index",
+                    jax.default_backend(),
+                )
+                scores, rows = self._probe_adc_search_packed(
+                    q, q_adc, self.centroids, self.codebooks,
+                    self.codes_lists, self.id_lists,
+                    self._pool_recon(), self.overflow,
+                    fetch, nprobe, self._capacity, "xla",
+                    interpret=jax.default_backend() != "tpu",
+                    paired=self._paired,
+                )
         else:
             if self._codes_t is None:
                 self._codes_t = self.codes.T  # [S, N] uint8 scan operand
