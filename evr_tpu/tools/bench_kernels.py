@@ -537,8 +537,15 @@ def bench_train_phases(reps: int, tiny: bool = False) -> None:
         make_train_step,
     )
 
+    import dataclasses
+
     B, chain = (256, 10) if not tiny else (8, 2)
     model_cfg = get_model_config("ViT-B/32" if not tiny else "ViT-Tiny-Test")
+    # mirror make_train_step's gradient-path resolution (auto -> auto_grad:
+    # XLA stored-activation fwd+bwd below T=512) so the phase split
+    # attributes the SAME program the production step runs
+    if model_cfg.attn_impl == "auto":
+        model_cfg = dataclasses.replace(model_cfg, attn_impl="auto_grad")
     tc = TrainConfig(batch_size=B, freeze_layers=8, compute_dtype="bfloat16")
     cls_cfg = ClassifierConfig(embed_dim=model_cfg.embed_dim)
     params = {
@@ -573,7 +580,10 @@ def bench_train_phases(reps: int, tiny: bool = False) -> None:
         x = b["images"].astype(jnp.float32) / 255.0
         x = (x - mean) / std + eps
         img = encode_image(p["clip"], model_cfg, x, dtype=jnp.bfloat16)
-        txt = encode_text(p["clip"], model_cfg, b["tokens"], dtype=jnp.bfloat16)
+        # the text tower must be loop-variant too (a data-dependent select
+        # XLA cannot constant-fold) or licm hoists it out of the chain
+        toks = jnp.where(eps > -1.0, b["tokens"], 0)
+        txt = encode_text(p["clip"], model_cfg, toks, dtype=jnp.bfloat16)
         img = img / jnp.linalg.norm(img, axis=-1, keepdims=True)
         txt = txt / jnp.linalg.norm(txt, axis=-1, keepdims=True)
         cls = classifier_forward(p["classifier"], cls_cfg, img,

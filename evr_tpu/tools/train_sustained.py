@@ -202,7 +202,10 @@ def main(argv=None) -> None:
     print(f"batch pool resident: "
           f"{pool_imgs.nbytes / 1e9:.2f} GB uploaded once", flush=True)
 
-    def run_pool(state, key):
+    def run_pool(state, key, p_imgs, p_toks, p_labels):
+        # the pool rides as ARGUMENTS — closing over these device arrays
+        # would turn 1.2 GB into jaxpr constants and blow up the remote
+        # compiler request (observed HTTP 413; CLAUDE.md no-closures rule)
         def body(c, xs):
             s, k = c
             bi, bt, bl = xs
@@ -211,7 +214,7 @@ def main(argv=None) -> None:
             return (s, k), m["total_loss"]
 
         (state, _), losses = jax.lax.scan(
-            body, (state, key), (pool_imgs, pool_toks, pool_labels)
+            body, (state, key), (p_imgs, p_toks, p_labels)
         )
         return state, losses
 
@@ -224,7 +227,7 @@ def main(argv=None) -> None:
     # figure; the persistent cache keeps re-runs fast)
     t0 = time.perf_counter()
     key, sub = jax.random.split(key)
-    state, losses = run_j(state, sub)
+    state, losses = run_j(state, sub, pool_imgs, pool_toks, pool_labels)
     first_loss = float(np.asarray(losses)[0])
     print(f"cycle 1/{cycles}: {pool} steps, first loss {first_loss:.3f}, "
           f"last {float(np.asarray(losses)[-1]):.3f} "
@@ -233,7 +236,8 @@ def main(argv=None) -> None:
     done = pool
     for c in range(1, cycles):
         key, sub = jax.random.split(key)
-        state, losses = run_j(state, sub)
+        state, losses = run_j(state, sub, pool_imgs, pool_toks,
+                              pool_labels)
         done += pool
         print(f"cycle {c + 1}/{cycles}: loss "
               f"{float(np.asarray(losses)[-1]):.3f}", flush=True)
