@@ -239,12 +239,13 @@ class ShardedIVFIndex:
 
 @functools.partial(
     jax.jit,
-    static_argnames=("mesh", "axis", "top_k", "nprobe", "capacity", "merge_k"),
+    static_argnames=("mesh", "axis", "top_k", "nprobe", "capacity", "merge_k",
+                     "adc_impl"),
 )
 def _sharded_adc_probe(
     q, rot_s, cents_s, books_s, codes_s, ids_s, pool_recon_s, pool_ids_s,
     offs_s, mesh: Mesh, axis: str, top_k: int, nprobe: int, capacity: int,
-    merge_k: int | None = None,
+    merge_k: int | None = None, adc_impl: str = "xla",
 ):
     """One shard_map dispatch over the stacked IVF-PQ operands: each device
     runs the standard packed probe+ADC (`IVFPQIndex._probe_adc_search_packed`,
@@ -265,7 +266,8 @@ def _sharded_adc_probe(
         q_adc = qb @ rot[0]
         scores, rows = IVFPQIndex._probe_adc_search_packed(
             qb, q_adc, cents[0], books[0], codes[0], ids[0], pre[0], pid[0],
-            top_k, nprobe, capacity, "xla", interpret=False, paired=False,
+            top_k, nprobe, capacity, adc_impl,
+            interpret=jax.default_backend() != "tpu", paired=False,
         )
         rows = jnp.where(rows >= 0, rows + offs[0], -1)
         all_scores = jax.lax.all_gather(scores, axis)       # [S, B, k]
@@ -451,12 +453,15 @@ class ShardedIVFPQIndex:
         self._originals_int8 = rows_int8
         self._originals_int8_scales = scales
 
+    _pallas_broken = False  # per-instance demotion on Mosaic failure
+
     def search(
         self,
         queries: np.ndarray,
         top_k: int,
         nprobe: int,
         rerank: int | None = None,
+        adc_impl: str = "auto",
     ) -> tuple[np.ndarray, np.ndarray]:
         """(scores [B, k], GLOBAL row ids [B, k]); −1 rows are unreachable
         slots (scores −inf). Without ``rerank`` scores are the per-shard
@@ -488,12 +493,38 @@ class ShardedIVFPQIndex:
         # (ADVICE r4: clamping the merge to rows_per_shard silently
         # truncated deep reranks and broke the exactness contract).
         merge_k = max(1, min(requested, self.n_shards * fetch, self._n_rows))
-        scores, rows = _sharded_adc_probe(
+        if adc_impl == "auto":
+            # same resolution + demotion policy as IVFPQIndex.search: the
+            # in-VMEM Pallas ADC measured −25% on-chip (PERF.md §ADC r5)
+            import jax as _jax
+
+            adc_impl = (
+                "xla"
+                if (_jax.default_backend() != "tpu" or self._pallas_broken)
+                else "pallas"
+            )
+        probe_args = (
             q, self.rot_s, self.cents_s, self.books_s, self.codes_s,
             self.ids_s, self.pool_recon_s, self.pool_ids_s, self.offs_s,
             self.mesh, self.axis, fetch, nprobe, self._capacity,
-            merge_k=merge_k,
         )
+        try:
+            scores, rows = _sharded_adc_probe(
+                *probe_args, merge_k=merge_k, adc_impl=adc_impl
+            )
+        except Exception:
+            if adc_impl != "pallas":
+                raise
+            self._pallas_broken = True
+            from evr_tpu.utils import get_logger
+
+            get_logger("evr_tpu.parallel").warning(
+                "sharded adc_impl=pallas failed to compile; falling back "
+                "to xla for this index"
+            )
+            scores, rows = _sharded_adc_probe(
+                *probe_args, merge_k=merge_k, adc_impl="xla"
+            )
         scores, rows = np.asarray(scores), np.asarray(rows)
         rows = np.where(np.isfinite(scores), rows, -1)
         if rerank is None:
