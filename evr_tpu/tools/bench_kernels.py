@@ -660,6 +660,49 @@ def bench_train_phases(reps: int, tiny: bool = False) -> None:
           f"{best / chain * 1000:8.1f} ms", flush=True)
 
 
+def bench_whisper(reps: int, sizes=("tiny", "base")) -> None:
+    """Whisper ASR throughput (random-init weights — geometry + kernels are
+    what's measured; real text needs the gated vocab): real-time factor of
+    the full pipeline (log-mel frontend + encoder + KV-cached greedy scan
+    decode, one jitted dispatch) on a single 30 s window and on an
+    8-window batch (`transcribe_long`'s shape — windows fill the batch
+    axis). Greedy decode runs to max_len=64 tokens here (random weights
+    never emit EOS, so this is the WORST-case decode depth at caption
+    length; real speech usually stops earlier)."""
+    from evr_tpu.models.whisper import (
+        WHISPER_SIZES,
+        WhisperASR,
+        init_whisper_params,
+    )
+
+    import jax
+
+    rng = np.random.default_rng(0)
+    for size in sizes:
+        cfg = WHISPER_SIZES[size]
+        params = init_whisper_params(jax.random.PRNGKey(0), cfg)
+        asr = WhisperASR(params, cfg, prompt_ids=[cfg.sot_id], max_len=64)
+        audio1 = rng.normal(size=(cfg.n_samples,)).astype(np.float32) * 0.1
+        audio8 = rng.normal(size=(8 * cfg.n_samples,)).astype(np.float32) * 0.1
+        asr.transcribe(audio1)  # compile
+        best1 = float("inf")
+        for _ in range(max(2, reps // 8)):
+            t0 = time.perf_counter()
+            asr.transcribe(audio1)
+            best1 = min(best1, time.perf_counter() - t0)
+        asr.transcribe_long(audio8)  # compile the batched shape
+        best8 = float("inf")
+        for _ in range(max(2, reps // 8)):
+            t0 = time.perf_counter()
+            asr.transcribe_long(audio8)
+            best8 = min(best8, time.perf_counter() - t0)
+        print(
+            f"whisper-{size:5s}: 1x30s {best1:6.2f}s (RTF "
+            f"{30 / best1:6.1f}x)   8x30s {best8:6.2f}s (RTF "
+            f"{240 / best8:6.1f}x)", flush=True,
+        )
+
+
 def bench_umap(reps: int, ns=(10_000, 100_000)) -> None:
     """UMAP serving-scale tier measurement (VERDICT r4 #3 / PERF.md
     §umap-scale): wall-clock, phase split (graph build vs layout), peak
@@ -1746,7 +1789,7 @@ def main() -> None:
 
     pin_platform_from_env()
     ap = argparse.ArgumentParser(description=__doc__)
-    ap.add_argument("what", choices=["block", "attention", "encode", "int8", "sweep", "roofline", "captioner", "siglip", "train", "train-phases", "umap", "ivf", "pq", "ivfpq", "adc", "sharded", "all"])
+    ap.add_argument("what", choices=["block", "attention", "encode", "int8", "sweep", "roofline", "captioner", "siglip", "train", "train-phases", "umap", "whisper", "ivf", "pq", "ivfpq", "adc", "sharded", "all"])
     ap.add_argument("--reps", type=int, default=20, help="chained applications per dispatch")
     ap.add_argument(
         "--rows", type=int, default=None,
@@ -1810,6 +1853,7 @@ def main() -> None:
         "train": bench_train,
         "train-phases": bench_train_phases,
         "umap": bench_umap,
+        "whisper": bench_whisper,
         "roofline": bench_roofline,
         "ivf": bench_ivf,
         "pq": bench_pq,
