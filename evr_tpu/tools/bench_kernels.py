@@ -398,7 +398,8 @@ def bench_train(reps: int, tiny: bool = False) -> None:
     rng = np.random.default_rng(0)
 
     def measure(model_name: str, B: int, *, remat=False, patch_drop=0.0,
-                gradcache=0, lora=0, label="") -> float | None:
+                gradcache=0, lora=0, optimizer="adamw", mu_dtype="float32",
+                label="") -> float | None:
         import dataclasses
 
         model_cfg = get_model_config(model_name)
@@ -407,6 +408,7 @@ def bench_train(reps: int, tiny: bool = False) -> None:
         tc = TrainConfig(
             batch_size=B, freeze_layers=8, remat=remat, patch_drop=patch_drop,
             gradcache_chunks=gradcache, lora_rank=lora,
+            optimizer=optimizer, adam_mu_dtype=mu_dtype,
             compute_dtype="bfloat16",
         )
         cls_cfg = ClassifierConfig(embed_dim=model_cfg.embed_dim)
@@ -501,6 +503,8 @@ def bench_train(reps: int, tiny: bool = False) -> None:
                 patch_drop=float(parts.get("drop", 0) or 0),
                 gradcache=int(parts.get("gc", 0) or 0),
                 lora=int(parts.get("lora", 0) or 0),
+                optimizer=parts.get("opt", "adamw"),
+                mu_dtype=parts.get("mu", "float32"),
                 label=row,
             )
         return
