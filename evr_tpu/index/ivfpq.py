@@ -1098,9 +1098,19 @@ class IVFPQIndex:
         if adc_impl not in ("auto", "xla", "pallas"):
             raise ValueError(f"unknown adc_impl {adc_impl!r}")
         if adc_impl == "auto":
+            # pallas wins on the UNPAIRED packed layout (−25% at the 10M
+            # geometry, 2.5× at 100M list capacity — PERF.md §ADC r5);
+            # on the PAIRED streamed layout the [kC/2, 2S] row pairing
+            # already fixed XLA's memory pattern and pallas measures
+            # slightly SLOWER on the real 100M index (92.4 vs 79.5 ms at
+            # nprobe=32) — paired stays on xla.
             adc_impl = (
                 "xla"
-                if (jax.default_backend() != "tpu" or self._pallas_broken)
+                if (
+                    jax.default_backend() != "tpu"
+                    or self._pallas_broken
+                    or self._paired
+                )
                 else "pallas"
             )
         nprobe = max(1, min(nprobe, self.n_clusters))

@@ -1168,13 +1168,22 @@ def bench_ann_big(reps: int, rows: int, d: int = 512,
 
 def _bench_ann_big_pq(reps, rows, d, k, nq, buf, scales, q, b_rows,
                       subspaces: int = 64, opq_iters: int = 0,
-                      adc_impls=("xla",), rerank: int = 0) -> None:
+                      adc_impls=None, rerank: int = 0) -> None:
     """The IVF-PQ half of the claimed-scale measurement (split out so
     ``--tiers ivfpq`` can re-measure ADC changes without re-paying the
     IVF build). ``subspaces``/``opq_iters`` drive the VERDICT r3 #1
     fidelity sweep (S ∈ {64, 128} at D=512; OPQ rotation on/off)."""
     from evr_tpu.index.ivfpq import IVFPQIndex
 
+    if adc_impls is None:
+        # measure both formulations on TPU (pallas is the production
+        # default for this unpaired layout since round 5); CPU smokes of
+        # this path stay xla-only (interpret-mode pallas is glacial)
+        import jax as _jax
+
+        adc_impls = (
+            ("xla", "pallas") if _jax.default_backend() == "tpu" else ("xla",)
+        )
     sub = subspaces if d % subspaces == 0 else (64 if d % 64 == 0 else 32)
     t0 = time.perf_counter()
     pq = IVFPQIndex().build_device(
@@ -1476,6 +1485,17 @@ def bench_ann_streamed(reps: int, rows: int, d: int = 512,
             outs_r.append(r_)
         return np.concatenate(outs_s), np.concatenate(outs_r)
 
+    # device row: the impl the PRODUCTION search path resolves to
+    # ("auto" → pallas on unpaired TPU layouts; the PAIRED streamed
+    # layout stays xla — measured equal-or-better, PERF.md §ADC r5), so
+    # the recorded device cost is the served one
+    import jax as _jax
+
+    adc_default = (
+        "pallas"
+        if (_jax.default_backend() == "tpu" and not pq._paired)
+        else "xla"
+    )
     for nprobe in (4, 8, 16, 32):
         ms = _best_ms(lambda: pq.search(q8b, 10, nprobe=nprobe),
                       max(2, reps // 4))
@@ -1484,7 +1504,8 @@ def bench_ann_streamed(reps: int, rows: int, d: int = 512,
                 IVFPQIndex._probe_adc_search_packed(
                     q1,
                     q1 if pq.rotation is None else q1 @ pq.rotation,
-                    *ops, 10, _np, _c, "xla",
+                    *ops, 10, _np, _c, adc_default,
+                    interpret=_jax.default_backend() != "tpu",
                     paired=pq._paired,
                 )
             ),
@@ -1505,9 +1526,9 @@ def bench_ann_streamed(reps: int, rows: int, d: int = 512,
             rec, tie, r1 = metrics(rws10)
         print(
             f"N={rows:>12,}  ivfpq S={sub} nprobe={nprobe:>3}"
-            f"          : {ms:8.1f} ms/batch(8)  device {dev_ms:7.2f} "
-            f"ms/batch  recall@10={rec:.3f}  tie@10={tie:.3f}  "
-            f"recall1@10={r1:.3f}",
+            f"          : {ms:8.1f} ms/batch(8)  device[{adc_default}] "
+            f"{dev_ms:7.2f} ms/batch  recall@10={rec:.3f}  "
+            f"tie@10={tie:.3f}  recall1@10={r1:.3f}",
             flush=True,
         )
         for rr in rr_list:
