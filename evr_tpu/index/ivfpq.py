@@ -1074,16 +1074,17 @@ class IVFPQIndex:
         """(scores [B, k], row ids [B, k]); unreachable slots carry
         (-inf, -1). Without ``rerank`` scores are the ADC approximation
         q·c + q̃·r̃; with it, exact cosines of the re-scored candidates.
-        ``adc_impl``: "xla" (HBM one-hot GEMM), "pallas" (in-VMEM one-hot,
-        `ops/adc_pallas.py`), or "auto". "auto" resolves to "pallas" on
-        TPU — measured on-chip at the production 10M geometry (C=1664,
-        S=64, K=256): −25% per dispatch at every nprobe (5.59 vs 7.55 ms
-        at nprobe=8, 88.5 vs 118.5 at 128 — PERF.md §ADC round-5 row) —
-        and to "xla" elsewhere. A Mosaic compile failure on a future
-        backend demotes this instance to "xla" permanently (logged once);
-        only the default vpu-reduce kernel is on this path (the opt-in
-        ``fused=True`` MXU-matvec variant does NOT lower on v5e Mosaic —
-        unsupported shape cast — and stays off it)."""
+        ``adc_impl``: "xla" (HBM one-hot GEMM — the default), "pallas"
+        (in-VMEM one-hot, `ops/adc_pallas.py`, opt-in), or "auto"
+        (= xla). The round-5 decision record (PERF.md §ADC): synthetic
+        shoot-outs favoured pallas (up to 2.5× at 100M list capacity),
+        but on REAL indexes xla wins at every nprobe — 10M build_device
+        4.41 vs 5.58 ms at nprobe=8, 100M paired streamed 79.5 vs 92.4
+        at nprobe=32 — so the serving default follows the real-tier
+        measurement. Opting in to pallas carries a per-instance fallback:
+        a Mosaic compile failure demotes this instance to "xla"
+        permanently (logged once); the ``fused=True`` MXU-matvec kernel
+        variant does NOT lower on v5e Mosaic (unsupported shape cast)."""
         if self.codes is None and not self.packed:
             raise ValueError("IVFPQIndex.search before build()")
         if (
@@ -1098,21 +1099,16 @@ class IVFPQIndex:
         if adc_impl not in ("auto", "xla", "pallas"):
             raise ValueError(f"unknown adc_impl {adc_impl!r}")
         if adc_impl == "auto":
-            # pallas wins on the UNPAIRED packed layout (−25% at the 10M
-            # geometry, 2.5× at 100M list capacity — PERF.md §ADC r5);
-            # on the PAIRED streamed layout the [kC/2, 2S] row pairing
-            # already fixed XLA's memory pattern and pallas measures
-            # slightly SLOWER on the real 100M index (92.4 vs 79.5 ms at
-            # nprobe=32) — paired stays on xla.
-            adc_impl = (
-                "xla"
-                if (
-                    jax.default_backend() != "tpu"
-                    or self._pallas_broken
-                    or self._paired
-                )
-                else "pallas"
-            )
+            # "auto" stays on xla — decided by REAL-INDEX measurement
+            # (round 5, PERF.md §ADC): on synthetic codes the in-VMEM
+            # pallas one-hot measured −25%..2.5×, but on the real 10M
+            # build_device index xla wins at every nprobe (4.41 vs 5.58
+            # ms at nprobe=8, 69.7 vs 88.7 at 128) and on the real paired
+            # 100M streamed index likewise (79.5 vs 92.4 at nprobe=32).
+            # The serving default follows the served path, not the
+            # microbenchmark; pallas stays opt-in (with the per-instance
+            # Mosaic-failure demotion below for callers who opt in).
+            adc_impl = "xla"
         nprobe = max(1, min(nprobe, self.n_clusters))
         q = jnp.asarray(np.atleast_2d(np.asarray(queries, np.float32)))
         q_adc = q if self.rotation is None else q @ self.rotation

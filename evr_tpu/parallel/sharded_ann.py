@@ -494,15 +494,10 @@ class ShardedIVFPQIndex:
         # truncated deep reranks and broke the exactness contract).
         merge_k = max(1, min(requested, self.n_shards * fetch, self._n_rows))
         if adc_impl == "auto":
-            # same resolution + demotion policy as IVFPQIndex.search: the
-            # in-VMEM Pallas ADC measured −25% on-chip (PERF.md §ADC r5)
-            import jax as _jax
-
-            adc_impl = (
-                "xla"
-                if (_jax.default_backend() != "tpu" or self._pallas_broken)
-                else "pallas"
-            )
+            # same policy as IVFPQIndex.search: xla by real-index
+            # measurement (PERF.md §ADC round-5 decision record); pallas
+            # stays opt-in with the per-instance Mosaic-failure demotion
+            adc_impl = "xla"
         probe_args = (
             q, self.rot_s, self.cents_s, self.books_s, self.codes_s,
             self.ids_s, self.pool_recon_s, self.pool_ids_s, self.offs_s,

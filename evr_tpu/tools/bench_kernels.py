@@ -1486,16 +1486,11 @@ def bench_ann_streamed(reps: int, rows: int, d: int = 512,
         return np.concatenate(outs_s), np.concatenate(outs_r)
 
     # device row: the impl the PRODUCTION search path resolves to
-    # ("auto" → pallas on unpaired TPU layouts; the PAIRED streamed
-    # layout stays xla — measured equal-or-better, PERF.md §ADC r5), so
-    # the recorded device cost is the served one
+    # ("auto" = xla by the round-5 real-index decision, PERF.md §ADC),
+    # so the recorded device cost is the served one
     import jax as _jax
 
-    adc_default = (
-        "pallas"
-        if (_jax.default_backend() == "tpu" and not pq._paired)
-        else "xla"
-    )
+    adc_default = "xla"
     for nprobe in (4, 8, 16, 32):
         ms = _best_ms(lambda: pq.search(q8b, 10, nprobe=nprobe),
                       max(2, reps // 4))
