@@ -118,6 +118,40 @@ def test_search_pallas_matches_xla_impl(packed_index):
         np.testing.assert_allclose(sx, sp, rtol=1e-4, atol=1e-5)
 
 
+def test_auto_resolves_xla_and_pallas_failure_demotes(packed_index, monkeypatch):
+    """Round-5 decision record: "auto" = xla (real-index measurement,
+    PERF.md §ADC); an opted-in pallas whose kernel fails to compile must
+    demote THAT instance to xla permanently and still return results."""
+    _, q, idx = packed_index
+    # auto == xla results, bit-identical
+    sa, ra = idx.search(q, 5, nprobe=4, adc_impl="auto")
+    sx, rx = idx.search(q, 5, nprobe=4, adc_impl="xla")
+    assert np.array_equal(ra, rx)
+    np.testing.assert_array_equal(sa, sx)
+
+    # simulate a Mosaic failure: the packed probe raises only for pallas
+    real = IVFPQIndex._probe_adc_search_packed  # jitted staticmethod
+
+    def flaky(*args, **kw):
+        if "pallas" in [a for a in args if isinstance(a, str)] or (
+            kw.get("adc_impl") == "pallas"
+        ):
+            raise RuntimeError("Mosaic failed to compile TPU kernel")
+        return real(*args, **kw)
+
+    monkeypatch.setattr(
+        IVFPQIndex, "_probe_adc_search_packed", staticmethod(flaky)
+    )
+    assert not idx._pallas_broken
+    sf, rf = idx.search(q, 5, nprobe=4, adc_impl="pallas")  # falls back
+    assert idx._pallas_broken
+    assert np.array_equal(rf, rx)
+    # and once demoted, even auto on a hypothetical pallas-default build
+    # stays on xla without touching the broken kernel again
+    s2, r2 = idx.search(q, 5, nprobe=4, adc_impl="auto")
+    assert np.array_equal(r2, rx)
+
+
 def test_pool_recon_equals_pool_adc(packed_index):
     """q·recon for an overflow row must equal its ADC decomposition
     q·c_assign + Σ_s q_s·book_s[code_s]."""
