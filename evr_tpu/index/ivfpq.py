@@ -218,11 +218,45 @@ class IVFPQIndex:
         enc_cent_j = jnp.asarray(enc_cent)
         resid = x - cents[enc_cent_j]
         ds = d // n_subspaces
-        rs = resid.reshape(n, n_subspaces, ds).transpose(1, 0, 2)  # [S,N,d]
         keys = jax.random.split(jax.random.PRNGKey(seed + 1), n_subspaces)
-        books, codes = jax.vmap(
-            lambda k_, xs: kmeans_l2(k_, xs, n_centroids, iters=pq_iters)
-        )(keys, rs)
+        if n <= 131_072:
+            # small corpora: exact one-shot training + encoding (unchanged
+            # numerics for every existing fixture/test)
+            rs = resid.reshape(n, n_subspaces, ds).transpose(1, 0, 2)
+            books, codes = jax.vmap(
+                lambda k_, xs: kmeans_l2(k_, xs, n_centroids, iters=pq_iters)
+            )(keys, rs)
+        else:
+            # large corpora on-device: the vmapped [S, N, K] distance
+            # transients of one-shot training OOM (measured: 1M rows blew
+            # 16 GB HBM in bench_sharded). Standard PQ recipe instead —
+            # train codebooks on a strided sample (≤65,536 rows ≈ 256
+            # rows/centroid, the faiss default ballpark), then encode ALL
+            # rows in bounded chunks.
+            stride = -(-n // 65_536)
+            rs_sample = (
+                resid[::stride]
+                .reshape(-1, n_subspaces, ds)
+                .transpose(1, 0, 2)
+            )  # [S, n_sample, ds]
+            books, _ = jax.vmap(
+                lambda k_, xs: kmeans_l2(k_, xs, n_centroids, iters=pq_iters)
+            )(keys, rs_sample)
+
+            @jax.jit
+            def _encode_chunk(resid_chunk, books_):
+                rc = resid_chunk.reshape(-1, n_subspaces, ds)
+                d2 = jnp.sum(
+                    (rc[:, :, None, :] - books_[None]) ** 2, axis=-1
+                )  # [m, S, K]
+                return jnp.argmin(d2, axis=-1).astype(jnp.uint8)  # [m, S]
+
+            chunk = 16_384
+            parts = [
+                np.asarray(_encode_chunk(resid[lo : lo + chunk], books))
+                for lo in range(0, n, chunk)
+            ]
+            codes = jnp.asarray(np.concatenate(parts, axis=0)).T  # [S, N]
 
         self.centroids = cents
         self.list_rows = jnp.asarray(lists)

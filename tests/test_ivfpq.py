@@ -272,3 +272,23 @@ def test_frame_index_ivfpq_upload_uses_incremental_append():
     assert idx._ivf is built  # append path, codebooks untouched
     hits = idx.search(small[:1], 1)
     assert hits[0][0].video == "inc"
+
+
+def test_large_corpus_sampled_pq_training_exact_under_full_probe():
+    """Round 5: past 131,072 rows the host build trains PQ codebooks on a
+    strided sample and encodes in bounded chunks (the one-shot vmapped
+    [S, N, K] transients OOMed a 16 GB chip at 1M rows). The exactness
+    contract is layout-independent: full probe + deep rerank still
+    reproduces brute force."""
+    rng = np.random.default_rng(7)
+    n = 140_000  # just past the sampling threshold
+    emb = _normed(rng.standard_normal((n, 32)).astype(np.float32))
+    idx = IVFPQIndex().build(
+        emb, n_clusters=64, n_subspaces=16, n_centroids=64,
+        coarse_iters=4, pq_iters=4,
+    )
+    assert idx.codes.shape == (n, 16)
+    q = emb[[5, 777, 99_999]]
+    _, r = idx.search(q, 5, nprobe=64, rerank=200)
+    er = np.argsort(-(q @ emb.T), axis=1)[:, :5]
+    np.testing.assert_array_equal(r, er)
