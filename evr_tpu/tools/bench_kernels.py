@@ -1555,7 +1555,14 @@ def bench_adc(
 ) -> None:
     """ADC formulation shoot-out at the measured 10M-row geometry
     (C=1664, S=64, K=256, B=8 — PERF.md §ADC) on SYNTHETIC codes, so the
-    kernel re-measures without re-paying the 10M build:
+    kernel re-measures without re-paying the 10M build.
+
+    CAUTION (round-5 decision record, PERF.md §ADC): this synthetic
+    setup (uniform-random codes, arange ids, an oversized 57k-row pool)
+    favoured pallas by up to 2.5×, but on BOTH real tiers xla won at
+    every nprobe — use `bench_kernels ivfpq --rows 10000000 --tiers
+    ivfpq` (measures both impls on a real build) to decide defaults;
+    this mode is for kernel iteration only. Measured here:
 
       - full packed probe+ADC dispatch, xla (HBM one-hot) vs pallas
         (in-VMEM one-hot, `ops/adc_pallas.py`), incl. the reconstructed
