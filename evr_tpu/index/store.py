@@ -97,7 +97,11 @@ class FrameIndex:
         (keep_originals=False) and the re-rank rows live in host DRAM as
         int8 + per-row scales (`attach_host_store`). Re-ranked scores are
         int8-dequantized (near-tie tolerant) instead of exact fp32; use for
-        corpora whose fp32 originals don't fit HBM (PERF.md §100M)."""
+        corpora whose fp32 originals don't fit HBM (PERF.md §100M).
+        Uploads append incrementally: new rows are quantized into the host
+        store in lockstep with their appended global ids (the usual 1.5×
+        rebuild bound still re-trains quantizers when the corpus outgrows
+        the build)."""
         self.embed_dim = embed_dim
         self.pad_multiple = pad_multiple
         self.mesh = mesh
@@ -176,9 +180,6 @@ class FrameIndex:
             # IVF/IVF-PQ support incremental appends (below) once their
             # lists exist
             or (self.search_impl in ("ivf", "ivfpq") and self._ivf is None)
-            # the int8 host store is sized at build — an append would
-            # desync the re-rank rows; rebuild instead
-            or self.ivfpq_host_store
         ):
             return False
         n = len(emb)
@@ -195,6 +196,21 @@ class FrameIndex:
         norms = np.linalg.norm(emb, axis=1, keepdims=True)
         rows = (emb / np.maximum(norms, 1e-12)).astype(np.float32)
         if self.search_impl in ("ivf", "ivfpq"):
+            if self.ivfpq_host_store:
+                # keep the host-DRAM re-rank rows in lockstep with the
+                # appended global ids (search gathers the store by row id)
+                scales = np.maximum(
+                    np.abs(rows).max(axis=1) / 127.0, 1e-12
+                ).astype(np.float32)
+                quant = np.clip(
+                    np.round(rows / scales[:, None]), -127, 127
+                ).astype(np.int8)
+                self._ivf._originals_int8 = np.concatenate(
+                    [self._ivf._originals_int8, quant], axis=0
+                )
+                self._ivf._originals_int8_scales = np.concatenate(
+                    [self._ivf._originals_int8_scales, scales], axis=0
+                )
             self._ivf.append(rows)
         rows_dev = jnp.asarray(rows).astype(self._device_index.dtype)
         self._device_index = jax.lax.dynamic_update_slice(

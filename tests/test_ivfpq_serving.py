@@ -47,8 +47,10 @@ def test_frame_index_host_store_exact_at_full_probe():
     assert fi._ivf._originals_int8.dtype == np.int8
 
 
-def test_host_store_rebuilds_on_append():
-    # appends must rebuild (the host store is sized at build)
+def test_host_store_appends_incrementally():
+    """Uploads extend the int8 host store in lockstep with the appended
+    global ids (round 5 — previously every upload forced a full rebuild
+    of the two-tier index)."""
     emb = _corpus(n=300)
     fi = FrameIndex(
         embed_dim=32, search_impl="ivfpq", ivf_clusters=4, ivf_nprobe=4,
@@ -56,10 +58,15 @@ def test_host_store_rebuilds_on_append():
     )
     fi.add_video("a", emb[:200])
     fi.search_raw(emb[:2], 3)  # force build
+    built = fi._ivf
     fi.add_video("b", emb[200:])
-    s, r = fi.search_raw(emb[250:252], 3)
+    assert fi._ivf is built  # incremental append, no rebuild
     assert fi._ivf._originals_int8.shape[0] == 300  # store covers the append
-    assert (r >= 0).all() and np.isfinite(s).all()
+    # appended rows are findable and re-ranked through the extended store
+    q = emb[[250, 287]]
+    s, r = fi.search_raw(q, 3)
+    np.testing.assert_array_equal(r[:, 0], [250, 287])  # self-query rank-1
+    assert np.isfinite(s[:, 0]).all()
 
 
 def test_invalid_combo_rejected():
