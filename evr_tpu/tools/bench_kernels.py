@@ -145,7 +145,13 @@ def _encode_fps(model: str, B: int, reps: int, params=None, impl: str = "auto") 
 
 
 def bench_encode(reps: int) -> None:
-    for model, B in [("ViT-B/32", 128), ("ViT-L/14@336px", 64)]:
+    # ViT-H-14 is the geometry the reference's eval harness compares
+    # against via OpenCLIP (Backend/content/Test_compare_model); its
+    # W=1280 T=257 tower sits exactly at the fused-block route's width
+    # gate (layers.block_apply: W <= 1280), so "auto" vs "xla" here is
+    # the end-to-end check of the -13% per-block win PERF.md records.
+    for model, B in [("ViT-B/32", 128), ("ViT-L/14@336px", 64),
+                     ("ViT-H-14", 32)]:
         for impl in ("xla", "auto"):
             fps = _encode_fps(model, B, reps, impl=impl)
             print(f"{model:16s} B={B:3d} attn_impl={impl:4s}: {fps:9.0f} frames/s")
