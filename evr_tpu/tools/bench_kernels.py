@@ -170,6 +170,14 @@ def bench_int8(reps: int) -> None:
         a = _encode_fps("ViT-B/32", B, reps, params=params)
         b = _encode_fps("ViT-B/32", B, reps, params=qparams)
         print(f"B={B:3d}: bf16 {a:8.0f}  int8 {b:8.0f} frames/s ({100 * (b / a - 1):+.0f}%)")
+    # The widest registry tower: W=1280 sits at the fused-quant route's
+    # width gate, so this row checks the int8 kernels hold up there too.
+    cfg_h = get_model_config("ViT-H-14")
+    params_h = init_clip_params(jax.random.PRNGKey(0), cfg_h)
+    qparams_h = quantize_clip_params(params_h)
+    a = _encode_fps("ViT-H-14", 32, reps, params=params_h)
+    b = _encode_fps("ViT-H-14", 32, reps, params=qparams_h)
+    print(f"ViT-H-14 B= 32: bf16 {a:8.0f}  int8 {b:8.0f} frames/s ({100 * (b / a - 1):+.0f}%)")
 
 
 def bench_sweep(reps: int) -> None:
